@@ -1,0 +1,12 @@
+"""Primitive DSP ops: pure `(state, block) -> (state, block)` functions.
+
+Each op mirrors one stateful primitive of the reference C++ library
+(SURVEY.md §2 C2–C6): the C++ delay line becomes an explicit, carried
+overlap buffer so that block-streamed output is bit-exact with whole-signal
+processing ("bit-exact block joins", BASELINE.json north_star).
+"""
+
+from srcdsp_tpu.ops.fir import FirState, fir_init, fir_apply, fir_full  # noqa: F401
+from srcdsp_tpu.ops.nco import NcoState, nco_init, nco_apply, nco_phasor  # noqa: F401
+from srcdsp_tpu.ops.resample import ResampleState, resample_init, resample_apply  # noqa: F401
+from srcdsp_tpu.ops.fftconv import FftConvState, fftconv_init, fftconv_apply  # noqa: F401

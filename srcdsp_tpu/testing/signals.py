@@ -1,0 +1,69 @@
+"""Signal generators (SURVEY.md C7): tones, noise, modulated symbol streams.
+
+The reference ships stateful C++ generator classes for test vectors. Here
+they are pure functions of a `jax.random` key or sample index — deterministic
+by construction, reproducible across hosts, and usable as both test fixtures
+and live sources.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srcdsp_tpu.types import CF32, F32
+from srcdsp_tpu.ops.nco import TWO_PI
+
+
+def tone(n: int, freq: float, phase0: float = 0.0, amplitude: float = 1.0,
+         channel_shape: tuple = ()) -> jnp.ndarray:
+    """Complex exponential at `freq` cycles/sample: a*exp(j*2pi*(f*n + p0))."""
+    k = jnp.arange(n, dtype=F32)
+    ph = (freq * k + phase0) % 1.0
+    x = amplitude * jnp.exp(1j * TWO_PI * ph)
+    return jnp.broadcast_to(x.astype(CF32), (*channel_shape, n))
+
+
+def complex_awgn(key: jax.Array, shape: tuple, power: float = 1.0) -> jnp.ndarray:
+    """Circular complex white Gaussian noise with total power `power`."""
+    kr, ki = jax.random.split(key)
+    s = jnp.sqrt(power / 2.0)
+    return (s * jax.random.normal(kr, shape) +
+            1j * s * jax.random.normal(ki, shape)).astype(CF32)
+
+
+def random_bits(key: jax.Array, shape: tuple) -> jnp.ndarray:
+    return jax.random.bernoulli(key, 0.5, shape).astype(jnp.int32)
+
+
+def fsk_baseband(bits: jnp.ndarray, sps: int, dev: float) -> jnp.ndarray:
+    """CPFSK baseband: frequency +/-dev (cycles/sample) per bit, phase-continuous.
+
+    bits: [..., Nsym] of {0,1} -> [..., Nsym*sps] complex64.
+    """
+    f = (2.0 * bits.astype(F32) - 1.0) * dev            # [..., Nsym]
+    f = jnp.repeat(f, sps, axis=-1)                      # [..., N]
+    ph = jnp.cumsum(f, axis=-1) - f                      # phase BEFORE each step
+    return jnp.exp(1j * TWO_PI * (ph % 1.0)).astype(CF32)
+
+
+def psk_symbols(key: jax.Array, nsym: int, order: int = 4,
+                channel_shape: tuple = ()) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Random M-PSK symbols. Returns (symbol indices [..., n], complex symbols)."""
+    idx = jax.random.randint(key, (*channel_shape, nsym), 0, order)
+    # Gray-agnostic: symbol m -> exp(j*2pi*(m + 0.5)/M) for QPSK-style offset
+    off = 0.5 if order == 4 else 0.0
+    sym = jnp.exp(1j * TWO_PI * (idx.astype(F32) + off) / order).astype(CF32)
+    return idx, sym
+
+
+def upsample_pulse(symbols: jnp.ndarray, sps: int, pulse: jnp.ndarray) -> jnp.ndarray:
+    """Zero-stuff symbols by sps and pulse-shape (linear modulation TX)."""
+    from srcdsp_tpu.ops.resample import resample_full
+    return resample_full(pulse, symbols, up=sps, down=1)
+
+
+def np_tone(n: int, freq: float, phase0: float = 0.0, amplitude: float = 1.0) -> np.ndarray:
+    k = np.arange(n, dtype=np.float64)
+    return (amplitude * np.exp(2j * np.pi * ((freq * k + phase0) % 1.0))).astype(np.complex64)
