@@ -1,0 +1,15 @@
+"""Composite demodulation chains (SURVEY.md §1.1 L3, §2 C8–C10).
+
+The reference composes its stateful primitives into per-channel demodulator
+objects (BASELINE.json: "FSK/PSK demodulation", "per-channel object state").
+Here each chain is a pure `(params, state, block) -> (state, outputs)`
+function; N channels = leading axes on the state pytree (vmap/sharding), not
+N objects.
+"""
+
+from srcdsp_tpu.chains.sync import (  # noqa: F401
+    TimingState, timing_init, timing_estimate, timing_sample,
+)
+from srcdsp_tpu.chains.fsk import (  # noqa: F401
+    FskParams, FskState, fsk_init, fsk_apply, make_fsk_params,
+)
