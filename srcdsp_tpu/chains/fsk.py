@@ -72,7 +72,7 @@ def fsk_init(params: FskParams, channel_shape: tuple = ()) -> FskState:
         nco=nco_init(channel_shape),
         fir=fir_init(int(params.taps.shape[-1]), channel_shape),
         disc_last=jnp.zeros((*channel_shape, 1), dtype=CF32),
-        timing=timing_init(channel_shape, dtype=F32),
+        timing=timing_init(params.sps, channel_shape, dtype=F32),
     )
 
 

@@ -32,22 +32,23 @@ from srcdsp_tpu.types import CF32, F32
 
 
 class TimingState(NamedTuple):
-    """Carried timing-tone accumulator (complex) and the last input sample.
+    """Carried timing-tone accumulator (complex) and an sps+1-sample tail.
 
     `acc` is the exponentially-forgotten sum of s[n]*exp(-j*2*pi*n/sps):
     its angle encodes the current symbol-timing offset. `last` is the final
-    sample of the previous block so interpolated reads at t in [0, 1) can
-    straddle the block boundary.
+    sps+1 samples of the previous block, so every interpolated read lands on
+    already-seen samples — the sampler runs one symbol behind the input, a
+    constant streaming group delay.
     """
 
     acc: jax.Array   # [...] complex64 timing-tone accumulator
-    last: jax.Array  # [..., 1] same dtype as the sampled signal
+    last: jax.Array  # [..., sps+1] same dtype as the sampled signal
 
 
-def timing_init(channel_shape: tuple = (), dtype=CF32) -> TimingState:
+def timing_init(sps: int, channel_shape: tuple = (), dtype=CF32) -> TimingState:
     return TimingState(
         acc=jnp.zeros(channel_shape, dtype=CF32),
-        last=jnp.zeros((*channel_shape, 1), dtype=dtype),
+        last=jnp.zeros((*channel_shape, sps + 1), dtype=dtype),
     )
 
 
@@ -72,20 +73,26 @@ def timing_estimate(state_acc: jax.Array, metric: jax.Array, sps: int,
 
 def timing_sample(last: jax.Array, x: jax.Array, tau: jax.Array, sps: int
                   ) -> tuple[jax.Array, jax.Array]:
-    """Read one value per symbol at t_k = k*sps + tau by linear interpolation.
+    """Read one value per symbol at offset tau (mod sps) by linear interpolation.
 
-    x: [..., N] with N % sps == 0; tau: [...] in [0, sps).
-    Positions index into [last | x] (length N+1), so position 0 is the final
-    sample of the *previous* block — symbol count is exactly N/sps per block
-    regardless of tau. Returns (new_last, symbols [..., N/sps]).
+    x: [..., N] with N % sps == 0; tau: [...] in [0, sps) in x-index phase
+    (the O&M estimate from `timing_estimate` over this same block);
+    last: [..., sps+1] tail of the previous block. Reads index into
+    xin = [last | x]; sample positions are chosen ≡ tau (mod sps) in x's
+    local index phase, delayed one symbol so interpolation never needs
+    future samples. Returns (new_last, symbols [..., N/sps]).
     """
     n = x.shape[-1]
     nsym = n // sps
-    xin = jnp.concatenate([last, x], axis=-1)  # [..., N+1]
-    t = jnp.arange(nsym, dtype=F32)[..., :] * sps + tau[..., None]  # [..., Nsym]
+    xin = jnp.concatenate([last, x], axis=-1)  # [..., N + sps + 1]
+    # x[n] sits at xin index n + sps + 1, so x-phase tau corresponds to
+    # xin-phase (tau + 1) mod sps; positions k*sps + phase stay in
+    # [0, N + sps - 1] for every k and tau, so i0 + 1 is always in bounds.
+    phase = jnp.mod(tau + 1.0, F32(sps))
+    t = jnp.arange(nsym, dtype=F32) * sps + phase[..., None]  # [..., Nsym]
     i0 = jnp.floor(t).astype(jnp.int32)
     frac = (t - i0.astype(F32)).astype(F32)
     lo = jnp.take_along_axis(xin, jnp.broadcast_to(i0, (*xin.shape[:-1], nsym)), axis=-1)
     hi = jnp.take_along_axis(xin, jnp.broadcast_to(i0 + 1, (*xin.shape[:-1], nsym)), axis=-1)
     sym = lo * (1.0 - frac) + hi * frac
-    return x[..., -1:], sym
+    return x[..., -(sps + 1):], sym

@@ -34,11 +34,12 @@ def test_timing_estimate_finds_peak_offset():
 def test_timing_sample_linear_interp():
     sps = 4
     x = jnp.arange(12, dtype=jnp.float32)  # 3 symbols
-    last = jnp.asarray([-1.0], jnp.float32)
+    last = jnp.arange(-5, 0, dtype=jnp.float32)  # continues the ramp: xin[j] = j-5
     tau = jnp.asarray(1.5, jnp.float32)
-    _, sym = timing_sample(last, x, tau, sps)
-    # xin = [-1, 0, 1, ..., 11]; position k*4+1.5 -> value 0.5, 4.5, 8.5
-    np.testing.assert_allclose(np.asarray(sym), [0.5, 4.5, 8.5], atol=1e-6)
+    new_last, sym = timing_sample(last, x, tau, sps)
+    # positions k*sps + (tau+1) mod sps = 4k + 2.5 -> values 4k - 2.5
+    np.testing.assert_allclose(np.asarray(sym), [-2.5, 1.5, 5.5], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_last), [7, 8, 9, 10, 11], atol=0)
 
 
 def _run_chain(snr_db=None, nsym=512, key=0):
@@ -62,7 +63,7 @@ def _ber(bits, rx_bits, settle=16):
     b = np.asarray(bits)
     r = np.asarray(rx_bits)
     best = 1.0
-    for lag in range(-6, 7):
+    for lag in range(-16, 17):
         bs, rs = settle + max(lag, 0), settle + max(-lag, 0)
         n = min(len(b) - bs, len(r) - rs)
         if n <= 0:
