@@ -1,0 +1,58 @@
+"""Distributed channelizer: time-sharded wideband in, channel-sharded out.
+
+The Ulysses-style re-shard (SURVEY.md §2.1): each time shard runs the
+polyphase bank on its own contiguous block (with a left halo of T-1 samples,
+so frames are globally seamless), producing all M channels for its local
+frames. One `lax.all_to_all` then transposes the layout: every device ends
+up with M/P channels over ALL frames — exactly what per-channel demods
+(channel parallelism) want downstream.
+
+Bit-exactness: local framing + left halo makes the concatenated frames
+identical to the single-device channelizer, so the re-sharded output is a
+pure layout change of `channelize_full`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from srcdsp_tpu.chains.channelizer import channelizer_init, channelize_apply, pad_prototype
+from srcdsp_tpu.dist.halo import shift_from_left
+from srcdsp_tpu.dist.mesh import TIME_AXIS, CHANNEL_AXIS
+
+
+def _channelize_shard(taps, num_channels: int, x, axis_name: str):
+    h = pad_prototype(taps, num_channels)
+    t = h.shape[0]
+    tail = shift_from_left(x[..., x.shape[-1] - (t - 1):], axis_name)
+    from srcdsp_tpu.chains.channelizer import ChannelizerState
+    st = ChannelizerState(tail=tail)
+    _, y = channelize_apply(taps, st, x, num_channels)   # [..., M, Kl]
+    # all_to_all: split the channel axis across peers, concatenate local
+    # frame axes in device order -> [..., M/P, K]
+    return lax.all_to_all(y, axis_name, split_axis=y.ndim - 2,
+                          concat_axis=y.ndim - 1, tiled=True)
+
+
+def channelize_time_sharded(taps, x: jax.Array, num_channels: int,
+                            mesh: Mesh) -> jax.Array:
+    """x: [..., S] time-sharded -> y: [..., M, S//M] channel-sharded.
+
+    Requires S/P % M == 0 (each shard's frame count integral) and M % P == 0
+    (channels divide evenly over the 'time' axis size for the re-shard).
+    """
+    p = mesh.shape[TIME_AXIS]
+    if num_channels % p != 0:
+        raise ValueError(f"num_channels {num_channels} not divisible by "
+                         f"time-axis size {p}")
+    in_spec = P(*([None] * (x.ndim - 1) + [TIME_AXIS]))
+    out_spec = P(*([None] * (x.ndim - 1) + [TIME_AXIS, None]))
+    f = jax.shard_map(
+        partial(_channelize_shard, taps, num_channels, axis_name=TIME_AXIS),
+        mesh=mesh, in_specs=(in_spec,), out_specs=out_spec)
+    return f(x)
