@@ -1,0 +1,269 @@
+// C++ golden oracle (SURVEY.md §2 N1).
+//
+// The reference library is native C++ (header-only template classes with
+// per-sample loops over stateful delay lines); the new framework's
+// bit-exactness oracle is therefore native C++ too: a from-scratch,
+// loop-style reimplementation of the primitive semantics (C1-C10) that the
+// JAX/Pallas paths are tested against within SNR bounds (integer paths:
+// bit-exact).
+//
+// Semantics contract (shared with srcdsp_tpu.ops/*.py docstrings):
+//   - causal FIR from rest:       y[n] = sum_k h[k] x[n-k]
+//   - decimation keeps y[j*M]
+//   - NCO: uint32 phase accumulator, 2^-32 turns; w = exp(+j*2*pi*ph)
+//   - resample: y[j] = sum_k h[k] u[j*M - k], u = zero-stuffed upsample
+//   - int16 <-> float: y = x/scale; y = clip(rint(x*scale)) round-half-even
+//
+// Accumulation is double precision (the oracle is the accuracy ceiling).
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this environment).
+// Complex buffers are interleaved float32 I,Q.
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <cfenv>
+#include <complex>
+#include <vector>
+
+extern "C" {
+
+static const double kTwoPi = 6.283185307179586476925286766559;
+static const double kInvScale32 = 1.0 / 4294967296.0;
+
+// ---------- C1: conversions ----------
+
+void orc_i16_to_f32(const int16_t* in, float* out, long n, float scale) {
+  // divide (not multiply-by-reciprocal): bit-exact with the numpy/JAX twins
+  for (long i = 0; i < n; ++i) out[i] = static_cast<float>(in[i]) / scale;
+}
+
+void orc_f32_to_i16(const float* in, int16_t* out, long n, float scale) {
+  // round-half-to-even via nearbyint in the default rounding mode
+  for (long i = 0; i < n; ++i) {
+    float v = std::nearbyintf(in[i] * scale);
+    if (v > 32767.0f) v = 32767.0f;
+    if (v < -32768.0f) v = -32768.0f;
+    out[i] = static_cast<int16_t>(v);
+  }
+}
+
+// ---------- C2/C3: FIR + decimating FIR ----------
+
+void orc_fir(const float* x, long n, const float* taps, long t, int decim,
+             float* y) {
+  // x, y interleaved complex; real taps; n input samples -> n/decim outputs
+  const long nout = n / decim;
+  for (long j = 0; j < nout; ++j) {
+    const long c = j * decim;  // output sample index in input time
+    double ar = 0.0, ai = 0.0;
+    const long kmax = (c < t - 1) ? c : t - 1;
+    for (long k = 0; k <= kmax; ++k) {
+      const double h = taps[k];
+      ar += h * x[2 * (c - k)];
+      ai += h * x[2 * (c - k) + 1];
+    }
+    y[2 * j] = static_cast<float>(ar);
+    y[2 * j + 1] = static_cast<float>(ai);
+  }
+}
+
+void orc_fir_c(const float* x, long n, const float* taps, long t, int decim,
+               float* y) {
+  // complex taps (interleaved)
+  const long nout = n / decim;
+  for (long j = 0; j < nout; ++j) {
+    const long c = j * decim;
+    double ar = 0.0, ai = 0.0;
+    const long kmax = (c < t - 1) ? c : t - 1;
+    for (long k = 0; k <= kmax; ++k) {
+      const double hr = taps[2 * k], hi = taps[2 * k + 1];
+      const double xr = x[2 * (c - k)], xi = x[2 * (c - k) + 1];
+      ar += hr * xr - hi * xi;
+      ai += hr * xi + hi * xr;
+    }
+    y[2 * j] = static_cast<float>(ar);
+    y[2 * j + 1] = static_cast<float>(ai);
+  }
+}
+
+// ---------- C4: NCO mix ----------
+
+void orc_nco_phasor(uint32_t word0, uint32_t dword, long n, float* w) {
+  uint32_t ph = word0;
+  for (long i = 0; i < n; ++i) {
+    const double ang = kTwoPi * (static_cast<double>(ph) * kInvScale32);
+    w[2 * i] = static_cast<float>(std::cos(ang));
+    w[2 * i + 1] = static_cast<float>(std::sin(ang));
+    ph += dword;  // wraps mod 2^32: exact, matches ops.nco
+  }
+}
+
+void orc_nco_mix(const float* x, long n, uint32_t word0, uint32_t dword,
+                 float* y, uint32_t* phase_end) {
+  uint32_t ph = word0;
+  for (long i = 0; i < n; ++i) {
+    const double ang = kTwoPi * (static_cast<double>(ph) * kInvScale32);
+    const double c = std::cos(ang), s = std::sin(ang);
+    const double xr = x[2 * i], xi = x[2 * i + 1];
+    y[2 * i] = static_cast<float>(xr * c - xi * s);
+    y[2 * i + 1] = static_cast<float>(xr * s + xi * c);
+    ph += dword;
+  }
+  if (phase_end) *phase_end = ph;
+}
+
+// ---------- C5: rational resampler ----------
+
+void orc_resample(const float* x, long n, const float* taps, long t, int up,
+                  int down, float* y) {
+  // y[j] = sum_k h[k] u[j*down - k], u[i*up] = x[i]; nout = n*up/down
+  const long nout = (n * up) / down;
+  for (long j = 0; j < nout; ++j) {
+    const long c = static_cast<long>(j) * down;
+    double ar = 0.0, ai = 0.0;
+    for (long k = 0; k < t; ++k) {
+      const long ui = c - k;
+      if (ui < 0) break;           // causal from rest
+      if (ui % up != 0) continue;  // zero-stuffed position
+      const long i = ui / up;
+      if (i >= n) continue;
+      const double h = taps[k];
+      ar += h * x[2 * i];
+      ai += h * x[2 * i + 1];
+    }
+    y[2 * j] = static_cast<float>(ar);
+    y[2 * j + 1] = static_cast<float>(ai);
+  }
+}
+
+// ---------- C6: FFT (iterative radix-2, double precision) ----------
+
+void orc_fft(const float* x, float* y, long n, int inverse) {
+  std::vector<std::complex<double>> a(n);
+  for (long i = 0; i < n; ++i) a[i] = {x[2 * i], x[2 * i + 1]};
+  // bit-reversal permutation
+  for (long i = 1, j = 0; i < n; ++i) {
+    long bit = n >> 1;
+    for (; j & bit; bit >>= 1) j ^= bit;
+    j ^= bit;
+    if (i < j) std::swap(a[i], a[j]);
+  }
+  for (long len = 2; len <= n; len <<= 1) {
+    const double ang = (inverse ? kTwoPi : -kTwoPi) / len;
+    const std::complex<double> wl(std::cos(ang), std::sin(ang));
+    for (long i = 0; i < n; i += len) {
+      std::complex<double> w(1.0, 0.0);
+      for (long k = 0; k < len / 2; ++k) {
+        const auto u = a[i + k];
+        const auto v = a[i + k + len / 2] * w;
+        a[i + k] = u + v;
+        a[i + k + len / 2] = u - v;
+        w *= wl;
+      }
+    }
+  }
+  const double norm = inverse ? 1.0 / n : 1.0;
+  for (long i = 0; i < n; ++i) {
+    y[2 * i] = static_cast<float>(a[i].real() * norm);
+    y[2 * i + 1] = static_cast<float>(a[i].imag() * norm);
+  }
+}
+
+// ---------- C8: frequency discriminator ----------
+
+void orc_discriminate(const float* x, long n, float* d) {
+  // d[i] = angle(x[i] * conj(x[i-1])) / 2pi, x[-1] = 0 -> d[0] = 0
+  double pr = 0.0, pi = 0.0;
+  for (long i = 0; i < n; ++i) {
+    const double xr = x[2 * i], xi = x[2 * i + 1];
+    const double zr = xr * pr + xi * pi;   // x[i] * conj(x[i-1])
+    const double zi = xi * pr - xr * pi;
+    d[i] = static_cast<float>((zr == 0.0 && zi == 0.0)
+                                  ? 0.0
+                                  : std::atan2(zi, zr) / kTwoPi);
+    pr = xr;
+    pi = xi;
+  }
+}
+
+// ---------- sync: O&M timing estimate + linear-interp sampler ----------
+
+void orc_timing_estimate(const float* metric, long n, int sps, float forget,
+                         float* acc_io, float* tau_out) {
+  // metric real, acc_io = {re, im}; mirrors chains.sync.timing_estimate
+  double cr = 0.0, ci = 0.0;
+  for (long i = 0; i < n; ++i) {
+    const double ang = -kTwoPi * (static_cast<double>(i % sps)) / sps;
+    cr += metric[i] * std::cos(ang);
+    ci += metric[i] * std::sin(ang);
+  }
+  const double ar = forget * acc_io[0] + cr;
+  const double ai = forget * acc_io[1] + ci;
+  acc_io[0] = static_cast<float>(ar);
+  acc_io[1] = static_cast<float>(ai);
+  double tau = -(sps / kTwoPi) * std::atan2(ai, ar);
+  tau = std::fmod(tau, static_cast<double>(sps));
+  if (tau < 0) tau += sps;
+  *tau_out = static_cast<float>(tau);
+}
+
+void orc_timing_sample_c(const float* last, const float* x, long n, int sps,
+                         float tau, float* sym) {
+  // complex sampler; last has sps+1 samples; mirrors chains.sync
+  const long nsym = n / sps;
+  const long total = n + sps + 1;
+  std::vector<float> xin(2 * total);
+  std::memcpy(xin.data(), last, 2 * (sps + 1) * sizeof(float));
+  std::memcpy(xin.data() + 2 * (sps + 1), x, 2 * n * sizeof(float));
+  double phase = std::fmod(static_cast<double>(tau) + 1.0,
+                           static_cast<double>(sps));
+  for (long k = 0; k < nsym; ++k) {
+    const double t = static_cast<double>(k) * sps + phase;
+    const long i0 = static_cast<long>(std::floor(t));
+    const double f = t - i0;
+    sym[2 * k] = static_cast<float>((1.0 - f) * xin[2 * i0] +
+                                    f * xin[2 * (i0 + 1)]);
+    sym[2 * k + 1] = static_cast<float>((1.0 - f) * xin[2 * i0 + 1] +
+                                        f * xin[2 * (i0 + 1) + 1]);
+  }
+}
+
+// ---------- C10: polyphase channelizer ----------
+
+void orc_channelize(const float* x, long n, const float* proto, long t_raw,
+                    int m, float* y) {
+  // y layout: channel-major [m][n/m] interleaved complex.
+  // y[ch][k] = sum_j h[j] x[k*m - j] e^{+j*2*pi*ch*j/m}  (causal from rest)
+  const long t = ((t_raw + m - 1) / m) * m;  // zero-padded prototype length
+  std::vector<double> h(t, 0.0);
+  for (long j = 0; j < t_raw; ++j) h[j] = proto[j];
+  const long kframes = n / m;
+  std::vector<double> vr(m), vi(m);
+  for (long k = 0; k < kframes; ++k) {
+    // fold: v[p] = sum_l h[l*m+p] x[k*m - (l*m+p)]
+    for (int p = 0; p < m; ++p) { vr[p] = 0.0; vi[p] = 0.0; }
+    for (long j = 0; j < t; ++j) {
+      const long xi_idx = k * m - j;
+      if (xi_idx < 0) break;
+      const int p = static_cast<int>(j % m);
+      vr[p] += h[j] * x[2 * xi_idx];
+      vi[p] += h[j] * x[2 * xi_idx + 1];
+    }
+    // y[ch][k] = sum_p v[p] e^{+j*2*pi*ch*p/m}
+    for (int ch = 0; ch < m; ++ch) {
+      double ar = 0.0, ai = 0.0;
+      for (int p = 0; p < m; ++p) {
+        const double ang = kTwoPi * ch * p / m;
+        const double c = std::cos(ang), s = std::sin(ang);
+        ar += vr[p] * c - vi[p] * s;
+        ai += vr[p] * s + vi[p] * c;
+      }
+      y[2 * (static_cast<long>(ch) * kframes + k)] = static_cast<float>(ar);
+      y[2 * (static_cast<long>(ch) * kframes + k) + 1] =
+          static_cast<float>(ai);
+    }
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,180 @@
+"""ctypes bindings for the C++ golden oracle (SURVEY.md N1).
+
+Builds cpp/oracle on first use (g++ via make; pybind11 is not available in
+this environment, so the ABI is plain C + ctypes). All complex buffers are
+numpy complex64, marshalled as interleaved float32 views without copies.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC_DIR = os.path.join(_ROOT, "cpp", "oracle")
+_LIB_PATH = os.path.join(_SRC_DIR, "build", "liboracle.so")
+
+_lib_handle = None
+
+_f32p = ctypes.POINTER(ctypes.c_float)
+_i16p = ctypes.POINTER(ctypes.c_int16)
+_u32p = ctypes.POINTER(ctypes.c_uint32)
+
+
+def build(force: bool = False) -> str:
+    src = os.path.join(_SRC_DIR, "oracle.cc")
+    if force or not os.path.exists(_LIB_PATH) or (
+            os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)):
+        subprocess.run(["make", "-C", _SRC_DIR], check=True,
+                       capture_output=True)
+    return _LIB_PATH
+
+
+def _lib() -> ctypes.CDLL:
+    global _lib_handle
+    if _lib_handle is None:
+        _lib_handle = ctypes.CDLL(build())
+    return _lib_handle
+
+
+def _cf(x: np.ndarray) -> np.ndarray:
+    x = np.ascontiguousarray(x, np.complex64)
+    return x
+
+
+def _fp(x: np.ndarray):
+    return x.ctypes.data_as(_f32p)
+
+
+def i16_to_f32(x: np.ndarray, scale: float = 32767.0) -> np.ndarray:
+    x = np.ascontiguousarray(x, np.int16)
+    out = np.empty(x.shape, np.float32)
+    _lib().orc_i16_to_f32(x.ctypes.data_as(_i16p), _fp(out),
+                          ctypes.c_long(x.size), ctypes.c_float(scale))
+    return out
+
+
+def f32_to_i16(x: np.ndarray, scale: float = 32767.0) -> np.ndarray:
+    x = np.ascontiguousarray(x, np.float32)
+    out = np.empty(x.shape, np.int16)
+    _lib().orc_f32_to_i16(_fp(x), out.ctypes.data_as(_i16p),
+                          ctypes.c_long(x.size), ctypes.c_float(scale))
+    return out
+
+
+def fir(x: np.ndarray, taps: np.ndarray, decim: int = 1) -> np.ndarray:
+    x = _cf(x)
+    taps = np.asarray(taps)
+    nout = x.size // decim
+    out = np.empty(nout, np.complex64)
+    if np.iscomplexobj(taps):
+        taps = np.ascontiguousarray(taps, np.complex64)
+        _lib().orc_fir_c(_fp(x.view(np.float32)), ctypes.c_long(x.size),
+                         _fp(taps.view(np.float32)), ctypes.c_long(taps.size),
+                         ctypes.c_int(decim), _fp(out.view(np.float32)))
+    else:
+        taps = np.ascontiguousarray(taps, np.float32)
+        _lib().orc_fir(_fp(x.view(np.float32)), ctypes.c_long(x.size),
+                       _fp(taps), ctypes.c_long(taps.size),
+                       ctypes.c_int(decim), _fp(out.view(np.float32)))
+    return out
+
+
+def nco_phasor(word0: int, dword: int, n: int) -> np.ndarray:
+    out = np.empty(n, np.complex64)
+    _lib().orc_nco_phasor(ctypes.c_uint32(word0), ctypes.c_uint32(dword),
+                          ctypes.c_long(n), _fp(out.view(np.float32)))
+    return out
+
+
+def nco_mix(x: np.ndarray, word0: int, dword: int) -> tuple[np.ndarray, int]:
+    x = _cf(x)
+    out = np.empty(x.size, np.complex64)
+    end = ctypes.c_uint32(0)
+    _lib().orc_nco_mix(_fp(x.view(np.float32)), ctypes.c_long(x.size),
+                       ctypes.c_uint32(word0), ctypes.c_uint32(dword),
+                       _fp(out.view(np.float32)), ctypes.byref(end))
+    return out, int(end.value)
+
+
+def resample(x: np.ndarray, taps: np.ndarray, up: int, down: int) -> np.ndarray:
+    x = _cf(x)
+    taps = np.ascontiguousarray(taps, np.float32)
+    nout = (x.size * up) // down
+    out = np.empty(nout, np.complex64)
+    _lib().orc_resample(_fp(x.view(np.float32)), ctypes.c_long(x.size),
+                        _fp(taps), ctypes.c_long(taps.size),
+                        ctypes.c_int(up), ctypes.c_int(down),
+                        _fp(out.view(np.float32)))
+    return out
+
+
+def fft(x: np.ndarray, inverse: bool = False) -> np.ndarray:
+    x = _cf(x)
+    n = x.size
+    if n & (n - 1):
+        raise ValueError(f"oracle fft needs power-of-two length, got {n}")
+    out = np.empty(n, np.complex64)
+    _lib().orc_fft(_fp(x.view(np.float32)), _fp(out.view(np.float32)),
+                   ctypes.c_long(n), ctypes.c_int(1 if inverse else 0))
+    return out
+
+
+def discriminate(x: np.ndarray) -> np.ndarray:
+    x = _cf(x)
+    out = np.empty(x.size, np.float32)
+    _lib().orc_discriminate(_fp(x.view(np.float32)), ctypes.c_long(x.size),
+                            _fp(out))
+    return out
+
+
+def timing_estimate(metric: np.ndarray, sps: int, acc: complex = 0.0,
+                    forget: float = 0.5) -> tuple[complex, float]:
+    metric = np.ascontiguousarray(metric, np.float32)
+    acc_io = np.asarray([acc.real, acc.imag], np.float32)
+    tau = ctypes.c_float(0.0)
+    _lib().orc_timing_estimate(_fp(metric), ctypes.c_long(metric.size),
+                               ctypes.c_int(sps), ctypes.c_float(forget),
+                               _fp(acc_io), ctypes.byref(tau))
+    return complex(acc_io[0], acc_io[1]), float(tau.value)
+
+
+def timing_sample(last: np.ndarray, x: np.ndarray, tau: float,
+                  sps: int) -> np.ndarray:
+    last = _cf(last)
+    x = _cf(x)
+    assert last.size == sps + 1
+    out = np.empty(x.size // sps, np.complex64)
+    _lib().orc_timing_sample_c(_fp(last.view(np.float32)),
+                               _fp(x.view(np.float32)),
+                               ctypes.c_long(x.size), ctypes.c_int(sps),
+                               ctypes.c_float(tau),
+                               _fp(out.view(np.float32)))
+    return out
+
+
+def channelize(x: np.ndarray, proto: np.ndarray, m: int) -> np.ndarray:
+    x = _cf(x)
+    proto = np.ascontiguousarray(proto, np.float32)
+    k = x.size // m
+    out = np.empty((m, k), np.complex64)
+    _lib().orc_channelize(_fp(x.view(np.float32)), ctypes.c_long(x.size),
+                          _fp(proto), ctypes.c_long(proto.size),
+                          ctypes.c_int(m), _fp(out.view(np.float32)))
+    return out
+
+
+def fsk_demod(x: np.ndarray, center_freq: float, taps: np.ndarray,
+              decim: int, sps: int) -> np.ndarray:
+    """Full FSK chain from oracle primitives (mirrors chains.fsk.fsk_apply)."""
+    word = int(np.round(((-center_freq) % 1.0) * 4294967296.0) % 4294967296.0)
+    mixed, _ = nco_mix(x, 0, word)
+    bb = fir(mixed, taps, decim=decim)
+    d = discriminate(bb)
+    _, tau = timing_estimate(d * d, sps)
+    soft = timing_sample(np.zeros(sps + 1, np.complex64),
+                         d.astype(np.complex64), tau, sps)
+    return (soft.real > 0).astype(np.int32)
