@@ -1,0 +1,178 @@
+"""Fused NCO-mix + FIR + decimate Pallas TPU kernel (SURVEY.md C2–C4, M2).
+
+One kernel launch replaces the reference's three per-sample loops and the
+XLA plane-path's several fused passes: each input sample crosses HBM once,
+is mixed in VMEM, and hits the MXU as a banded-Toeplitz matmul.
+
+Structure per grid step (grid is 1-D over output row-groups):
+
+  1. DMA one contiguous slab x[2, B*OT*M + HK] from HBM into VMEM
+     (double-buffered across grid steps);
+  2. mix: phase = word0 + global_index * dword in uint32 (bit-exact with
+     ops.nco across any block/chunk split), w = cos/sin, complex multiply
+     on the f32 planes — one VPU pass over the slab;
+  3. windows: B overlapping static slices of the mixed slab form
+     X [B, span], span = OT*M + HK;
+  4. FIR+decimate: Y[B, OT] = X @ H_T on the MXU, where
+     H_T[a, j] = h[j*M + HK - a] is the precomputed banded-Toeplitz tap
+     matrix (zeros outside the band) — decimation is folded into the
+     band structure, so no strided memory access exists anywhere.
+
+HK (the history prefix) is taps-1 rounded up to a full lane tile; callers
+prepend HK history samples (zeros at stream start), exactly like
+ops.planes. Output j equals sum_a h[a] * u[j*M - a] with u the logical
+stream — identical semantics to ops.fir.fir_apply from zero state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from srcdsp_tpu.ops.nco import TWO_PI, _INV_SCALE
+from srcdsp_tpu.types import F32
+
+U32 = jnp.uint32
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def toeplitz_taps(taps: np.ndarray, decim: int, out_tile: int,
+                  hist: int) -> np.ndarray:
+    """H_T[a, j] = h[j*decim + hist - a], zero outside [0, T)."""
+    h = np.asarray(taps, np.float32)
+    t = h.shape[0]
+    span = out_tile * decim + hist
+    mat = np.zeros((span, out_tile), np.float32)
+    for j in range(out_tile):
+        for a in range(t):
+            idx = j * decim + hist - a
+            if 0 <= idx < span:
+                mat[idx, j] = h[a]
+    return mat
+
+
+def _kernel(word0_ref, dword_ref, x_hbm, ht_ref, yr_ref, yi_ref,
+            slab, sem, *, b_rows: int, out_tile: int, decim: int,
+            hist: int, span: int, slab_len: int):
+    i = pl.program_id(0)
+    g0 = i * b_rows * out_tile * decim  # global sample index of slab start
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[:, pl.ds(g0, slab_len)], slab, sem)
+    cp.start()
+    cp.wait()
+
+    # --- NCO mix over the slab (one VPU pass) ---
+    # Phase arithmetic runs in int32: two's-complement wrap == u32 wrap, and
+    # the signed reinterpretation only shifts the angle by whole turns
+    # (Mosaic has no u32->f32 cast; i32->f32 works).
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, slab_len), 1)
+    ph = word0_ref[0, 0] + (jnp.int32(g0) + col) * dword_ref[0, 0]
+    ang = ph.astype(F32) * F32(TWO_PI * _INV_SCALE)
+    c = jnp.cos(ang)
+    s = jnp.sin(ang)
+    xr = slab[0:1, :]
+    xi = slab[1:2, :]
+    mr = xr * c - xi * s
+    mi = xr * s + xi * c
+
+    # --- B overlapping windows -> banded-Toeplitz matmul on the MXU ---
+    stride = out_tile * decim
+    xwr = jnp.concatenate(
+        [mr[:, b * stride: b * stride + span] for b in range(b_rows)], axis=0)
+    xwi = jnp.concatenate(
+        [mi[:, b * stride: b * stride + span] for b in range(b_rows)], axis=0)
+    ht = ht_ref[:, :]
+    yr_ref[:, :] = jnp.dot(xwr, ht, preferred_element_type=F32)
+    yi_ref[:, :] = jnp.dot(xwi, ht, preferred_element_type=F32)
+
+
+@dataclasses.dataclass(frozen=True)
+class MixFirKernel:
+    """Compiled fused kernel + its layout contract."""
+
+    fn: Callable          # (word0 u32[1,1], dword u32[1,1], x [2, HK+N]) -> (yr, yi) [NT, OT]
+    num_taps: int
+    decim: int
+    out_tile: int
+    b_rows: int
+    hist: int             # HK: history samples callers must prepend
+
+    def block_in(self) -> int:
+        """Input block granularity (N must be a multiple of this)."""
+        return self.b_rows * self.out_tile * self.decim
+
+
+def make_mix_fir_kernel(taps, decim: int, out_tile: int = 512,
+                        b_rows: int = 32, interpret: bool = False) -> MixFirKernel:
+    """Build the fused kernel for a fixed tap set / decimation / tiling."""
+    taps = np.asarray(taps, np.float32)
+    t = taps.shape[0]
+    hist = _round_up(t - 1, LANE)
+    span = out_tile * decim + hist
+    ht = jnp.asarray(toeplitz_taps(taps, decim, out_tile, hist))
+    stride = out_tile * decim
+    slab_len_for = lambda: b_rows * stride + hist
+
+    def fn(word0, dword, x):
+        n = x.shape[-1] - hist
+        block = b_rows * stride
+        if n % block != 0:
+            raise ValueError(f"N={n} not a multiple of kernel block {block}")
+        nt = n // (out_tile * decim)
+        grid = nt // b_rows
+        slab_len = slab_len_for()
+        kern = functools.partial(
+            _kernel, b_rows=b_rows, out_tile=out_tile, decim=decim,
+            hist=hist, span=span, slab_len=slab_len)
+        return pl.pallas_call(
+            kern,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # word0 [1,1]
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # dword [1,1]
+                pl.BlockSpec(memory_space=pl.ANY),       # x stays in HBM
+                pl.BlockSpec((span, out_tile), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),   # taps matrix
+            ],
+            out_specs=[
+                pl.BlockSpec((b_rows, out_tile), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_rows, out_tile), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nt, out_tile), jnp.float32),
+                jax.ShapeDtypeStruct((nt, out_tile), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, slab_len), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(word0, dword, x, ht)
+
+    return MixFirKernel(fn=fn, num_taps=t, decim=decim, out_tile=out_tile,
+                        b_rows=b_rows, hist=hist)
+
+
+def mix_fir_decim_pallas(kernel: MixFirKernel, word0: int, dword: int,
+                         x_planes: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Convenience wrapper. x_planes: [2, HK+N] f32 -> planes [1, N/M]."""
+    w0 = jnp.asarray(np.array(word0, np.uint32).view(np.int32).reshape(1, 1))
+    dw = jnp.asarray(np.array(dword, np.uint32).view(np.int32).reshape(1, 1))
+    yr, yi = kernel.fn(w0, dw, x_planes)
+    k = yr.shape[0] * yr.shape[1]
+    return yr.reshape(1, k), yi.reshape(1, k)

@@ -1,0 +1,81 @@
+"""Fused Pallas kernel vs the XLA plane path (SURVEY.md §4.2 kernel tier).
+
+Runs in interpret mode on CPU; the same kernel compiles to Mosaic on TPU
+(bench.py exercises that path on the real chip).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srcdsp_tpu.kernels.mixfir import (
+    make_mix_fir_kernel, mix_fir_decim_pallas, toeplitz_taps,
+)
+from srcdsp_tpu.ops.fir import fir_full
+from srcdsp_tpu.ops.nco import freq_to_word, nco_apply, nco_init
+from srcdsp_tpu.ops.planes import (
+    fused_mix_fir_decim_planes, phase_coef_matrix, plane_hist_len,
+)
+from srcdsp_tpu.ops.window import lowpass
+from srcdsp_tpu.testing.signals import complex_awgn
+
+
+def test_toeplitz_matrix_defines_fir():
+    """Dense matmul with H_T == direct causal FIR on a random window."""
+    t, m, ot, hk = 16, 2, 8, 16
+    taps = lowpass(t, 0.2)
+    ht = toeplitz_taps(taps, m, ot, hk)
+    rng = np.random.default_rng(0)
+    xpad = rng.standard_normal(ot * m + hk).astype(np.float32)
+    y = xpad @ ht
+    # reference: y[j] = sum_a h[a] * xpad[j*m + hk - a]
+    ref = np.asarray([
+        sum(taps[a] * xpad[j * m + hk - a] for a in range(t) if j * m + hk - a >= 0)
+        for j in range(ot)
+    ])
+    np.testing.assert_allclose(y, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("t,m", [(64, 2), (33, 4), (128, 1)])
+def test_kernel_matches_planes_interpret(t, m):
+    taps = lowpass(t, 0.4 / max(m, 2))
+    k = make_mix_fir_kernel(taps, m, out_tile=128, b_rows=2, interpret=True)
+    n = 4 * k.block_in()
+    word = int(freq_to_word(0.0931))
+    x = complex_awgn(jax.random.PRNGKey(0), (n,))
+    xpad = jnp.concatenate([jnp.zeros(k.hist, jnp.complex64), x])
+    planes = jnp.stack([jnp.real(xpad), jnp.imag(xpad)]).astype(jnp.float32)
+    word0 = (-k.hist * word) % (1 << 32)
+    yr, yi = mix_fir_decim_pallas(k, word0, word, planes)
+    got = np.asarray(yr[0]) + 1j * np.asarray(yi[0])
+    # reference: complex mix + fir
+    _, mixed = nco_apply(jnp.asarray(word, jnp.uint32), nco_init(), x)
+    ref = np.asarray(fir_full(jnp.asarray(taps), mixed, decim=m))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 2e-6, f"rel L2 {rel:.2e}"
+
+
+def test_kernel_chunked_streaming_bit_exact():
+    """Kernel over two chunks == kernel over one buffer (u32 phase carry)."""
+    t, m = 32, 2
+    taps = lowpass(t, 0.2)
+    k = make_mix_fir_kernel(taps, m, out_tile=128, b_rows=2, interpret=True)
+    blk = k.block_in()
+    n = 4 * blk
+    word = int(freq_to_word(0.217))
+    x = complex_awgn(jax.random.PRNGKey(1), (n,))
+    xpad = jnp.concatenate([jnp.zeros(k.hist, jnp.complex64), x])
+    planes = jnp.stack([jnp.real(xpad), jnp.imag(xpad)]).astype(jnp.float32)
+    word0 = (-k.hist * word) % (1 << 32)
+    yr_a, yi_a = mix_fir_decim_pallas(k, word0, word, planes)
+    half = n // 2
+    p1 = planes[:, : k.hist + half]
+    p2 = planes[:, half: k.hist + n]
+    w2 = (word0 + half * word) % (1 << 32)
+    yr1, yi1 = mix_fir_decim_pallas(k, word0, word, p1)
+    yr2, yi2 = mix_fir_decim_pallas(k, w2, word, p2)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.concatenate([yr1, yr2], -1)), np.asarray(yr_a))
+    np.testing.assert_array_equal(
+        np.asarray(jnp.concatenate([yi1, yi2], -1)), np.asarray(yi_a))
