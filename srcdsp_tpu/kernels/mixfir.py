@@ -119,6 +119,13 @@ def make_mix_fir_kernel(taps, decim: int, out_tile: int = 512,
                         b_rows: int = 32, interpret: bool = False) -> MixFirKernel:
     """Build the fused kernel for a fixed tap set / decimation / tiling."""
     taps = np.asarray(taps, np.float32)
+    if not interpret:
+        # Mosaic block-shape constraint: last two output-block dims must be
+        # divisible by (8, 128)
+        if b_rows % 8 != 0:
+            raise ValueError(f"b_rows must be a multiple of 8 on TPU, got {b_rows}")
+        if out_tile % LANE != 0:
+            raise ValueError(f"out_tile must be a multiple of 128, got {out_tile}")
     t = taps.shape[0]
     hist = _round_up(t - 1, LANE)
     span = out_tile * decim + hist
