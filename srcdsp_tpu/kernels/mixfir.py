@@ -183,3 +183,115 @@ def mix_fir_decim_pallas(kernel: MixFirKernel, word0: int, dword: int,
     yr, yi = kernel.fn(w0, dw, x_planes)
     k = yr.shape[0] * yr.shape[1]
     return yr.reshape(1, k), yi.reshape(1, k)
+
+
+# ---------------------------------------------------------------------------
+# Multi-channel variant: C independent channels, each with its own NCO
+# tuning/phase word, one shared tap set (the BASELINE north-star chain is
+# "10-channel FIR-decimate + NCO-mix"). Grid = (channels, row-groups); the
+# channel axis parallelizes trivially and per-channel words live in SMEM.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_mc(words0_ref, dwords_ref, x_hbm, ht_ref, yr_ref, yi_ref,
+               slab, sem, *, b_rows: int, out_tile: int, decim: int,
+               hist: int, span: int, slab_len: int):
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    g0 = i * b_rows * out_tile * decim
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[c, :, pl.ds(g0, slab_len)], slab, sem)
+    cp.start()
+    cp.wait()
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, slab_len), 1)
+    ph = words0_ref[c, 0] + (jnp.int32(g0) + col) * dwords_ref[c, 0]
+    ang = ph.astype(F32) * F32(TWO_PI * _INV_SCALE)
+    cw = jnp.cos(ang)
+    sw = jnp.sin(ang)
+    xr = slab[0:1, :]
+    xi = slab[1:2, :]
+    mr = xr * cw - xi * sw
+    mi = xr * sw + xi * cw
+
+    stride = out_tile * decim
+    xwr = jnp.concatenate(
+        [mr[:, b * stride: b * stride + span] for b in range(b_rows)], axis=0)
+    xwi = jnp.concatenate(
+        [mi[:, b * stride: b * stride + span] for b in range(b_rows)], axis=0)
+    ht = ht_ref[:, :]
+    yr_ref[0] = jnp.dot(xwr, ht, preferred_element_type=F32)
+    yi_ref[0] = jnp.dot(xwi, ht, preferred_element_type=F32)
+
+
+def make_mix_fir_kernel_mc(taps, decim: int, num_channels: int,
+                           out_tile: int = 512, b_rows: int = 8,
+                           interpret: bool = False) -> MixFirKernel:
+    """Multi-channel fused kernel: x [C, 2, HK+N] -> planes [C, NT, OT].
+
+    Call via `mix_fir_decim_pallas_mc`. Shares MixFirKernel metadata; the
+    words arguments become per-channel arrays.
+    """
+    taps = np.asarray(taps, np.float32)
+    if not interpret:
+        if b_rows % 8 != 0:
+            raise ValueError(f"b_rows must be a multiple of 8 on TPU, got {b_rows}")
+        if out_tile % LANE != 0:
+            raise ValueError(f"out_tile must be a multiple of 128, got {out_tile}")
+    t = taps.shape[0]
+    hist = _round_up(t - 1, LANE)
+    span = out_tile * decim + hist
+    ht = jnp.asarray(toeplitz_taps(taps, decim, out_tile, hist))
+    stride = out_tile * decim
+    slab_len = b_rows * stride + hist
+
+    def fn(words0, dwords, x):
+        n = x.shape[-1] - hist
+        block = b_rows * stride
+        if n % block != 0:
+            raise ValueError(f"N={n} not a multiple of kernel block {block}")
+        nt = n // (out_tile * decim)
+        grid = (num_channels, nt // b_rows)
+        kern = functools.partial(
+            _kernel_mc, b_rows=b_rows, out_tile=out_tile, decim=decim,
+            hist=hist, span=span, slab_len=slab_len)
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # words0 [C, 1]
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # dwords [C, 1]
+                pl.BlockSpec(memory_space=pl.ANY),       # x [C, 2, L] in HBM
+                pl.BlockSpec((span, out_tile), lambda c, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, b_rows, out_tile), lambda c, i: (c, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b_rows, out_tile), lambda c, i: (c, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((num_channels, nt, out_tile), jnp.float32),
+                jax.ShapeDtypeStruct((num_channels, nt, out_tile), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, slab_len), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(words0, dwords, x, ht)
+
+    return MixFirKernel(fn=fn, num_taps=t, decim=decim, out_tile=out_tile,
+                        b_rows=b_rows, hist=hist)
+
+
+def mix_fir_decim_pallas_mc(kernel: MixFirKernel, words0, dwords,
+                            x_planes: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """x_planes: [C, 2, HK+N] f32; words0/dwords: [C] u32 -> planes [C, N/M]."""
+    w0 = jnp.asarray(np.asarray(words0, np.uint32).view(np.int32).reshape(-1, 1))
+    dw = jnp.asarray(np.asarray(dwords, np.uint32).view(np.int32).reshape(-1, 1))
+    yr, yi = kernel.fn(w0, dw, x_planes)
+    c, nt, ot = yr.shape
+    return yr.reshape(c, nt * ot), yi.reshape(c, nt * ot)

@@ -79,3 +79,26 @@ def test_kernel_chunked_streaming_bit_exact():
         np.asarray(jnp.concatenate([yr1, yr2], -1)), np.asarray(yr_a))
     np.testing.assert_array_equal(
         np.asarray(jnp.concatenate([yi1, yi2], -1)), np.asarray(yi_a))
+
+
+def test_multichannel_kernel_matches_single():
+    """MC kernel per channel == single-channel kernel with that word."""
+    from srcdsp_tpu.kernels.mixfir import (
+        make_mix_fir_kernel_mc, mix_fir_decim_pallas_mc)
+    t, m, nch = 32, 2, 3
+    taps = lowpass(t, 0.2)
+    kmc = make_mix_fir_kernel_mc(taps, m, nch, out_tile=128, b_rows=2,
+                                 interpret=True)
+    k1 = make_mix_fir_kernel(taps, m, out_tile=128, b_rows=2, interpret=True)
+    n = 2 * k1.block_in()
+    words = np.asarray([freq_to_word(f) for f in (0.05, 0.21, 0.33)], np.uint32)
+    words0 = np.asarray([(-kmc.hist * int(w)) % (1 << 32) for w in words],
+                        np.uint32)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((nch, 2, kmc.hist + n)).astype(np.float32)
+    yr, yi = mix_fir_decim_pallas_mc(kmc, words0, words, jnp.asarray(x))
+    for c in range(nch):
+        r1, i1 = mix_fir_decim_pallas(k1, int(words0[c]), int(words[c]),
+                                      jnp.asarray(x[c]))
+        np.testing.assert_array_equal(np.asarray(yr[c]), np.asarray(r1[0]))
+        np.testing.assert_array_equal(np.asarray(yi[c]), np.asarray(i1[0]))
