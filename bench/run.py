@@ -62,10 +62,43 @@ def run_config(name: str, use_pallas: bool = False, iters: int = 20,
     return rec
 
 
+def run_fft(iters: int = 20, n: int = 4096, batch: int = 256) -> dict:
+    """FFT GFLOP/s (BASELINE.json metric) via the MXU four-step transform."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from srcdsp_tpu.ops.fft_planes import fft_planes_flops, make_fft_planes
+
+    fft = jax.jit(make_fft_planes(n))
+    rng = np.random.default_rng(0)
+    xr = jax.device_put(jnp.asarray(rng.standard_normal((batch, n)), jnp.float32))
+    xi = jax.device_put(jnp.asarray(rng.standard_normal((batch, n)), jnp.float32))
+    y = fft(xr, xi)
+    jax.block_until_ready(y)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = fft(xr, xi)
+        jax.block_until_ready(y)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return {
+        "config": "fft",
+        "platform": jax.default_backend(),
+        "fft_size": n,
+        "batch": batch,
+        "ms_per_iter": round(best * 1e3, 3),
+        "gflops_per_s_matmul": round(fft_planes_flops(batch, n) / best / 1e9, 1),
+        "gflops_per_s_5nlogn": round(5 * n * np.log2(n) * batch / best / 1e9, 1),
+    }
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("config", choices=["config1", "config2", "config3",
-                                      "config4", "config5", "all"])
+                                      "config4", "config5", "fft", "all"])
     p.add_argument("--pallas", action="store_true",
                    help="use the Pallas fused kernel (config1)")
     p.add_argument("--iters", type=int, default=20)
@@ -73,11 +106,14 @@ def main(argv=None) -> None:
                    help="write an XProf trace to this directory")
     args = p.parse_args(argv)
 
-    names = (["config1", "config2", "config3", "config4", "config5"]
+    names = (["config1", "config2", "config3", "config4", "config5", "fft"]
              if args.config == "all" else [args.config])
     for name in names:
-        rec = run_config(name, use_pallas=args.pallas, iters=args.iters,
-                         profile_dir=args.profile)
+        if name == "fft":
+            rec = run_fft(iters=args.iters)
+        else:
+            rec = run_config(name, use_pallas=args.pallas, iters=args.iters,
+                             profile_dir=args.profile)
         print(json.dumps(rec))
 
 

@@ -95,8 +95,11 @@ def _kernel(word0_ref, dword_ref, x_hbm, ht_ref, yr_ref, yi_ref,
     xwi = jnp.concatenate(
         [mi[:, b * stride: b * stride + span] for b in range(b_rows)], axis=0)
     ht = ht_ref[:, :]
-    yr_ref[:, :] = jnp.dot(xwr, ht, preferred_element_type=F32)
-    yi_ref[:, :] = jnp.dot(xwi, ht, preferred_element_type=F32)
+    # HIGHEST: full-f32 MXU passes; default lowers to bf16 (~2e-3 error)
+    yr_ref[:, :] = jnp.dot(xwr, ht, preferred_element_type=F32,
+                           precision=jax.lax.Precision.HIGHEST)
+    yi_ref[:, :] = jnp.dot(xwi, ht, preferred_element_type=F32,
+                           precision=jax.lax.Precision.HIGHEST)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -221,8 +224,10 @@ def _kernel_mc(words0_ref, dwords_ref, x_hbm, ht_ref, yr_ref, yi_ref,
     xwi = jnp.concatenate(
         [mi[:, b * stride: b * stride + span] for b in range(b_rows)], axis=0)
     ht = ht_ref[:, :]
-    yr_ref[0] = jnp.dot(xwr, ht, preferred_element_type=F32)
-    yi_ref[0] = jnp.dot(xwi, ht, preferred_element_type=F32)
+    yr_ref[0] = jnp.dot(xwr, ht, preferred_element_type=F32,
+                        precision=jax.lax.Precision.HIGHEST)
+    yi_ref[0] = jnp.dot(xwi, ht, preferred_element_type=F32,
+                        precision=jax.lax.Precision.HIGHEST)
 
 
 def make_mix_fir_kernel_mc(taps, decim: int, num_channels: int,
