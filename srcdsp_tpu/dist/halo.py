@@ -59,3 +59,43 @@ def fir_time_sharded(taps, x: jax.Array, mesh: Mesh, decim: int = 1) -> jax.Arra
         partial(_fir_shard, taps, decim=decim, axis_name=TIME_AXIS),
         mesh=mesh, in_specs=(pspec,), out_specs=pspec)
     return f(x)
+
+
+def _fir_shard_stream(taps, decim: int, axis_name: str, carried_tail, x):
+    """Shard body with carried inter-buffer state: shard 0's halo comes from
+    the previous buffer's LAST shard (the carried tail) instead of zeros."""
+    t = jnp.asarray(taps).shape[0]
+    local = x[..., x.shape[-1] - (t - 1):]
+    from_left = shift_from_left(local, axis_name)   # zeros on shard 0
+    is_first = (lax.axis_index(axis_name) == 0)
+    tail = jnp.where(is_first, carried_tail, from_left)
+    xin = jnp.concatenate([tail, x], axis=-1)
+    y = complex_conv(xin, jnp.asarray(taps), stride=decim)
+    # next buffer's carried tail = last shard's trailing samples, replicated
+    # via masked psum (ppermute can't one-to-many; the tail is T-1 samples,
+    # so the all-reduce is negligible)
+    is_last = lax.axis_index(axis_name) == lax.axis_size(axis_name) - 1
+    new_tail = lax.psum(jnp.where(is_last, local, jnp.zeros_like(local)),
+                        axis_name)
+    return new_tail, y
+
+
+def fir_time_sharded_stream(taps, state_tail: jax.Array, x: jax.Array,
+                            mesh: Mesh, decim: int = 1
+                            ) -> tuple[jax.Array, jax.Array]:
+    """Streaming form: filter successive time-sharded buffers seamlessly.
+
+    state_tail: [..., T-1] replicated tail of the previous buffer (zeros at
+    stream start, e.g. `fir_init(T).tail`). Each call consumes one buffer
+    x: [..., S] (time-sharded) and returns the updated tail + the filtered
+    buffer. The concatenated outputs across calls are bit-identical to one
+    giant single-device streaming run: shard 0 seeds from the carried tail,
+    every other shard from its left neighbor via ppermute, and the new tail
+    is broadcast from the last shard to all devices (tiny: T-1 samples).
+    """
+    pspec = P(*([None] * (x.ndim - 1) + [TIME_AXIS]))
+    rspec = P(*([None] * x.ndim))  # replicated tail
+    f = jax.shard_map(
+        partial(_fir_shard_stream, taps, decim, TIME_AXIS),
+        mesh=mesh, in_specs=(rspec, pspec), out_specs=(rspec, pspec))
+    return f(state_tail, x)

@@ -95,3 +95,22 @@ def test_channel_sharded_demod_runs(devices8):
     st, (rx, soft) = jax.jit(fsk_apply)(params, state, xs)
     # decode still works under sharding
     assert rx.shape == (nch, nsym)
+
+
+def test_fir_time_sharded_stream_multibuffer(devices8):
+    """Streaming buffers through the sharded FIR == one-device streaming."""
+    from srcdsp_tpu.dist.halo import fir_time_sharded_stream
+    mesh = make_mesh(time=8)
+    taps = jnp.asarray(lowpass(48, 0.12))
+    x = complex_awgn(jax.random.PRNGKey(9), (4 * 8 * 256,))
+    ref = fir_full(taps, x)
+    tail = jnp.zeros(47, jnp.complex64)
+    outs = []
+    nbuf = 4
+    n = x.shape[-1] // nbuf
+    for b in range(nbuf):
+        xb = jax.device_put(x[b * n:(b + 1) * n], time_sharding(mesh))
+        tail, y = fir_time_sharded_stream(taps, tail, xb, mesh)
+        outs.append(y)
+    got = jnp.concatenate(outs)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
