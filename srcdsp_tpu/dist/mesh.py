@@ -27,6 +27,21 @@ def make_mesh(time: int = 1, channel: int = 1,
     return Mesh(dev, (TIME_AXIS, CHANNEL_AXIS))
 
 
+def init_multihost(coordinator: str | None = None, num_processes: int | None = None,
+                   process_id: int | None = None) -> None:
+    """Multi-host bring-up: call once per host before `make_mesh`.
+
+    On Cloud TPU pods all arguments auto-detect from the metadata server;
+    elsewhere pass them explicitly. After this, `jax.devices()` spans the
+    whole slice and `make_mesh(time=..., channel=...)` lays the global mesh
+    over it — the same chain code then runs with DCN-crossing collectives
+    inserted by the runtime (SURVEY.md §5 comm-backend row).
+    """
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def time_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     """Shard the last axis (time) across the 'time' mesh axis."""
     spec = [None] * (ndim - 1) + [TIME_AXIS]
