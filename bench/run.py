@@ -95,26 +95,81 @@ def run_fft(iters: int = 20, n: int = 4096, batch: int = 256) -> dict:
     }
 
 
+def run_accuracy() -> dict:
+    """SNR delta vs the C++ oracle (BASELINE.json metric) on the config-1
+    chain, plus config-4 BER on a clean capture."""
+    import jax
+    import numpy as np
+    from srcdsp_tpu import oracle
+    from srcdsp_tpu.configs import build_config1, build_config4
+
+    built = build_config1(n=1 << 16)
+    xr, xi = built.example
+    yr, yi = built.step(xr, xi)
+    got = np.asarray(yr[0]) + 1j * np.asarray(yi[0])
+    from srcdsp_tpu.ops.nco import freq_to_word
+    from srcdsp_tpu.ops.planes import plane_hist_len
+    from srcdsp_tpu.ops.window import lowpass
+    x = (np.asarray(xr[0]) + 1j * np.asarray(xi[0])).astype(np.complex64)
+    word = int(freq_to_word(0.11))
+    hist = plane_hist_len(64, 2)
+    mixed, _ = oracle.nco_mix(x, (-hist * word) % (1 << 32), word)
+    ref = oracle.fir(mixed, lowpass(64, 0.2), decim=2)[hist // 2:]
+    err = ref - got
+    snr = 10 * np.log10(np.mean(np.abs(ref) ** 2) / np.mean(np.abs(err) ** 2))
+
+    built4 = build_config4(nsym=512, channels=8)
+    st, xc = built4.example
+    bits = np.asarray(built4.meta["bits"])
+    _, (rx, _) = built4.step(st, xc)
+    rx = np.asarray(rx)
+    bers = []
+    for ch in range(rx.shape[0]):
+        best = 1.0
+        for lag in range(-16, 17):
+            bs, rs = 16 + max(lag, 0), 16 + max(-lag, 0)
+            nsym = min(bits.shape[-1] - bs, rx.shape[-1] - rs)
+            best = min(best, float(np.mean(
+                bits[ch, bs:bs + nsym] != rx[ch, rs:rs + nsym])))
+        bers.append(best)
+    return {
+        "config": "accuracy",
+        "platform": jax.default_backend(),
+        "config1_snr_vs_oracle_db": round(float(snr), 1),
+        "config4_clean_ber_worst_channel": max(bers),
+    }
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("config", choices=["config1", "config2", "config3",
-                                      "config4", "config5", "fft", "all"])
+                                      "config4", "config5", "fft",
+                                      "accuracy", "all"])
     p.add_argument("--pallas", action="store_true",
                    help="use the Pallas fused kernel (config1)")
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--profile", default=None,
                    help="write an XProf trace to this directory")
+    p.add_argument("--out", default=None,
+                   help="append JSON records to this file as well")
     args = p.parse_args(argv)
 
-    names = (["config1", "config2", "config3", "config4", "config5", "fft"]
+    names = (["config1", "config2", "config3", "config4", "config5", "fft",
+              "accuracy"]
              if args.config == "all" else [args.config])
     for name in names:
         if name == "fft":
             rec = run_fft(iters=args.iters)
+        elif name == "accuracy":
+            rec = run_accuracy()
         else:
             rec = run_config(name, use_pallas=args.pallas, iters=args.iters,
                              profile_dir=args.profile)
-        print(json.dumps(rec))
+        line = json.dumps(rec)
+        print(line)
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(line + "\n")
 
 
 if __name__ == "__main__":
