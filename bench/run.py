@@ -95,6 +95,57 @@ def run_fft(iters: int = 20, n: int = 4096, batch: int = 256) -> dict:
     }
 
 
+def run_config4_onchip(iters: int = 10, channels: int = 10,
+                       n_per_ch: int = 1 << 21) -> dict:
+    """The north-star chain fully on-chip: C-channel fused NCO-mix +
+    FIR-decimate (Pallas MC kernel) + discriminator + O&M timing + slicer.
+    Reports AGGREGATE Msamples/s across channels on this one chip."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from srcdsp_tpu.chains.fsk_planes import fsk_demod_planes, make_timing_tone
+    from srcdsp_tpu.kernels.mixfir import make_mix_fir_kernel_mc
+    from srcdsp_tpu.ops.nco import freq_to_word
+    from srcdsp_tpu.ops.window import lowpass
+
+    decim, sps = 4, 8
+    taps = lowpass(64, 0.03)
+    k = make_mix_fir_kernel_mc(taps, decim, channels, out_tile=512, b_rows=32)
+    n = (n_per_ch // k.block_in()) * k.block_in()
+    words = np.asarray(
+        [freq_to_word(-0.05 - 0.01 * c) for c in range(channels)], np.uint32)
+    words0 = np.asarray([(-k.hist * int(w)) % (1 << 32) for w in words],
+                        np.uint32)
+    rng = np.random.default_rng(0)
+    planes = jax.device_put(jnp.asarray(
+        rng.standard_normal((channels, 2, k.hist + n)).astype(np.float32)))
+    tc, ts = make_timing_tone(n // decim, sps)
+    tc = jax.device_put(jnp.asarray(tc))
+    ts = jax.device_put(jnp.asarray(ts))
+    step = jax.jit(lambda p: fsk_demod_planes(
+        k, words0, words, p, sps, tc, ts))
+    y = step(planes)
+    jax.block_until_ready(y)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = step(planes)
+        jax.block_until_ready(y)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    agg = channels * n / best / 1e6
+    return {
+        "config": "config4_onchip",
+        "platform": jax.default_backend(),
+        "channels": channels,
+        "aggregate_msamples_per_s": round(agg, 1),
+        "ms_per_iter": round(best * 1e3, 3),
+        "per_chip_vs_125msps_target": round(agg / 125.0, 2),
+    }
+
+
 def run_accuracy() -> dict:
     """SNR delta vs the C++ oracle (BASELINE.json metric) on the config-1
     chain, plus config-4 BER on a clean capture."""
@@ -143,8 +194,8 @@ def run_accuracy() -> dict:
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("config", choices=["config1", "config2", "config3",
-                                      "config4", "config5", "fft",
-                                      "accuracy", "all"])
+                                      "config4", "config4_onchip", "config5",
+                                      "fft", "accuracy", "all"])
     p.add_argument("--pallas", action="store_true",
                    help="use the Pallas fused kernel (config1)")
     p.add_argument("--iters", type=int, default=20)
@@ -160,6 +211,8 @@ def main(argv=None) -> None:
     for name in names:
         if name == "fft":
             rec = run_fft(iters=args.iters)
+        elif name == "config4_onchip":
+            rec = run_config4_onchip(iters=args.iters)
         elif name == "accuracy":
             rec = run_accuracy()
         else:
