@@ -11,8 +11,25 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# invoked as `python bench/run.py`: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
+
+
+def _enable_compile_cache() -> None:
+    import jax
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
 
 def run_config(name: str, use_pallas: bool = False, iters: int = 20,
@@ -204,6 +221,7 @@ def main(argv=None) -> None:
     p.add_argument("--out", default=None,
                    help="append JSON records to this file as well")
     args = p.parse_args(argv)
+    _enable_compile_cache()
 
     names = (["config1", "config2", "config3", "config4", "config5", "fft",
               "accuracy"]
