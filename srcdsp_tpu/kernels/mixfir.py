@@ -63,9 +63,10 @@ def toeplitz_taps(taps: np.ndarray, decim: int, out_tile: int,
     return mat
 
 
-def _kernel(word0_ref, dword_ref, x_hbm, ht_ref, yr_ref, yi_ref,
+def _kernel(word0_ref, dword_ref, x_hbm, hsub_ref, yr_ref, yi_ref,
             slab, sem, *, b_rows: int, out_tile: int, decim: int,
-            hist: int, span: int, slab_len: int):
+            hist: int, span: int, slab_len: int, block_cols: int,
+            precision):
     i = pl.program_id(0)
     g0 = i * b_rows * out_tile * decim  # global sample index of slab start
 
@@ -97,12 +98,21 @@ def _kernel(word0_ref, dword_ref, x_hbm, ht_ref, yr_ref, yi_ref,
     mr = xwr * c - xwi * s
     mi = xwr * s + xwi * c
     xwr, xwi = mr, mi
-    ht = ht_ref[:, :]
-    # HIGHEST: full-f32 MXU passes; default lowers to bf16 (~2e-3 error)
-    yr_ref[:, :] = jnp.dot(xwr, ht, preferred_element_type=F32,
-                           precision=jax.lax.Precision.HIGHEST)
-    yi_ref[:, :] = jnp.dot(xwi, ht, preferred_element_type=F32,
-                           precision=jax.lax.Precision.HIGHEST)
+    # --- banded-block matmuls: output columns [j*BC, (j+1)*BC) only read
+    # window columns [j*BC*M, j*BC*M + BC*M + hist), so splitting the big
+    # [span, OT] Toeplitz into per-block bands cuts the MXU zero-padding
+    # waste by ~OT/BC. `precision` trades MXU passes for accuracy
+    # (HIGHEST=6-pass f32; the TPU default is 1-pass bf16, ~2e-3 error).
+    nb = out_tile // block_cols
+    bspan = block_cols * decim + hist
+    for j in range(nb):
+        xs = slice(j * block_cols * decim, j * block_cols * decim + bspan)
+        ys = slice(j * block_cols, (j + 1) * block_cols)
+        hsub = hsub_ref[j]
+        yr_ref[:, ys] = jnp.dot(xwr[:, xs], hsub, preferred_element_type=F32,
+                                precision=precision)
+        yi_ref[:, ys] = jnp.dot(xwi[:, xs], hsub, preferred_element_type=F32,
+                                precision=precision)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -121,8 +131,23 @@ class MixFirKernel:
         return self.b_rows * self.out_tile * self.decim
 
 
+def banded_taps(taps: np.ndarray, decim: int, out_tile: int, hist: int,
+                block_cols: int) -> np.ndarray:
+    """Per-block bands of the Toeplitz matrix: [NB, BC*M + hist, BC]."""
+    ht = toeplitz_taps(taps, decim, out_tile, hist)
+    nb = out_tile // block_cols
+    bspan = block_cols * decim + hist
+    return np.stack([
+        ht[j * block_cols * decim: j * block_cols * decim + bspan,
+           j * block_cols: (j + 1) * block_cols]
+        for j in range(nb)
+    ])
+
+
 def make_mix_fir_kernel(taps, decim: int, out_tile: int = 512,
-                        b_rows: int = 32, interpret: bool = False) -> MixFirKernel:
+                        b_rows: int = 32, block_cols: int = 128,
+                        precision=jax.lax.Precision.HIGHEST,
+                        interpret: bool = False) -> MixFirKernel:
     """Build the fused kernel for a fixed tap set / decimation / tiling."""
     taps = np.asarray(taps, np.float32)
     if not interpret:
@@ -132,10 +157,14 @@ def make_mix_fir_kernel(taps, decim: int, out_tile: int = 512,
             raise ValueError(f"b_rows must be a multiple of 8 on TPU, got {b_rows}")
         if out_tile % LANE != 0:
             raise ValueError(f"out_tile must be a multiple of 128, got {out_tile}")
+    if out_tile % block_cols != 0:
+        raise ValueError(f"out_tile {out_tile} % block_cols {block_cols} != 0")
     t = taps.shape[0]
     hist = _round_up(t - 1, LANE)
     span = out_tile * decim + hist
-    ht = jnp.asarray(toeplitz_taps(taps, decim, out_tile, hist))
+    nb = out_tile // block_cols
+    bspan = block_cols * decim + hist
+    hsubs = jnp.asarray(banded_taps(taps, decim, out_tile, hist, block_cols))
     stride = out_tile * decim
     slab_len_for = lambda: b_rows * stride + hist
 
@@ -149,7 +178,8 @@ def make_mix_fir_kernel(taps, decim: int, out_tile: int = 512,
         slab_len = slab_len_for()
         kern = functools.partial(
             _kernel, b_rows=b_rows, out_tile=out_tile, decim=decim,
-            hist=hist, span=span, slab_len=slab_len)
+            hist=hist, span=span, slab_len=slab_len, block_cols=block_cols,
+            precision=precision)
         return pl.pallas_call(
             kern,
             grid=(grid,),
@@ -157,8 +187,8 @@ def make_mix_fir_kernel(taps, decim: int, out_tile: int = 512,
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # word0 [1,1]
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # dword [1,1]
                 pl.BlockSpec(memory_space=pl.ANY),       # x stays in HBM
-                pl.BlockSpec((span, out_tile), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),   # taps matrix
+                pl.BlockSpec((nb, bspan, block_cols), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),   # banded taps
             ],
             out_specs=[
                 pl.BlockSpec((b_rows, out_tile), lambda i: (i, 0),
@@ -175,7 +205,7 @@ def make_mix_fir_kernel(taps, decim: int, out_tile: int = 512,
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
-        )(word0, dword, x, ht)
+        )(word0, dword, x, hsubs)
 
     return MixFirKernel(fn=fn, num_taps=t, decim=decim, out_tile=out_tile,
                         b_rows=b_rows, hist=hist)
