@@ -229,9 +229,10 @@ def mix_fir_decim_pallas(kernel: MixFirKernel, word0: int, dword: int,
 # ---------------------------------------------------------------------------
 
 
-def _kernel_mc(words0_ref, dwords_ref, x_hbm, ht_ref, yr_ref, yi_ref,
+def _kernel_mc(words0_ref, dwords_ref, x_hbm, hsub_ref, yr_ref, yi_ref,
                slab, sem, *, b_rows: int, out_tile: int, decim: int,
-               hist: int, span: int, slab_len: int):
+               hist: int, span: int, slab_len: int, block_cols: int,
+               precision):
     c = pl.program_id(0)
     i = pl.program_id(1)
     g0 = i * b_rows * out_tile * decim
@@ -257,15 +258,24 @@ def _kernel_mc(words0_ref, dwords_ref, x_hbm, ht_ref, yr_ref, yi_ref,
     mr = xwr * cw - xwi * sw
     mi = xwr * sw + xwi * cw
     xwr, xwi = mr, mi
-    ht = ht_ref[:, :]
-    yr_ref[0] = jnp.dot(xwr, ht, preferred_element_type=F32,
-                        precision=jax.lax.Precision.HIGHEST)
-    yi_ref[0] = jnp.dot(xwi, ht, preferred_element_type=F32,
-                        precision=jax.lax.Precision.HIGHEST)
+    nb = out_tile // block_cols
+    bspan = block_cols * decim + hist
+    for j in range(nb):
+        xs = slice(j * block_cols * decim, j * block_cols * decim + bspan)
+        ys = slice(j * block_cols, (j + 1) * block_cols)
+        hsub = hsub_ref[j]
+        yr_ref[0, :, ys] = jnp.dot(xwr[:, xs], hsub,
+                                   preferred_element_type=F32,
+                                   precision=precision)
+        yi_ref[0, :, ys] = jnp.dot(xwi[:, xs], hsub,
+                                   preferred_element_type=F32,
+                                   precision=precision)
 
 
 def make_mix_fir_kernel_mc(taps, decim: int, num_channels: int,
                            out_tile: int = 512, b_rows: int = 8,
+                           block_cols: int = 128,
+                           precision=jax.lax.Precision.HIGHEST,
                            interpret: bool = False) -> MixFirKernel:
     """Multi-channel fused kernel: x [C, 2, HK+N] -> planes [C, NT, OT].
 
@@ -278,10 +288,14 @@ def make_mix_fir_kernel_mc(taps, decim: int, num_channels: int,
             raise ValueError(f"b_rows must be a multiple of 8 on TPU, got {b_rows}")
         if out_tile % LANE != 0:
             raise ValueError(f"out_tile must be a multiple of 128, got {out_tile}")
+    if out_tile % block_cols != 0:
+        raise ValueError(f"out_tile {out_tile} % block_cols {block_cols} != 0")
     t = taps.shape[0]
     hist = _round_up(t - 1, LANE)
     span = out_tile * decim + hist
-    ht = jnp.asarray(toeplitz_taps(taps, decim, out_tile, hist))
+    nb = out_tile // block_cols
+    bspan = block_cols * decim + hist
+    hsubs = jnp.asarray(banded_taps(taps, decim, out_tile, hist, block_cols))
     stride = out_tile * decim
     slab_len = b_rows * stride + hist
 
@@ -294,7 +308,8 @@ def make_mix_fir_kernel_mc(taps, decim: int, num_channels: int,
         grid = (num_channels, nt // b_rows)
         kern = functools.partial(
             _kernel_mc, b_rows=b_rows, out_tile=out_tile, decim=decim,
-            hist=hist, span=span, slab_len=slab_len)
+            hist=hist, span=span, slab_len=slab_len, block_cols=block_cols,
+            precision=precision)
         return pl.pallas_call(
             kern,
             grid=grid,
@@ -302,7 +317,7 @@ def make_mix_fir_kernel_mc(taps, decim: int, num_channels: int,
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # words0 [C, 1]
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # dwords [C, 1]
                 pl.BlockSpec(memory_space=pl.ANY),       # x [C, 2, L] in HBM
-                pl.BlockSpec((span, out_tile), lambda c, i: (0, 0),
+                pl.BlockSpec((nb, bspan, block_cols), lambda c, i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -320,7 +335,7 @@ def make_mix_fir_kernel_mc(taps, decim: int, num_channels: int,
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
-        )(words0, dwords, x, ht)
+        )(words0, dwords, x, hsubs)
 
     return MixFirKernel(fn=fn, num_taps=t, decim=decim, out_tile=out_tile,
                         b_rows=b_rows, hist=hist)

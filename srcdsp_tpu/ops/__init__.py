@@ -10,3 +10,7 @@ from srcdsp_tpu.ops.fir import FirState, fir_init, fir_apply, fir_full  # noqa: 
 from srcdsp_tpu.ops.nco import NcoState, nco_init, nco_apply, nco_phasor  # noqa: F401
 from srcdsp_tpu.ops.resample import ResampleState, resample_init, resample_apply  # noqa: F401
 from srcdsp_tpu.ops.fftconv import FftConvState, fftconv_init, fftconv_apply  # noqa: F401
+from srcdsp_tpu.ops.fft_planes import make_fft_planes  # noqa: F401
+from srcdsp_tpu.ops.planes import (  # noqa: F401
+    fused_mix_fir_decim_planes, phase_coef_matrix, plane_hist_len,
+)
