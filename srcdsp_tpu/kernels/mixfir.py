@@ -64,11 +64,14 @@ def toeplitz_taps(taps: np.ndarray, decim: int, out_tile: int,
 
 
 def _kernel(word0_ref, dword_ref, x_hbm, hsub_ref, yr_ref, yi_ref,
-            slab, sem, *, b_rows: int, out_tile: int, decim: int,
-            hist: int, span: int, slab_len: int, block_cols: int,
-            precision):
+            slab, sem, *, b_rows: int, out_tile: int, row_stride: int,
+            blk_stride: int, span: int, bspan: int, slab_len: int,
+            block_cols: int, precision):
+    # row_stride / blk_stride: INPUT samples advanced per output row / per
+    # output column block (decimating FIR: OT*M and BC*M; L/M resampler:
+    # OT*M/L and BC*M/L).
     i = pl.program_id(0)
-    g0 = i * b_rows * out_tile * decim  # global sample index of slab start
+    g0 = i * b_rows * row_stride  # global sample index of slab start
 
     cp = pltpu.make_async_copy(
         x_hbm.at[:, pl.ds(g0, slab_len)], slab, sem)
@@ -76,20 +79,21 @@ def _kernel(word0_ref, dword_ref, x_hbm, hsub_ref, yr_ref, yi_ref,
     cp.wait()
 
     # --- B overlapping windows from the raw slab (VMEM copies) ---
-    stride = out_tile * decim
     xr = slab[0:1, :]
     xi = slab[1:2, :]
     xwr = jnp.concatenate(
-        [xr[:, b * stride: b * stride + span] for b in range(b_rows)], axis=0)
+        [xr[:, b * row_stride: b * row_stride + span] for b in range(b_rows)],
+        axis=0)
     xwi = jnp.concatenate(
-        [xi[:, b * stride: b * stride + span] for b in range(b_rows)], axis=0)
+        [xi[:, b * row_stride: b * row_stride + span] for b in range(b_rows)],
+        axis=0)
 
     # --- NCO mix on the window matrix: [B, span] tiles use all 8 VPU
     # sublanes (8x fewer vector instructions than the [1, slab] layout; the
     # ~11% overlap duplication is cheaper). Phase arithmetic runs in int32:
     # two's-complement wrap == u32 wrap, and the signed reinterpretation
     # only shifts the angle by whole turns (Mosaic has no u32->f32 cast).
-    row = jax.lax.broadcasted_iota(jnp.int32, (b_rows, span), 0) * stride
+    row = jax.lax.broadcasted_iota(jnp.int32, (b_rows, span), 0) * row_stride
     col = jax.lax.broadcasted_iota(jnp.int32, (b_rows, span), 1)
     ph = word0_ref[0, 0] + (jnp.int32(g0) + row + col) * dword_ref[0, 0]
     ang = ph.astype(F32) * F32(TWO_PI * _INV_SCALE)
@@ -99,14 +103,13 @@ def _kernel(word0_ref, dword_ref, x_hbm, hsub_ref, yr_ref, yi_ref,
     mi = xwr * s + xwi * c
     xwr, xwi = mr, mi
     # --- banded-block matmuls: output columns [j*BC, (j+1)*BC) only read
-    # window columns [j*BC*M, j*BC*M + BC*M + hist), so splitting the big
-    # [span, OT] Toeplitz into per-block bands cuts the MXU zero-padding
+    # window columns [j*blk_stride, j*blk_stride + bspan), so splitting the
+    # big [span, OT] Toeplitz into per-block bands cuts the MXU zero-padding
     # waste by ~OT/BC. `precision` trades MXU passes for accuracy
     # (HIGHEST=6-pass f32; the TPU default is 1-pass bf16, ~2e-3 error).
     nb = out_tile // block_cols
-    bspan = block_cols * decim + hist
     for j in range(nb):
-        xs = slice(j * block_cols * decim, j * block_cols * decim + bspan)
+        xs = slice(j * blk_stride, j * blk_stride + bspan)
         ys = slice(j * block_cols, (j + 1) * block_cols)
         hsub = hsub_ref[j]
         yr_ref[:, ys] = jnp.dot(xwr[:, xs], hsub, preferred_element_type=F32,
@@ -125,10 +128,11 @@ class MixFirKernel:
     out_tile: int
     b_rows: int
     hist: int             # HK: history samples callers must prepend
+    in_block: int = 0     # input granularity override (resampler kernels)
 
     def block_in(self) -> int:
         """Input block granularity (N must be a multiple of this)."""
-        return self.b_rows * self.out_tile * self.decim
+        return self.in_block or self.b_rows * self.out_tile * self.decim
 
 
 def banded_taps(taps: np.ndarray, decim: int, out_tile: int, hist: int,
@@ -177,9 +181,10 @@ def make_mix_fir_kernel(taps, decim: int, out_tile: int = 512,
         grid = nt // b_rows
         slab_len = slab_len_for()
         kern = functools.partial(
-            _kernel, b_rows=b_rows, out_tile=out_tile, decim=decim,
-            hist=hist, span=span, slab_len=slab_len, block_cols=block_cols,
-            precision=precision)
+            _kernel, b_rows=b_rows, out_tile=out_tile,
+            row_stride=out_tile * decim, blk_stride=block_cols * decim,
+            span=span, bspan=bspan, slab_len=slab_len,
+            block_cols=block_cols, precision=precision)
         return pl.pallas_call(
             kern,
             grid=(grid,),

@@ -1,0 +1,147 @@
+"""Fused NCO-mix + rational L/M resampler Pallas kernel (SURVEY.md C5).
+
+The decimating-FIR kernel's banded-Toeplitz structure generalizes directly
+to rational resampling: with u the zero-stuffed upsample of x,
+
+    y[j] = sum_k h[k] u[j*M - k] = sum_i h[j*M - i*L] x[i]
+
+so the tap matrix simply places h at stride-L row positions:
+
+    H[a, j] = h[j*M + HX*L - a*L]        (HX = input-domain history)
+
+and the same kernel body (slab DMA -> windows -> u32-phase mix -> banded
+matmuls) runs unchanged with input strides OT*M/L per output row. No
+zero-stuffed samples ever exist in memory — XLA's lhs_dilation path
+materializes them implicitly, the MXU path bakes them out of the taps.
+
+Semantics identical to ops.resample.resample_apply from zero state
+(causal, output rate fs*L/M). Tiling constraint: out_tile*M % L == 0 and
+block_cols*M % L == 0.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from srcdsp_tpu.kernels.mixfir import (
+    LANE, MixFirKernel, U32, _kernel, _round_up,
+)
+
+
+def toeplitz_resample(taps: np.ndarray, up: int, down: int, out_tile: int,
+                      hist: int) -> np.ndarray:
+    """H[a, j] = h[j*down + hist*up - a*up], zero outside [0, T)."""
+    h = np.asarray(taps, np.float32)
+    t = h.shape[0]
+    span = (out_tile * down) // up + hist
+    mat = np.zeros((span, out_tile), np.float32)
+    for j in range(out_tile):
+        base = j * down + hist * up
+        for a in range(span):
+            k = base - a * up
+            if 0 <= k < t:
+                mat[a, j] = h[k]
+    return mat
+
+
+def banded_resample_taps(taps, up: int, down: int, out_tile: int, hist: int,
+                         block_cols: int) -> np.ndarray:
+    ht = toeplitz_resample(taps, up, down, out_tile, hist)
+    nb = out_tile // block_cols
+    blk_stride = (block_cols * down) // up
+    bspan = blk_stride + hist
+    return np.stack([
+        ht[j * blk_stride: j * blk_stride + bspan,
+           j * block_cols: (j + 1) * block_cols]
+        for j in range(nb)
+    ])
+
+
+def make_mix_resample_kernel(taps, up: int, down: int, out_tile: int = 512,
+                             b_rows: int = 8, block_cols: int = 128,
+                             precision=jax.lax.Precision.HIGHEST,
+                             interpret: bool = False) -> MixFirKernel:
+    """Fused mix + L/M resample: x [2, HX+NIN] -> planes [NT, OT].
+
+    NIN input samples produce NIN*up/down outputs; NIN must be a multiple of
+    block_in() = b_rows*out_tile*down/up.
+    """
+    taps = np.asarray(taps, np.float32)
+    if (out_tile * down) % up != 0 or (block_cols * down) % up != 0:
+        raise ValueError(f"out_tile*down and block_cols*down must be "
+                         f"multiples of up={up}")
+    if not interpret:
+        if b_rows % 8 != 0:
+            raise ValueError(f"b_rows must be a multiple of 8, got {b_rows}")
+        if out_tile % LANE != 0:
+            raise ValueError(f"out_tile must be a multiple of 128, got {out_tile}")
+    t = taps.shape[0]
+    hist = _round_up(-(-(t - 1) // up), LANE)   # ceil((T-1)/up) -> lane pad
+    row_stride = (out_tile * down) // up
+    blk_stride = (block_cols * down) // up
+    span = row_stride + hist
+    bspan = blk_stride + hist
+    hsubs = jnp.asarray(
+        banded_resample_taps(taps, up, down, out_tile, hist, block_cols))
+    nb = out_tile // block_cols
+    slab_len = b_rows * row_stride + hist
+
+    def fn(word0, dword, x):
+        nin = x.shape[-1] - hist
+        if nin % (b_rows * row_stride) != 0:
+            raise ValueError(
+                f"NIN={nin} not a multiple of {b_rows * row_stride}")
+        grid = nin // (b_rows * row_stride)
+        nt = grid * b_rows
+        kern = functools.partial(
+            _kernel, b_rows=b_rows, out_tile=out_tile,
+            row_stride=row_stride, blk_stride=blk_stride,
+            span=span, bspan=bspan, slab_len=slab_len,
+            block_cols=block_cols, precision=precision)
+        return pl.pallas_call(
+            kern,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((nb, bspan, block_cols), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((b_rows, out_tile), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_rows, out_tile), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nt, out_tile), jnp.float32),
+                jax.ShapeDtypeStruct((nt, out_tile), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, slab_len), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(word0, dword, x, hsubs)
+
+    return MixFirKernel(fn=fn, num_taps=t, decim=down, out_tile=out_tile,
+                        b_rows=b_rows, hist=hist,
+                        in_block=b_rows * row_stride)
+
+
+def mix_resample_pallas(kernel: MixFirKernel, word0: int, dword: int,
+                        x_planes: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """x_planes: [2, HX+NIN] f32 -> planes [1, NIN*up/down]."""
+    w0 = jnp.asarray(np.array(word0, np.uint32).view(np.int32).reshape(1, 1))
+    dw = jnp.asarray(np.array(dword, np.uint32).view(np.int32).reshape(1, 1))
+    yr, yi = kernel.fn(w0, dw, x_planes)
+    n = yr.shape[0] * yr.shape[1]
+    return yr.reshape(1, n), yi.reshape(1, n)

@@ -1,0 +1,36 @@
+"""Fused mix+resample Pallas kernel vs the XLA resampler (SURVEY.md C5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srcdsp_tpu.kernels.resample_pallas import make_mix_resample_kernel, mix_resample_pallas
+from srcdsp_tpu.ops.nco import freq_to_word, nco_apply, nco_init
+from srcdsp_tpu.ops.resample import resample_full
+from srcdsp_tpu.ops.window import lowpass
+from srcdsp_tpu.testing.signals import complex_awgn
+
+
+@pytest.mark.parametrize("up,down", [(3, 4), (1, 2), (2, 3), (5, 4)])
+def test_mix_resample_kernel_matches_xla(up, down):
+    t = 48
+    taps = lowpass(t, 0.3 / max(up, down))
+    # block_cols*down % up == 0: use block_cols=128 with up in {1,2,3,5}? need
+    # 128*down % up == 0 -> choose out_tile/block_cols = 128*up
+    bc = 128 * up if (128 * down) % up else 128
+    k = make_mix_resample_kernel(taps, up, down, out_tile=bc, b_rows=2,
+                                 block_cols=bc, interpret=True)
+    nin = 4 * k.block_in()
+    word = int(freq_to_word(0.123))
+    x = complex_awgn(jax.random.PRNGKey(up * 10 + down), (nin,))
+    xpad = jnp.concatenate([jnp.zeros(k.hist, jnp.complex64), x])
+    planes = jnp.stack([jnp.real(xpad), jnp.imag(xpad)]).astype(jnp.float32)
+    word0 = (-k.hist * word) % (1 << 32)
+    yr, yi = mix_resample_pallas(k, word0, word, planes)
+    got = np.asarray(yr[0]) + 1j * np.asarray(yi[0])
+    _, mixed = nco_apply(jnp.asarray(word, jnp.uint32), nco_init(), x)
+    ref = np.asarray(resample_full(jnp.asarray(taps), mixed, up, down))
+    n = min(len(got), len(ref))
+    rel = np.linalg.norm(got[:n] - ref[:n]) / np.linalg.norm(ref[:n])
+    assert rel < 2e-6, f"rel {rel:.2e}"
