@@ -69,3 +69,15 @@ def test_fir_rejects_misaligned_block():
     st = fir.fir_init(16)
     with pytest.raises(ValueError):
         fir.fir_apply(h, st, jnp.zeros(100, jnp.complex64), decim=3)
+
+
+def test_fir_per_channel_taps_vmap():
+    """Per-channel tap sets via vmap (reference: per-channel C++ objects)."""
+    taps = jnp.stack([jnp.asarray(lowpass(32, c)) for c in (0.1, 0.2, 0.3)])
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((3, 256))
+                    + 1j * np.random.default_rng(1).standard_normal((3, 256))
+                    ).astype(jnp.complex64)
+    y = jax.vmap(lambda t, xc: fir.fir_full(t, xc))(taps, x)
+    for c in range(3):
+        yc = fir.fir_full(taps[c], x[c])
+        np.testing.assert_allclose(np.asarray(y[c]), np.asarray(yc), atol=1e-6)
