@@ -1,0 +1,87 @@
+"""On-chip M-PSK demod in plane form (config 5 per-channel demod).
+
+Same restricted-op-set treatment as chains.fsk_planes: matched filter via
+the fused Pallas kernel (or any plane source, e.g. the matmul channelizer),
+O&M timing from |y|^2, Viterbi&Viterbi carrier phase via repeated complex
+squaring + atan2, nearest-offset symbol pick, phase-derotated slicing. No
+complex dtype, gather, FFT, or scan anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from srcdsp_tpu.chains.fsk_planes import make_timing_tone, om_timing_planes
+from srcdsp_tpu.ops.nco import TWO_PI
+from srcdsp_tpu.types import F32
+
+
+def _cpow(yr, yi, order: int):
+    """(yr + j yi)^order via repeated squaring (order a power of two) or
+    repeated multiply. Returns planes."""
+    pr, pi = yr, yi
+    n = order
+    # repeated squaring for powers of two, else linear chain
+    if n & (n - 1) == 0:
+        while n > 1:
+            pr, pi = pr * pr - pi * pi, 2.0 * pr * pi
+            n >>= 1
+    else:
+        br, bi = yr, yi
+        for _ in range(order - 1):
+            pr, pi = pr * br - pi * bi, pr * bi + pi * br
+    return pr, pi
+
+
+def pick_symbols_c(yr: jax.Array, yi: jax.Array, tau: jax.Array, sps: int
+                   ) -> tuple[jax.Array, jax.Array]:
+    """Nearest-offset complex symbol pick (one-hot reduce over sps axis)."""
+    c, k = yr.shape
+    off = jnp.mod(jnp.round(tau), F32(sps))
+    cols = jnp.asarray(np.arange(sps, dtype=np.float32))[None, None, :]
+    onehot = (cols == off[:, :, None]).astype(F32)
+    sr = jnp.sum(yr.reshape(c, k // sps, sps) * onehot, axis=-1)
+    si = jnp.sum(yi.reshape(c, k // sps, sps) * onehot, axis=-1)
+    return sr, si
+
+
+def psk_demod_planes(yr: jax.Array, yi: jax.Array, sps: int, order: int,
+                     tone_cos, tone_sin, offset: float = 0.0,
+                     acc=None):
+    """Demodulate matched-filtered baseband planes [C, K] -> indices.
+
+    acc: (tim_r, tim_i, cr_r, cr_i) carried accumulators or None. Returns
+    (acc, (idx int32 [C, K/sps], (soft_r, soft_i))).
+    """
+    cch = yr.shape[0]
+    if acc is None:
+        z = jnp.zeros((cch, 1), F32)
+        acc = (z, z, z, z)
+    tim_r, tim_i, cr_r, cr_i = acc
+    power = yr * yr + yi * yi
+    tau, tim_r, tim_i = om_timing_planes(power, tone_cos, tone_sin,
+                                         tim_r, tim_i, sps)
+    sr, si = pick_symbols_c(yr, yi, tau, sps)
+    # normalize so the M-th power doesn't overweight amplitude outliers
+    scale = jnp.sqrt(jnp.mean(sr * sr + si * si, axis=-1, keepdims=True) + 1e-12)
+    sr = sr / scale
+    si = si / scale
+    # V&V: angle(sum s^M * e^{-j 2 pi offset}) / M with carried accumulator
+    pr, pi = _cpow(sr, si, order)
+    co = F32(np.cos(-TWO_PI * offset))
+    so = F32(np.sin(-TWO_PI * offset))
+    vr = jnp.sum(pr * co - pi * so, axis=-1, keepdims=True)
+    vi = jnp.sum(pr * so + pi * co, axis=-1, keepdims=True)
+    cr_r = F32(0.5) * cr_r + vr
+    cr_i = F32(0.5) * cr_i + vi
+    phi = jnp.arctan2(cr_i, cr_r) / order
+    cp = jnp.cos(phi)
+    sp = jnp.sin(phi)
+    dr = sr * cp + si * sp          # s * exp(-j phi)
+    di = si * cp - sr * sp
+    idx = jnp.mod(jnp.round(jnp.arctan2(di, dr) * F32(order / TWO_PI)
+                            - F32(offset)), order).astype(jnp.int32)
+    return (tim_r, tim_i, cr_r, cr_i), (idx, (dr, di))
