@@ -163,6 +163,106 @@ def run_config4_onchip(iters: int = 10, channels: int = 10,
     }
 
 
+def run_config3_onchip(iters: int = 10, channels: int = 16,
+                       fft_size: int = 4096, num_taps: int = 1024,
+                       n_per_ch: int = 1 << 20) -> dict:
+    """Config 3 fully on-chip: overlap-save FFT conv via the MXU four-step
+    transform, 16 channels batched as rows."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from srcdsp_tpu.ops.fftconv_planes import make_fftconv_planes
+    from srcdsp_tpu.ops.window import lowpass
+
+    taps = lowpass(num_taps, 0.1)
+    fn, hop = make_fftconv_planes(taps, fft_size)
+    n = (n_per_ch // hop) * hop
+    overlap = fft_size - hop
+    rng = np.random.default_rng(0)
+
+    def all_ch(xr, xi):
+        outs = [fn(xr[c], xi[c]) for c in range(channels)]
+        return (jnp.stack([o[0] for o in outs]),
+                jnp.stack([o[1] for o in outs]))
+
+    xr = jax.device_put(jnp.asarray(
+        rng.standard_normal((channels, overlap + n)).astype(np.float32)))
+    xi = jax.device_put(jnp.asarray(
+        rng.standard_normal((channels, overlap + n)).astype(np.float32)))
+    step = jax.jit(all_ch)
+    y = step(xr, xi)
+    jax.block_until_ready(y)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = step(xr, xi)
+        jax.block_until_ready(y)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    agg = channels * n / best / 1e6
+    return {
+        "config": "config3_onchip",
+        "platform": jax.default_backend(),
+        "channels": channels, "fft_size": fft_size, "num_taps": num_taps,
+        "hop": hop,
+        "aggregate_msamples_per_s": round(agg, 1),
+        "ms_per_iter": round(best * 1e3, 3),
+    }
+
+
+def run_config5_onchip(iters: int = 10, num_channels: int = 64,
+                       frames: int = 1 << 14) -> dict:
+    """Config 5 fully on-chip: matmul-form 64-ch polyphase bank + per-channel
+    plane-form QPSK demod."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from srcdsp_tpu.chains.channelizer import design_prototype
+    from srcdsp_tpu.chains.fsk_planes import make_timing_tone
+    from srcdsp_tpu.chains.psk_planes import psk_demod_planes
+    from srcdsp_tpu.ops.channelize_planes import make_channelize_planes
+
+    m = num_channels
+    sps = 4
+    k = (frames // sps) * sps
+    n = k * m
+    proto = design_prototype(m, taps_per_phase=8)
+    bank = make_channelize_planes(proto, m)
+    tc, ts = make_timing_tone(k, sps)
+    tcj = jax.device_put(jnp.asarray(tc))
+    tsj = jax.device_put(jnp.asarray(ts))
+
+    def step(xr, xi):
+        br, bi = bank(xr, xi)                   # [K, M]
+        cr, ci = br.T, bi.T                     # [M, K] channel-major
+        return psk_demod_planes(cr, ci, sps, 4, tcj, tsj, offset=0.5)
+
+    rng = np.random.default_rng(0)
+    xr = jax.device_put(jnp.asarray(rng.standard_normal(n).astype(np.float32)))
+    xi = jax.device_put(jnp.asarray(rng.standard_normal(n).astype(np.float32)))
+    f = jax.jit(step)
+    y = f(xr, xi)
+    jax.block_until_ready(y)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = f(xr, xi)
+        jax.block_until_ready(y)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return {
+        "config": "config5_onchip",
+        "platform": jax.default_backend(),
+        "channels": m,
+        "wideband_msamples_per_s": round(n / best / 1e6, 1),
+        "ms_per_iter": round(best * 1e3, 3),
+    }
+
+
 def run_accuracy() -> dict:
     """SNR delta vs the C++ oracle (BASELINE.json metric) on the config-1
     chain, plus config-4 BER on a clean capture."""
@@ -212,6 +312,7 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("config", choices=["config1", "config2", "config3",
                                       "config4", "config4_onchip", "config5",
+                                      "config3_onchip", "config5_onchip",
                                       "fft", "accuracy", "all"])
     p.add_argument("--pallas", action="store_true",
                    help="use the Pallas fused kernel (config1)")
@@ -229,8 +330,12 @@ def main(argv=None) -> None:
     for name in names:
         if name == "fft":
             rec = run_fft(iters=args.iters)
+        elif name == "config3_onchip":
+            rec = run_config3_onchip(iters=args.iters)
         elif name == "config4_onchip":
             rec = run_config4_onchip(iters=args.iters)
+        elif name == "config5_onchip":
+            rec = run_config5_onchip(iters=args.iters)
         elif name == "accuracy":
             rec = run_accuracy()
         else:
