@@ -88,17 +88,28 @@ def _kernel(word0_ref, dword_ref, x_hbm, hsub_ref, yr_ref, yi_ref,
         [xi[:, b * row_stride: b * row_stride + span] for b in range(b_rows)],
         axis=0)
 
-    # --- NCO mix on the window matrix: [B, span] tiles use all 8 VPU
-    # sublanes (8x fewer vector instructions than the [1, slab] layout; the
-    # ~11% overlap duplication is cheaper). Phase arithmetic runs in int32:
+    # --- NCO mix on the window matrix. Phase arithmetic runs in int32:
     # two's-complement wrap == u32 wrap, and the signed reinterpretation
     # only shifts the angle by whole turns (Mosaic has no u32->f32 cast).
-    row = jax.lax.broadcasted_iota(jnp.int32, (b_rows, span), 0) * row_stride
-    col = jax.lax.broadcasted_iota(jnp.int32, (b_rows, span), 1)
-    ph = word0_ref[0, 0] + (jnp.int32(g0) + row + col) * dword_ref[0, 0]
-    ang = ph.astype(F32) * F32(TWO_PI * _INV_SCALE)
-    c = jnp.cos(ang)
-    s = jnp.sin(ang)
+    # The phasor is factored e^{j(col + row)} = e^{j col} * e^{j row}:
+    # transcendentals run on ONE [1, span] column vector and ONE [B, 1] row
+    # vector instead of the full [B, span] matrix (~B x fewer), recombined
+    # by a complex multiply. The (row, col) split of a sample's phase word
+    # is launch-alignment-invariant (chunks advance by whole row blocks),
+    # so chunked streaming stays bit-exact.
+    colw = word0_ref[0, 0] + (jnp.int32(g0) +
+                              jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
+                              ) * dword_ref[0, 0]
+    roww = (jax.lax.broadcasted_iota(jnp.int32, (b_rows, 1), 0)
+            * (jnp.int32(row_stride) * dword_ref[0, 0]))
+    cang = colw.astype(F32) * F32(TWO_PI * _INV_SCALE)
+    rang = roww.astype(F32) * F32(TWO_PI * _INV_SCALE)
+    ccol = jnp.cos(cang)
+    scol = jnp.sin(cang)
+    crow = jnp.cos(rang)
+    srow = jnp.sin(rang)
+    c = crow * ccol - srow * scol
+    s = crow * scol + srow * ccol
     mr = xwr * c - xwi * s
     mi = xwr * s + xwi * c
     xwr, xwi = mr, mi
@@ -254,12 +265,20 @@ def _kernel_mc(words0_ref, dwords_ref, x_hbm, hsub_ref, yr_ref, yi_ref,
         [xr[:, b * stride: b * stride + span] for b in range(b_rows)], axis=0)
     xwi = jnp.concatenate(
         [xi[:, b * stride: b * stride + span] for b in range(b_rows)], axis=0)
-    row = jax.lax.broadcasted_iota(jnp.int32, (b_rows, span), 0) * stride
-    col = jax.lax.broadcasted_iota(jnp.int32, (b_rows, span), 1)
-    ph = words0_ref[c, 0] + (jnp.int32(g0) + row + col) * dwords_ref[c, 0]
-    ang = ph.astype(F32) * F32(TWO_PI * _INV_SCALE)
-    cw = jnp.cos(ang)
-    sw = jnp.sin(ang)
+    # factored phasor (see _kernel): transcendentals on [1, span] + [B, 1]
+    colw = words0_ref[c, 0] + (jnp.int32(g0) +
+                               jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
+                               ) * dwords_ref[c, 0]
+    roww = (jax.lax.broadcasted_iota(jnp.int32, (b_rows, 1), 0)
+            * (jnp.int32(stride) * dwords_ref[c, 0]))
+    cang = colw.astype(F32) * F32(TWO_PI * _INV_SCALE)
+    rang = roww.astype(F32) * F32(TWO_PI * _INV_SCALE)
+    ccol = jnp.cos(cang)
+    scol = jnp.sin(cang)
+    crow = jnp.cos(rang)
+    srow = jnp.sin(rang)
+    cw = crow * ccol - srow * scol
+    sw = crow * scol + srow * ccol
     mr = xwr * cw - xwi * sw
     mi = xwr * sw + xwi * cw
     xwr, xwi = mr, mi
