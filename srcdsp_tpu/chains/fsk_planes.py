@@ -21,8 +21,6 @@ cross-check test demodulates the same capture both ways.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax

@@ -14,7 +14,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from srcdsp_tpu.chains.fsk_planes import make_timing_tone, om_timing_planes
+from srcdsp_tpu.chains.fsk_planes import om_timing_planes
 from srcdsp_tpu.ops.nco import TWO_PI
 from srcdsp_tpu.types import F32
 

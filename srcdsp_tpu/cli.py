@@ -24,7 +24,7 @@ def _stream(args, params, state, apply_fn, out_is_bits: bool):
     import jax.numpy as jnp
 
     from srcdsp_tpu import checkpoint
-    from srcdsp_tpu.io.capture import read_capture_blocks, read_meta
+    from srcdsp_tpu.io.capture import read_capture_blocks
 
     start_block = 0
     if args.ckpt and checkpoint.exists(args.ckpt):

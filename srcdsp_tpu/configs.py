@@ -9,7 +9,7 @@ reduced-size versions against the C++ oracle.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Callable
 
 import numpy as np
 

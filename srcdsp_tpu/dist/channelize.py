@@ -17,20 +17,18 @@ from __future__ import annotations
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from srcdsp_tpu.chains.channelizer import channelizer_init, channelize_apply, pad_prototype
+from srcdsp_tpu.chains.channelizer import ChannelizerState, channelize_apply, pad_prototype
 from srcdsp_tpu.dist.halo import shift_from_left
-from srcdsp_tpu.dist.mesh import TIME_AXIS, CHANNEL_AXIS
+from srcdsp_tpu.dist.mesh import TIME_AXIS
 
 
 def _channelize_shard(taps, num_channels: int, x, axis_name: str):
     h = pad_prototype(taps, num_channels)
     t = h.shape[0]
     tail = shift_from_left(x[..., x.shape[-1] - (t - 1):], axis_name)
-    from srcdsp_tpu.chains.channelizer import ChannelizerState
     st = ChannelizerState(tail=tail)
     _, y = channelize_apply(taps, st, x, num_channels)   # [..., M, Kl]
     # all_to_all: split the channel axis across peers, concatenate local

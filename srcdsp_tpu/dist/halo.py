@@ -19,7 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from srcdsp_tpu.dist.mesh import TIME_AXIS
 from srcdsp_tpu.ops.fir import complex_conv

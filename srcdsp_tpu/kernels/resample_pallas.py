@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from srcdsp_tpu.kernels.mixfir import (
-    LANE, MixFirKernel, U32, _kernel, _round_up,
+    LANE, MixFirKernel, _kernel, _round_up,
 )
 
 

@@ -65,29 +65,35 @@ def make_channelize_planes(taps, num_channels: int,
     callers prepend P rows (P*M samples) of history instead.
     """
     er_np, ei_np = make_channelizer_mats(taps, num_channels)
-    er = jnp.asarray(er_np)
-    ei = jnp.asarray(ei_np)
     p1 = er_np.shape[0]
     m = num_channels
 
     def mm(a, b):
         return jnp.dot(a, b, preferred_element_type=F32, precision=precision)
 
+    # One wide matmul instead of P+1 skinny ones: stack the shifted copies
+    # horizontally ([K, (P+1)*M]) against the vertically-stacked E matrices
+    # ([(P+1)*M, M]) — the [*, (P+1)*M] contraction feeds the MXU properly
+    # (a lone [K, M] @ [M, M] with M=64 uses half the systolic rows).
+    er_stack = jnp.asarray(er_np.reshape(p1 * m, m))
+    ei_stack = jnp.asarray(ei_np.reshape(p1 * m, m))
+
     def bank(xr: jax.Array, xi: jax.Array) -> tuple[jax.Array, jax.Array]:
         k = xr.shape[-1] // m
         x2r = xr.reshape(k, m)
         x2i = xi.reshape(k, m)
-        yr = jnp.zeros((k, m), F32)
-        yi = jnp.zeros((k, m), F32)
-        for r in range(p1):
-            if r == 0:
-                sr, si = x2r, x2i
-            else:
-                pad = jnp.zeros((r, m), F32)
-                sr = jnp.concatenate([pad, x2r[:k - r]], axis=0)
-                si = jnp.concatenate([pad, x2i[:k - r]], axis=0)
-            yr = yr + mm(sr, er[r]) - mm(si, ei[r])
-            yi = yi + mm(sr, ei[r]) + mm(si, er[r])
+
+        def shifted(x2):
+            cols = [x2]
+            for r in range(1, p1):
+                cols.append(jnp.concatenate(
+                    [jnp.zeros((r, m), F32), x2[:k - r]], axis=0))
+            return jnp.concatenate(cols, axis=1)      # [K, (P+1)*M]
+
+        sr = shifted(x2r)
+        si = shifted(x2i)
+        yr = mm(sr, er_stack) - mm(si, ei_stack)
+        yi = mm(sr, ei_stack) + mm(si, er_stack)
         return yr, yi
 
     return bank
