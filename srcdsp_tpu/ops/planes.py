@@ -63,6 +63,24 @@ def phase_coef_matrix(taps, decim: int) -> np.ndarray:
     return coef
 
 
+def planes_from_int16(iq: jax.Array, scale: float = 32767.0
+                      ) -> tuple[jax.Array, jax.Array]:
+    """Device-side wire-format ingestion: interleaved int16 IQ [..., 2N]
+    -> f32 planes ([..., N], [..., N]).
+
+    Runs on the restricted on-chip op set (2-D reshape + int16->f32 cast +
+    divide), so captures can ship to the chip in half the bytes and convert
+    there. Same y = x/scale semantics as types.int16_to_complex64.
+    """
+    if iq.shape[-1] % 2:
+        raise ValueError(f"interleaved IQ length must be even, got {iq.shape}")
+    half = iq.shape[-1] // 2
+    de = iq.reshape(*iq.shape[:-1], half, 2)
+    xr = de[..., 0].astype(F32) / F32(scale)
+    xi = de[..., 1].astype(F32) / F32(scale)
+    return xr, xi
+
+
 def nco_planes(word0, dword, n: int, row_offset=0) -> tuple[jax.Array, jax.Array]:
     """cos/sin planes [1, n] of the NCO phasor, u32 phase accumulator.
 

@@ -89,3 +89,14 @@ def test_fused_streaming_chunks_bit_exact():
         np.asarray(jnp.concatenate([yr1, yr2], axis=-1)), np.asarray(yr_a))
     np.testing.assert_array_equal(
         np.asarray(jnp.concatenate([yi1, yi2], axis=-1)), np.asarray(yi_a))
+
+
+def test_planes_from_int16_matches_host_conversion():
+    from srcdsp_tpu.ops.planes import planes_from_int16
+    from srcdsp_tpu.types import np_int16_to_complex64
+    rng = np.random.default_rng(0)
+    iq = rng.integers(-32768, 32768, size=(1, 2048), dtype=np.int16)
+    xr, xi = planes_from_int16(jnp.asarray(iq))
+    ref = np_int16_to_complex64(iq)
+    np.testing.assert_array_equal(np.asarray(xr), ref.real)
+    np.testing.assert_array_equal(np.asarray(xi), ref.imag)
