@@ -118,6 +118,29 @@ def psk_apply(params: PskParams, state: PskState, x: jax.Array,
     return new_state, (idx, soft)
 
 
+def psk_demod_stream(params: PskParams, x: jax.Array, block: int,
+                     channel_shape: tuple = ()) -> tuple[jax.Array, jax.Array]:
+    """Whole-capture convenience: scan psk_apply over blocks of `block`.
+
+    x: [..., S] with S % block == 0 and block % (decim*sps) == 0.
+    Returns (sym_idx [..., S/(decim*sps)], soft).
+    """
+    s = x.shape[-1]
+    if s % block != 0:
+        raise ValueError(f"capture length {s} not divisible by block {block}")
+    nb = s // block
+    blocks = jnp.moveaxis(x.reshape(*x.shape[:-1], nb, block), -2, 0)
+
+    def step(st, xb):
+        st, out = psk_apply(params, st, xb)
+        return st, out
+
+    _, (idx, soft) = jax.lax.scan(step, psk_init(params, channel_shape), blocks)
+    idx = jnp.moveaxis(idx, 0, -2).reshape(*x.shape[:-1], -1)
+    soft = jnp.moveaxis(soft, 0, -2).reshape(*x.shape[:-1], -1)
+    return idx, soft
+
+
 def diff_encode(idx: jax.Array, order: int) -> jax.Array:
     """Differential encoding: tx[k] = cumsum(idx) mod M (resolves V&V ambiguity)."""
     return jnp.mod(jnp.cumsum(idx, axis=-1), order)

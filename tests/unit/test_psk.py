@@ -99,3 +99,11 @@ def test_slice_and_diff_roundtrip():
     off = constellation_offset(order)
     pts = jnp.exp(1j * TWO_PI * (idx.astype(jnp.float32) + off) / order)
     assert np.array_equal(np.asarray(psk_slice(pts, order, off)), np.asarray(idx))
+
+
+def test_psk_demod_stream_scan():
+    from srcdsp_tpu.chains.psk import psk_demod_stream
+    order, decim, sps = 4, 2, 4
+    data, params, x = _tx(9, 512, order, decim, sps, center=0.17)
+    idx, soft = psk_demod_stream(params, x, block=x.shape[-1] // 4)
+    assert _ser_diff(data, idx, order) < 0.01
