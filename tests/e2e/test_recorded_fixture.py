@@ -1,0 +1,43 @@
+"""Recorded-capture acceptance test (SURVEY.md §4.2 fixtures row).
+
+A committed int16 IQ capture (sha256-pinned) with the C++ oracle's demod
+output as the golden vector: the JAX chain must reproduce the oracle's bits
+exactly on the integer-quantized capture, and both must match the tx bits.
+Pins cross-round regressions on real (quantized, saturating) wire data.
+"""
+
+import hashlib
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from srcdsp_tpu.chains.fsk import fsk_apply, fsk_init, make_fsk_params
+from srcdsp_tpu.io.capture import read_capture
+
+FIX = os.path.join(os.path.dirname(__file__), "..", "fixtures")
+
+
+def test_fixture_checksum_and_golden_bits():
+    cap = os.path.join(FIX, "fsk_256sym.ci16")
+    with open(os.path.join(FIX, "fsk_256sym.fixture.json")) as f:
+        meta = json.load(f)
+    assert hashlib.sha256(open(cap, "rb").read()).hexdigest() == meta["sha256"]
+
+    x, _ = read_capture(cap)
+    params = make_fsk_params(meta["center"], meta["taps"], meta["cutoff"],
+                             meta["decim"], meta["sps"], meta["dev"])
+    st = fsk_init(params)
+    _, (bits, _) = fsk_apply(params, st, jnp.asarray(x))
+    gold = np.load(os.path.join(FIX, "fsk_256sym_gold_bits.npy"))
+    np.testing.assert_array_equal(np.asarray(bits), gold)
+
+    # and the golden bits decode the transmitted data (sanity on the fixture)
+    tx = np.load(os.path.join(FIX, "fsk_256sym_tx_bits.npy"))
+    best = 1.0
+    for lag in range(-16, 17):
+        bs, rs = 16 + max(lag, 0), 16 + max(-lag, 0)
+        n = min(len(tx) - bs, len(gold) - rs)
+        best = min(best, float(np.mean(tx[bs:bs + n] != gold[rs:rs + n])))
+    assert best == 0.0
