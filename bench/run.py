@@ -300,10 +300,23 @@ def run_accuracy() -> dict:
             best = min(best, float(np.mean(
                 bits[ch, bs:bs + nsym] != rx[ch, rs:rs + nsym])))
         bers.append(best)
+    # resampler chain SNR vs oracle (config 2 shape)
+    from srcdsp_tpu.ops.resample import resample_full
+    rng = np.random.default_rng(1)
+    xr2 = (rng.standard_normal(1 << 14) + 1j * rng.standard_normal(1 << 14)
+           ).astype(np.complex64)
+    rt = lowpass(48, 0.3 / 4)
+    import jax.numpy as jnp
+    got_r = np.asarray(resample_full(jnp.asarray(rt), jnp.asarray(xr2), 3, 4))
+    ref_r = oracle.resample(xr2, rt, 3, 4)
+    err_r = ref_r - got_r
+    snr_r = 10 * np.log10(np.mean(np.abs(ref_r) ** 2)
+                          / np.mean(np.abs(err_r) ** 2))
     return {
         "config": "accuracy",
         "platform": jax.default_backend(),
         "config1_snr_vs_oracle_db": round(float(snr), 1),
+        "config2_resample_snr_vs_oracle_db": round(float(snr_r), 1),
         "config4_clean_ber_worst_channel": max(bers),
     }
 
