@@ -66,7 +66,7 @@ def toeplitz_taps(taps: np.ndarray, decim: int, out_tile: int,
 def _kernel(word0_ref, dword_ref, x_hbm, hsub_ref, yr_ref, yi_ref,
             slab, sem, *, b_rows: int, out_tile: int, row_stride: int,
             blk_stride: int, span: int, bspan: int, slab_len: int,
-            block_cols: int, precision):
+            block_cols: int, precision, phasor: str = "factored"):
     # row_stride / blk_stride: INPUT samples advanced per output row / per
     # output column block (decimating FIR: OT*M and BC*M; L/M resampler:
     # OT*M/L and BC*M/L).
@@ -97,19 +97,27 @@ def _kernel(word0_ref, dword_ref, x_hbm, hsub_ref, yr_ref, yi_ref,
     # by a complex multiply. The (row, col) split of a sample's phase word
     # is launch-alignment-invariant (chunks advance by whole row blocks),
     # so chunked streaming stays bit-exact.
-    colw = word0_ref[0, 0] + (jnp.int32(g0) +
-                              jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
-                              ) * dword_ref[0, 0]
-    roww = (jax.lax.broadcasted_iota(jnp.int32, (b_rows, 1), 0)
-            * (jnp.int32(row_stride) * dword_ref[0, 0]))
-    cang = colw.astype(F32) * F32(TWO_PI * _INV_SCALE)
-    rang = roww.astype(F32) * F32(TWO_PI * _INV_SCALE)
-    ccol = jnp.cos(cang)
-    scol = jnp.sin(cang)
-    crow = jnp.cos(rang)
-    srow = jnp.sin(rang)
-    c = crow * ccol - srow * scol
-    s = crow * scol + srow * ccol
+    if phasor == "factored":
+        colw = word0_ref[0, 0] + (jnp.int32(g0) +
+                                  jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
+                                  ) * dword_ref[0, 0]
+        roww = (jax.lax.broadcasted_iota(jnp.int32, (b_rows, 1), 0)
+                * (jnp.int32(row_stride) * dword_ref[0, 0]))
+        cang = colw.astype(F32) * F32(TWO_PI * _INV_SCALE)
+        rang = roww.astype(F32) * F32(TWO_PI * _INV_SCALE)
+        ccol = jnp.cos(cang)
+        scol = jnp.sin(cang)
+        crow = jnp.cos(rang)
+        srow = jnp.sin(rang)
+        c = crow * ccol - srow * scol
+        s = crow * scol + srow * ccol
+    else:  # direct: full-matrix transcendentals
+        row = jax.lax.broadcasted_iota(jnp.int32, (b_rows, span), 0) * row_stride
+        col = jax.lax.broadcasted_iota(jnp.int32, (b_rows, span), 1)
+        ph = word0_ref[0, 0] + (jnp.int32(g0) + row + col) * dword_ref[0, 0]
+        ang = ph.astype(F32) * F32(TWO_PI * _INV_SCALE)
+        c = jnp.cos(ang)
+        s = jnp.sin(ang)
     mr = xwr * c - xwi * s
     mi = xwr * s + xwi * c
     xwr, xwi = mr, mi
@@ -162,6 +170,7 @@ def banded_taps(taps: np.ndarray, decim: int, out_tile: int, hist: int,
 def make_mix_fir_kernel(taps, decim: int, out_tile: int = 512,
                         b_rows: int = 32, block_cols: int = 128,
                         precision=jax.lax.Precision.HIGHEST,
+                        phasor: str = "factored",
                         interpret: bool = False) -> MixFirKernel:
     """Build the fused kernel for a fixed tap set / decimation / tiling."""
     taps = np.asarray(taps, np.float32)
@@ -195,7 +204,7 @@ def make_mix_fir_kernel(taps, decim: int, out_tile: int = 512,
             _kernel, b_rows=b_rows, out_tile=out_tile,
             row_stride=out_tile * decim, blk_stride=block_cols * decim,
             span=span, bspan=bspan, slab_len=slab_len,
-            block_cols=block_cols, precision=precision)
+            block_cols=block_cols, precision=precision, phasor=phasor)
         return pl.pallas_call(
             kern,
             grid=(grid,),
