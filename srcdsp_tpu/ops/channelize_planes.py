@@ -97,3 +97,57 @@ def make_channelize_planes(taps, num_channels: int,
         return yr, yi
 
     return bank
+
+
+def make_synthesizer_mats(taps, num_channels: int) -> tuple[np.ndarray, np.ndarray]:
+    """Synthesis E_l[m, q] = e^{+j*2*pi*m*q/M} * h[l*M + q] * M: [P, M, M]."""
+    m = num_channels
+    h = np.asarray(taps, np.float64)
+    t = ((len(h) + m - 1) // m) * m
+    h = np.pad(h, (0, t - len(h)))
+    p = t // m
+    wc = np.exp(2j * np.pi * np.outer(np.arange(m), np.arange(m)) / m)
+    ers, eis = [], []
+    for l in range(p):
+        e = wc * (h[l * m: (l + 1) * m][None, :]) * m
+        ers.append(e.real.astype(np.float32))
+        eis.append(e.imag.astype(np.float32))
+    return np.stack(ers), np.stack(eis)
+
+
+def make_synthesize_planes(taps, num_channels: int,
+                           precision=jax.lax.Precision.HIGHEST):
+    """On-chip synthesis bank: (Yr, Yi) [K, M] frames-x-channels -> wideband
+    planes ([K*M], [K*M]).
+
+        x[s*M + q] = M * sum_l h[l*M+q] * (Y @ Wc)[s-l, q]
+
+    — the exact mirror of `make_channelize_planes`: shifted frame copies
+    against vertically-stacked E_l matrices, one wide matmul. Matches
+    chains.channelizer.synthesize_apply from zero state (tested)."""
+    er_np, ei_np = make_synthesizer_mats(taps, num_channels)
+    p = er_np.shape[0]
+    m = num_channels
+    er_stack = jnp.asarray(er_np.reshape(p * m, m))
+    ei_stack = jnp.asarray(ei_np.reshape(p * m, m))
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=F32, precision=precision)
+
+    def synth(yr: jax.Array, yi: jax.Array) -> tuple[jax.Array, jax.Array]:
+        k = yr.shape[0]
+
+        def shifted(y2):
+            cols = [y2]
+            for r in range(1, p):
+                cols.append(jnp.concatenate(
+                    [jnp.zeros((r, m), F32), y2[:k - r]], axis=0))
+            return jnp.concatenate(cols, axis=1)      # [K, P*M]
+
+        sr = shifted(yr)
+        si = shifted(yi)
+        xr = mm(sr, er_stack) - mm(si, ei_stack)      # [K, M] phase chunks
+        xi = mm(sr, ei_stack) + mm(si, er_stack)
+        return xr.reshape(k * m), xi.reshape(k * m)
+
+    return synth

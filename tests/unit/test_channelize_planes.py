@@ -20,3 +20,22 @@ def test_matmul_bank_matches_complex_bank(m, p):
     ref = np.asarray(channelize_full(h, jnp.asarray(x), m))
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert rel < 1e-5, f"rel {rel:.2e}"
+
+
+def test_matmul_synthesis_matches_complex_bank():
+    from srcdsp_tpu.chains.channelizer import synthesize_apply, synthesizer_init
+    from srcdsp_tpu.ops.channelize_planes import make_synthesize_planes
+    m, p = 8, 8
+    h = design_prototype(m, taps_per_phase=p)
+    rng = np.random.default_rng(0)
+    y = (rng.standard_normal((m, 64)) + 1j * rng.standard_normal((m, 64))
+         ).astype(np.complex64)
+    st = synthesizer_init(h, m)
+    _, ref = synthesize_apply(h, st, jnp.asarray(y), m)
+    synth = jax.jit(make_synthesize_planes(h, m))
+    yr = jnp.asarray(y.real.T.astype(np.float32))   # [K, M]
+    yi = jnp.asarray(y.imag.T.astype(np.float32))
+    xr, xi = synth(yr, yi)
+    got = np.asarray(xr) + 1j * np.asarray(xi)
+    rel = np.linalg.norm(got - np.asarray(ref)) / np.linalg.norm(np.asarray(ref))
+    assert rel < 1e-5, f"rel {rel:.2e}"
