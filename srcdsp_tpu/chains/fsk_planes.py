@@ -82,6 +82,42 @@ def pick_symbols(d: jax.Array, tau: jax.Array, sps: int) -> jax.Array:
     return jnp.sum(d3 * onehot, axis=-1)
 
 
+class FskPlanesStream:
+    """Streaming driver for the on-chip chain: manages the kernel history
+    prefix, per-chunk NCO start words, and the demod accumulators, so
+    callers feed raw [C, 2, N] plane chunks (N a multiple of
+    kernel.block_in()) and receive bits. Chunked output is bit-identical
+    to one-shot (u32 phase carry + exact history splice)."""
+
+    def __init__(self, kernel: MixFirKernel, dwords, sps: int, tone_cos,
+                 tone_sin, num_channels: int):
+        self.kernel = kernel
+        self.dwords = np.asarray(dwords, np.uint64)
+        self.sps = sps
+        self.tone_cos = tone_cos
+        self.tone_sin = tone_sin
+        # phase word of the NEXT history prefix's first sample; start so the
+        # first real sample carries phase 0 (one-shot convention)
+        self.words0 = np.asarray(
+            [(-int(kernel.hist) * int(d)) % (1 << 32) for d in self.dwords],
+            np.uint64)
+        self.hist = jnp.zeros((num_channels, 2, kernel.hist), jnp.float32)
+        self.state = None
+
+    def process(self, x_chunk: jax.Array):
+        """x_chunk: [C, 2, N] raw planes -> (bits, soft) for this chunk."""
+        xin = jnp.concatenate([self.hist, x_chunk], axis=-1)
+        w0 = (self.words0 % (1 << 32)).astype(np.uint32)
+        dw = (self.dwords % (1 << 32)).astype(np.uint32)
+        self.state, out = fsk_demod_planes(
+            self.kernel, w0, dw, xin, self.sps, self.tone_cos, self.tone_sin,
+            state=self.state)
+        n = x_chunk.shape[-1]
+        self.words0 = (self.words0 + n * self.dwords) % (1 << 32)
+        self.hist = xin[..., xin.shape[-1] - self.kernel.hist:]
+        return out
+
+
 def fsk_demod_planes(kernel: MixFirKernel, words0, dwords, x_planes,
                      sps: int, tone_cos, tone_sin,
                      state=None):
