@@ -37,6 +37,39 @@ def _channelize_shard(taps, num_channels: int, x, axis_name: str):
                           concat_axis=y.ndim - 1, tiled=True)
 
 
+def _channelize_os2_shard(taps, num_channels: int, x, axis_name: str):
+    from srcdsp_tpu.chains.channelizer import channelize_os2_apply
+
+    h = pad_prototype(taps, num_channels)
+    t = h.shape[0]
+    tail = shift_from_left(x[..., x.shape[-1] - (t - 1):], axis_name)
+    st = ChannelizerState(tail=tail)
+    _, y = channelize_os2_apply(taps, st, x, num_channels)
+    return lax.all_to_all(y, axis_name, split_axis=y.ndim - 2,
+                          concat_axis=y.ndim - 1, tiled=True)
+
+
+def channelize_os2_time_sharded(taps, x: jax.Array, num_channels: int,
+                                mesh: Mesh) -> jax.Array:
+    """2x-oversampled variant: [..., S] time-sharded -> [..., M, 2S/M]
+    channel-sharded. Same halo + all_to_all structure as the critically-
+    sampled bank; frames advance by M/2 so per-shard length must divide
+    by M/2. NOTE: the os2 twiddle (-1)^{m*k} uses the LOCAL frame index;
+    shard lengths must be multiples of M (not just M/2) so frame parity is
+    globally consistent across shard boundaries."""
+    p = mesh.shape[TIME_AXIS]
+    if num_channels % p != 0:
+        raise ValueError(f"num_channels {num_channels} not divisible by "
+                         f"time-axis size {p}")
+    in_spec = P(*([None] * (x.ndim - 1) + [TIME_AXIS]))
+    out_spec = P(*([None] * (x.ndim - 1) + [TIME_AXIS, None]))
+    f = jax.shard_map(
+        partial(_channelize_os2_shard, taps, num_channels,
+                axis_name=TIME_AXIS),
+        mesh=mesh, in_specs=(in_spec,), out_specs=out_spec)
+    return f(x)
+
+
 def channelize_time_sharded(taps, x: jax.Array, num_channels: int,
                             mesh: Mesh) -> jax.Array:
     """x: [..., S] time-sharded -> y: [..., M, S//M] channel-sharded.

@@ -81,6 +81,19 @@ def planes_from_int16(iq: jax.Array, scale: float = 32767.0
     return xr, xi
 
 
+def planes_to_int16(xr: jax.Array, xi: jax.Array, scale: float = 32767.0
+                    ) -> jax.Array:
+    """Device-side capture write path: f32 planes -> interleaved int16 IQ.
+
+    Saturating round-half-even, same bits as types.complex64_to_int16.
+    xr/xi: [..., N] -> [..., 2N] int16.
+    """
+    i = jnp.clip(jnp.round(xr * F32(scale)), -32768, 32767)
+    q = jnp.clip(jnp.round(xi * F32(scale)), -32768, 32767)
+    out = jnp.stack([i, q], axis=-1).astype(jnp.int16)
+    return out.reshape(*out.shape[:-2], -1)
+
+
 def nco_planes(word0, dword, n: int, row_offset=0) -> tuple[jax.Array, jax.Array]:
     """cos/sin planes [1, n] of the NCO phasor, u32 phase accumulator.
 

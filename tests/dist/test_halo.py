@@ -114,3 +114,16 @@ def test_fir_time_sharded_stream_multibuffer(devices8):
         outs.append(y)
     got = jnp.concatenate(outs)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_channelizer_os2_time_sharded_matches_full(devices8):
+    from srcdsp_tpu.chains.channelizer import channelize_os2_full
+    from srcdsp_tpu.dist.channelize import channelize_os2_time_sharded
+    m, p = 16, 8
+    mesh = make_mesh(time=p)
+    h = design_prototype(m, taps_per_phase=4)
+    x = complex_awgn(jax.random.PRNGKey(12), (p * m * 16,))
+    xs = jax.device_put(x, time_sharding(mesh))
+    y_dist = channelize_os2_time_sharded(h, xs, m, mesh)
+    y_ref = channelize_os2_full(h, x, m)
+    np.testing.assert_array_equal(np.asarray(y_dist), np.asarray(y_ref))

@@ -100,3 +100,19 @@ def test_planes_from_int16_matches_host_conversion():
     ref = np_int16_to_complex64(iq)
     np.testing.assert_array_equal(np.asarray(xr), ref.real)
     np.testing.assert_array_equal(np.asarray(xi), ref.imag)
+
+
+def test_planes_to_int16_roundtrip_bit_exact():
+    from srcdsp_tpu.ops.planes import planes_from_int16, planes_to_int16
+    from srcdsp_tpu.types import np_complex64_to_int16
+    rng = np.random.default_rng(1)
+    xr = jnp.asarray(np.clip(rng.standard_normal((1, 512)) * 0.4, -1, 1)
+                     .astype(np.float32))
+    xi = jnp.asarray(np.clip(rng.standard_normal((1, 512)) * 0.4, -1, 1)
+                     .astype(np.float32))
+    iq = planes_to_int16(xr, xi)
+    ref = np_complex64_to_int16(np.asarray(xr) + 1j * np.asarray(xi))
+    np.testing.assert_array_equal(np.asarray(iq), ref)
+    # and back
+    r2, i2 = planes_from_int16(iq)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(xr), atol=0.5 / 32767 + 1e-7)
