@@ -68,3 +68,26 @@ def restore(path: str, example_state: Any) -> tuple[Any, int]:
 
 def exists(path: str) -> bool:
     return os.path.exists(path + ".npz") and os.path.exists(path + ".json")
+
+
+# --- orbax backend (multi-host-capable; same (state, block_index) contract).
+# The .npz functions above remain the dependency-free default; use these for
+# sharded state on pods (orbax handles per-host shard persistence).
+
+def save_orbax(path: str, state: Any, block_index: int) -> None:
+    import orbax.checkpoint as ocp
+
+    with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ck:
+        ck.save(os.path.abspath(path) + ".orbax",
+                {"state": state, "block_index": np.asarray(block_index)},
+                force=True)
+
+
+def restore_orbax(path: str, example_state: Any) -> tuple[Any, int]:
+    import orbax.checkpoint as ocp
+
+    with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ck:
+        out = ck.restore(os.path.abspath(path) + ".orbax",
+                         {"state": example_state,
+                          "block_index": np.asarray(0)})
+    return out["state"], int(out["block_index"])

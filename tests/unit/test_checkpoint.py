@@ -53,3 +53,18 @@ def test_restore_shape_mismatch_raises(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         checkpoint.restore(ckpt, other)
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    params = make_fsk_params(0.1, 32, 0.05, 2, 4, 0.05)
+    st = fsk_init(params)
+    # mutate state so restore is distinguishable from init
+    st = st._replace(disc_last=st.disc_last + (0.5 + 0.25j))
+    p = str(tmp_path / "ck")
+    checkpoint.save_orbax(p, st, block_index=7)
+    st2, blk = checkpoint.restore_orbax(p, fsk_init(params))
+    assert blk == 7
+    a = jax.tree_util.tree_leaves(st)
+    b = jax.tree_util.tree_leaves(st2)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
