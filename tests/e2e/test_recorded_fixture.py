@@ -41,3 +41,19 @@ def test_fixture_checksum_and_golden_bits():
         n = min(len(tx) - bs, len(gold) - rs)
         best = min(best, float(np.mean(tx[bs:bs + n] != gold[rs:rs + n])))
     assert best == 0.0
+
+
+def test_channelizer_fixture_matches_oracle_golden():
+    import hashlib
+    from srcdsp_tpu.chains.channelizer import channelize_full
+    cap = os.path.join(FIX, "chan_8x128.ci16")
+    with open(os.path.join(FIX, "chan_8x128.fixture.json")) as f:
+        meta = json.load(f)
+    assert hashlib.sha256(open(cap, "rb").read()).hexdigest() == meta["sha256"]
+    x, _ = read_capture(cap)
+    h = np.load(os.path.join(FIX, "chan_8x128_proto.npy"))
+    gold = np.load(os.path.join(FIX, "chan_8x128_gold.npy"))
+    got = np.asarray(channelize_full(h, jnp.asarray(x), meta["channels"]))
+    err = gold - got
+    snr = 10 * np.log10(np.mean(np.abs(gold) ** 2) / np.mean(np.abs(err) ** 2))
+    assert snr > 100, f"SNR vs committed golden {snr:.1f} dB"
