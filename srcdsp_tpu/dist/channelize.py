@@ -37,6 +37,47 @@ def _channelize_shard(taps, num_channels: int, x, axis_name: str):
                           concat_axis=y.ndim - 1, tiled=True)
 
 
+def _channelize_shard_stream(taps, num_channels: int, axis_name: str,
+                             carried_tail, x):
+    import jax.numpy as jnp
+
+    h = pad_prototype(taps, num_channels)
+    t = h.shape[0]
+    local = x[..., x.shape[-1] - (t - 1):]
+    from_left = shift_from_left(local, axis_name)
+    is_first = lax.axis_index(axis_name) == 0
+    tail = jnp.where(is_first, carried_tail, from_left)
+    st = ChannelizerState(tail=tail)
+    _, y = channelize_apply(taps, st, x, num_channels)
+    y = lax.all_to_all(y, axis_name, split_axis=y.ndim - 2,
+                       concat_axis=y.ndim - 1, tiled=True)
+    is_last = lax.axis_index(axis_name) == lax.axis_size(axis_name) - 1
+    new_tail = lax.psum(jnp.where(is_last, local, jnp.zeros_like(local)),
+                        axis_name)
+    return new_tail, y
+
+
+def channelize_time_sharded_stream(taps, state_tail, x: jax.Array,
+                                   num_channels: int, mesh: Mesh
+                                   ) -> tuple[jax.Array, jax.Array]:
+    """Streaming form: successive time-sharded buffers channelize seamlessly.
+
+    state_tail: [..., T-1] replicated (zeros at stream start). Concatenated
+    outputs across calls are bit-identical to one single-device streaming
+    run (same guarantee as `dist.halo.fir_time_sharded_stream`)."""
+    p = mesh.shape[TIME_AXIS]
+    if num_channels % p != 0:
+        raise ValueError(f"num_channels {num_channels} not divisible by "
+                         f"time-axis size {p}")
+    in_spec = P(*([None] * (x.ndim - 1) + [TIME_AXIS]))
+    rspec = P(*([None] * x.ndim))
+    out_spec = P(*([None] * (x.ndim - 1) + [TIME_AXIS, None]))
+    f = jax.shard_map(
+        partial(_channelize_shard_stream, taps, num_channels, TIME_AXIS),
+        mesh=mesh, in_specs=(rspec, in_spec), out_specs=(rspec, out_spec))
+    return f(state_tail, x)
+
+
 def _channelize_os2_shard(taps, num_channels: int, x, axis_name: str):
     from srcdsp_tpu.chains.channelizer import channelize_os2_apply
 

@@ -127,3 +127,33 @@ def test_channelizer_os2_time_sharded_matches_full(devices8):
     y_dist = channelize_os2_time_sharded(h, xs, m, mesh)
     y_ref = channelize_os2_full(h, x, m)
     np.testing.assert_array_equal(np.asarray(y_dist), np.asarray(y_ref))
+
+
+def test_streaming_distributed_pipeline(devices8):
+    """Production-shaped integration: multi-buffer streaming through the
+    time-sharded halo FIR and the all_to_all channelizer, with carried
+    inter-buffer state — bit-identical to a single-device one-shot run."""
+    from srcdsp_tpu.chains.channelizer import channelize_full
+    from srcdsp_tpu.dist.channelize import channelize_time_sharded_stream
+    from srcdsp_tpu.dist.halo import fir_time_sharded_stream
+    mesh = make_mesh(time=8)
+    m = 16
+    pre = jnp.asarray(lowpass(48, 0.45))
+    proto = design_prototype(m, taps_per_phase=4)
+    from srcdsp_tpu.chains.channelizer import pad_prototype
+    tproto = int(pad_prototype(proto, m).shape[0])
+    x = complex_awgn(jax.random.PRNGKey(21), (4 * 8 * m * 16,))
+    # single-device reference: FIR then channelize, both from rest
+    ref = channelize_full(proto, fir_full(pre, x), m)
+    # distributed streaming in 4 buffers
+    tail_f = jnp.zeros(47, jnp.complex64)
+    tail_c = jnp.zeros(tproto - 1, jnp.complex64)
+    outs = []
+    n = x.shape[-1] // 4
+    for b in range(4):
+        xb = jax.device_put(x[b * n:(b + 1) * n], time_sharding(mesh))
+        tail_f, y = fir_time_sharded_stream(pre, tail_f, xb, mesh)
+        tail_c, banks = channelize_time_sharded_stream(proto, tail_c, y, m, mesh)
+        outs.append(banks)
+    got = jnp.concatenate(outs, axis=-1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
