@@ -41,3 +41,8 @@ def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
     if p_err == 0.0:
         return float("inf")
     return 10.0 * np.log10(p_sig / p_err)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy e2e/integration tests (deselect with -m 'not slow')")

@@ -129,6 +129,7 @@ def test_channelizer_os2_time_sharded_matches_full(devices8):
     np.testing.assert_array_equal(np.asarray(y_dist), np.asarray(y_ref))
 
 
+@pytest.mark.slow
 def test_streaming_distributed_pipeline(devices8):
     """Production-shaped integration: multi-buffer streaming through the
     time-sharded halo FIR and the all_to_all channelizer, with carried

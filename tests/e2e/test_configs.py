@@ -111,6 +111,7 @@ def test_config5_runs_and_is_finite():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_config5_distributed_matches_local():
     """Config 5 on an 8-device mesh == single-device, bit-exact."""
     from srcdsp_tpu.dist import make_mesh

@@ -95,6 +95,7 @@ def test_fsk_block_streaming_matches_oneshot():
     assert _ber(one_bits, blk_bits) < 0.01
 
 
+@pytest.mark.slow
 def test_fsk_multichannel_vmap():
     """32 channels demodulated as one vmapped call (config 4 channel count)."""
     nch, nsym = 32, 128
