@@ -57,3 +57,30 @@ def test_channelizer_fixture_matches_oracle_golden():
     err = gold - got
     snr = 10 * np.log10(np.mean(np.abs(gold) ** 2) / np.mean(np.abs(err) ** 2))
     assert snr > 100, f"SNR vs committed golden {snr:.1f} dB"
+
+
+def test_qpsk_fixture_regression_pinned():
+    """QPSK capture: chain output must stay identical to the pinned golden
+    indices, and the golden must decode the tx data (diff decode, SER 0)."""
+    import hashlib
+    from srcdsp_tpu.chains.psk import (
+        diff_decode, make_psk_params, psk_apply, psk_init)
+    cap = os.path.join(FIX, "qpsk_256sym.ci16")
+    with open(os.path.join(FIX, "qpsk_256sym.fixture.json")) as f:
+        meta = json.load(f)
+    assert hashlib.sha256(open(cap, "rb").read()).hexdigest() == meta["sha256"]
+    x, _ = read_capture(cap)
+    pp = make_psk_params(meta["center"], decim=meta["decim"], sps=meta["sps"],
+                         order=meta["order"])
+    st = psk_init(pp)
+    _, (idx, _) = psk_apply(pp, st, jnp.asarray(x))
+    gold = np.load(os.path.join(FIX, "qpsk_256sym_gold_idx.npy"))
+    np.testing.assert_array_equal(np.asarray(idx), gold)
+    data = np.load(os.path.join(FIX, "qpsk_256sym_data.npy"))
+    d = np.asarray(diff_decode(jnp.asarray(gold), meta["order"]))
+    best = 1.0
+    for lag in range(-16, 17):
+        bs, rs = 24 + max(lag, 0), 24 + max(-lag, 0)
+        n = min(len(data) - bs, len(d) - rs)
+        best = min(best, float(np.mean(data[bs:bs + n] != d[rs:rs + n])))
+    assert best == 0.0
