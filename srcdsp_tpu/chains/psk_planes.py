@@ -36,15 +36,33 @@ def _cpow(yr, yi, order: int):
     return pr, pi
 
 
-def pick_symbols_c(yr: jax.Array, yi: jax.Array, tau: jax.Array, sps: int
-                   ) -> tuple[jax.Array, jax.Array]:
-    """Nearest-offset complex symbol pick (one-hot reduce over sps axis)."""
+def pick_symbols_c(yr: jax.Array, yi: jax.Array, tau: jax.Array, sps: int,
+                   interp: bool = True) -> tuple[jax.Array, jax.Array]:
+    """Complex symbol pick at offset tau, gather-free.
+
+    interp=True: linear interpolation between samples floor(tau) and
+    floor(tau)+1 (the +1 neighbor comes from a one-sample-left-shifted
+    copy, so the symbol-boundary wrap is handled by flat indexing);
+    interp=False: nearest-offset one-hot pick.
+    """
     c, k = yr.shape
-    off = jnp.mod(jnp.round(tau), F32(sps))
     cols = jnp.asarray(np.arange(sps, dtype=np.float32))[None, None, :]
-    onehot = (cols == off[:, :, None]).astype(F32)
-    sr = jnp.sum(yr.reshape(c, k // sps, sps) * onehot, axis=-1)
-    si = jnp.sum(yi.reshape(c, k // sps, sps) * onehot, axis=-1)
+
+    def pick(y, off):
+        onehot = (cols == off[:, :, None]).astype(F32)
+        return jnp.sum(y.reshape(c, k // sps, sps) * onehot, axis=-1)
+
+    if not interp:
+        off = jnp.mod(jnp.round(tau), F32(sps))
+        return pick(yr, off), pick(yi, off)
+
+    i0 = jnp.floor(tau)
+    f = (tau - i0)[:, :]                      # [C, 1]
+    i0 = jnp.mod(i0, F32(sps))
+    yr1 = jnp.concatenate([yr[:, 1:], yr[:, -1:]], axis=1)
+    yi1 = jnp.concatenate([yi[:, 1:], yi[:, -1:]], axis=1)
+    sr = (1.0 - f) * pick(yr, i0) + f * pick(yr1, i0)
+    si = (1.0 - f) * pick(yi, i0) + f * pick(yi1, i0)
     return sr, si
 
 

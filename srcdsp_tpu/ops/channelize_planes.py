@@ -71,12 +71,15 @@ def make_channelize_planes(taps, num_channels: int,
     def mm(a, b):
         return jnp.dot(a, b, preferred_element_type=F32, precision=precision)
 
-    # One wide matmul instead of P+1 skinny ones: stack the shifted copies
-    # horizontally ([K, (P+1)*M]) against the vertically-stacked E matrices
-    # ([(P+1)*M, M]) — the [*, (P+1)*M] contraction feeds the MXU properly
-    # (a lone [K, M] @ [M, M] with M=64 uses half the systolic rows).
-    er_stack = jnp.asarray(er_np.reshape(p1 * m, m))
-    ei_stack = jnp.asarray(ei_np.reshape(p1 * m, m))
+    # One single matmul for the whole complex bank: shifted copies of BOTH
+    # planes stacked horizontally ([K, 2L], L=(P+1)*M) against the combined
+    # complex-arithmetic matrix [[Er | Ei], [-Ei | Er]] ([2L, 2M]) — the
+    # output [K, 2M] is [Yr | Yi]. 2M columns fill the MXU's 128-wide output
+    # for M=64 (four separate [.., M] matmuls each used half), and the wide
+    # contraction dim feeds the systolic rows.
+    er_s = er_np.reshape(p1 * m, m)
+    ei_s = ei_np.reshape(p1 * m, m)
+    e_comb = jnp.asarray(np.block([[er_s, ei_s], [-ei_s, er_s]]))
 
     def bank(xr: jax.Array, xi: jax.Array) -> tuple[jax.Array, jax.Array]:
         k = xr.shape[-1] // m
@@ -90,11 +93,101 @@ def make_channelize_planes(taps, num_channels: int,
                     [jnp.zeros((r, m), F32), x2[:k - r]], axis=0))
             return jnp.concatenate(cols, axis=1)      # [K, (P+1)*M]
 
+        ss = jnp.concatenate([shifted(x2r), shifted(x2i)], axis=1)  # [K, 2L]
+        y = mm(ss, e_comb)                                          # [K, 2M]
+        return y[:, :m], y[:, m:]
+
+    return bank
+
+
+def make_channelizer_os2_mats(taps, num_channels: int
+                              ) -> tuple[np.ndarray, np.ndarray]:
+    """E_r for the 2x-oversampled bank: [R, M/2, M] planes.
+
+    Frames advance hop = M/2 samples, so with X2 = x reshaped [K2, hop],
+    sample x[k*hop - (l*M + p)] lands in row k-r, where
+
+        p = 0:          r = 2l,   col 0
+        1 <= p < hop:   r = 2l+1, col hop-p
+        p = hop:        r = 2l+1, col 0
+        hop < p < M:    r = 2l+2, col 2*hop-p
+
+    giving placement matrices A_r[col, p] folded with the channel DFT.
+    """
+    m = num_channels
+    hop = m // 2
+    h = np.asarray(taps, np.float64)
+    t = ((len(h) + m - 1) // m) * m
+    hp = np.pad(h, (0, t - len(h)))
+    p_taps = t // m
+    w = np.exp(2j * np.pi * np.outer(np.arange(m), np.arange(m)) / m)
+    r_max = 2 * p_taps + 1
+    ers, eis = [], []
+    for r in range(r_max):
+        a = np.zeros((hop, m))
+        if r % 2 == 0:
+            l = r // 2
+            if l * m < t:
+                a[0, 0] = hp[l * m]
+            if r >= 2:
+                l2 = (r - 2) // 2
+                for c in range(1, hop):
+                    k = l2 * m + m - c
+                    if 0 <= k < t:
+                        a[c, m - c] = hp[k]
+        else:
+            l = (r - 1) // 2
+            k = l * m + hop
+            if k < t:
+                a[0, hop] = hp[k]
+            for c in range(1, hop):
+                k = l * m + hop - c
+                if 0 <= k < t:
+                    a[c, hop - c] = hp[k]
+        e = a @ w   # A_r [hop, p] folded with W[p, ch]
+        ers.append(e.real.astype(np.float32))
+        eis.append(e.imag.astype(np.float32))
+    return np.stack(ers), np.stack(eis)
+
+
+def make_channelize_os2_planes(taps, num_channels: int,
+                               precision=jax.lax.Precision.HIGHEST):
+    """On-chip 2x-oversampled analysis: (xr, xi) [K2*hop] -> (Yr, Yi) [K2, M]
+    with frame rate 2*fs/M. Matches chains.channelizer.channelize_os2_full
+    (frames on rows; channel m = column m) including the (-1)^{m*k} parity
+    twiddle."""
+    er_np, ei_np = make_channelizer_os2_mats(taps, num_channels)
+    r_max = er_np.shape[0]
+    m = num_channels
+    hop = m // 2
+    er_stack = jnp.asarray(er_np.reshape(r_max * hop, m))
+    ei_stack = jnp.asarray(ei_np.reshape(r_max * hop, m))
+    # parity twiddle rows: [2, M] pattern (+1 row, alternate-sign row)
+    tw2 = np.ones((2, m), np.float32)
+    tw2[1, 1::2] = -1.0
+    tw2 = jnp.asarray(tw2)
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=F32, precision=precision)
+
+    def bank(xr: jax.Array, xi: jax.Array) -> tuple[jax.Array, jax.Array]:
+        k = xr.shape[-1] // hop
+        x2r = xr.reshape(k, hop)
+        x2i = xi.reshape(k, hop)
+
+        def shifted(x2):
+            cols = [x2]
+            for r in range(1, r_max):
+                cols.append(jnp.concatenate(
+                    [jnp.zeros((r, hop), F32), x2[:k - r]], axis=0))
+            return jnp.concatenate(cols, axis=1)
+
         sr = shifted(x2r)
         si = shifted(x2i)
         yr = mm(sr, er_stack) - mm(si, ei_stack)
         yi = mm(sr, ei_stack) + mm(si, er_stack)
-        return yr, yi
+        tw = jnp.tile(tw2, (k // 2, 1))
+        return yr * tw, yi * tw
 
     return bank
 

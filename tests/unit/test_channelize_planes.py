@@ -39,3 +39,17 @@ def test_matmul_synthesis_matches_complex_bank():
     got = np.asarray(xr) + 1j * np.asarray(xi)
     rel = np.linalg.norm(got - np.asarray(ref)) / np.linalg.norm(np.asarray(ref))
     assert rel < 1e-5, f"rel {rel:.2e}"
+
+
+def test_matmul_os2_bank_matches_complex_bank():
+    from srcdsp_tpu.chains.channelizer import channelize_os2_full
+    from srcdsp_tpu.ops.channelize_planes import make_channelize_os2_planes
+    for m in (8, 16):
+        h = design_prototype(m, taps_per_phase=8)
+        bank = jax.jit(make_channelize_os2_planes(h, m))
+        x = np.asarray(complex_awgn(jax.random.PRNGKey(m + 1), (m * 32,)))
+        yr, yi = bank(jnp.asarray(x.real), jnp.asarray(x.imag))
+        got = (np.asarray(yr) + 1j * np.asarray(yi)).T      # [M, K]
+        ref = np.asarray(channelize_os2_full(h, jnp.asarray(x), m))
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 1e-5, f"M={m}: rel {rel:.2e}"
