@@ -103,7 +103,12 @@ def fir_apply(taps, state: FirState, x: jax.Array, decim: int = 1,
     """Filter one block. x: [..., N] with N % decim == 0 -> y: [..., N//decim].
 
     Streaming invariant (enforced by tests/props): concatenating the outputs
-    of successive blocks equals filtering the concatenated input, bit-exactly.
+    of successive blocks equals filtering the concatenated input —
+    **bit-exactly when the block size is fixed** (the production streaming
+    pattern: identical shapes reuse one compiled conv, so every output's
+    reduction order is reproduced), and to ~1 ULP when block sizes vary
+    (XLA may re-associate the conv reduction differently per shape). The
+    u32-phase NCO and the Pallas kernels are bit-exact under ANY split.
     """
     taps = _as_taps(taps)
     T = taps.shape[0]
