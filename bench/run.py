@@ -213,7 +213,7 @@ def run_config3_onchip(iters: int = 10, channels: int = 16,
 
 
 def run_config5_onchip(iters: int = 10, num_channels: int = 64,
-                       frames: int = 1 << 14) -> dict:
+                       frames: int = 1 << 16) -> dict:
     """Config 5 fully on-chip: matmul-form 64-ch polyphase bank + per-channel
     plane-form QPSK demod."""
     import time
