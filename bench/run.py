@@ -44,8 +44,14 @@ def run_config(name: str, use_pallas: bool = False, iters: int = 20,
         built = spec.build(**kw)
     step, args = built.step, built.example
 
-    out = step(*args)
-    jax.block_until_ready(out)
+    try:
+        out = step(*args)
+        jax.block_until_ready(out)
+    except Exception as e:
+        # the tunnel TPU backend lacks complex64/conv/scan; the complex-dtype
+        # configs run there via the *_onchip variants instead
+        return {"config": name, "platform": jax.default_backend(),
+                "status": "unsupported_on_backend", "error": str(e)[:160]}
 
     if profile_dir:
         with jax.profiler.trace(profile_dir):
@@ -337,7 +343,8 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
     _enable_compile_cache()
 
-    names = (["config1", "config2", "config3", "config4", "config5", "fft",
+    names = (["config1", "config2", "config3", "config4", "config5",
+              "config3_onchip", "config4_onchip", "config5_onchip", "fft",
               "accuracy"]
              if args.config == "all" else [args.config])
     for name in names:
