@@ -219,9 +219,11 @@ def run_config3_onchip(iters: int = 10, channels: int = 16,
 
 
 def run_config5_onchip(iters: int = 10, num_channels: int = 64,
-                       frames: int = 1 << 16) -> dict:
+                       frames: int = 1 << 16, use_pallas_bank: bool = False
+                       ) -> dict:
     """Config 5 fully on-chip: matmul-form 64-ch polyphase bank + per-channel
-    plane-form QPSK demod."""
+    plane-form QPSK demod. use_pallas_bank swaps in the single-HBM-pass
+    Pallas bank kernel."""
     import time
 
     import jax
@@ -237,33 +239,57 @@ def run_config5_onchip(iters: int = 10, num_channels: int = 64,
     k = (frames // sps) * sps
     n = k * m
     proto = design_prototype(m, taps_per_phase=8)
-    bank = make_channelize_planes(proto, m)
     tc, ts = make_timing_tone(k, sps)
     tcj = jax.device_put(jnp.asarray(tc))
     tsj = jax.device_put(jnp.asarray(ts))
 
-    def step(xr, xi):
-        br, bi = bank(xr, xi)                   # [K, M]
-        cr, ci = br.T, bi.T                     # [M, K] channel-major
-        return psk_demod_planes(cr, ci, sps, 4, tcj, tsj, offset=0.5)
+    if use_pallas_bank:
+        from srcdsp_tpu.kernels.bank_pallas import make_bank_kernel
+        kb, hist = make_bank_kernel(proto, m, b_k=256)
+        k = (k // 256) * 256
+        n = k * m
+        tc, ts = make_timing_tone(k, sps)
+        tcj = jax.device_put(jnp.asarray(tc))
+        tsj = jax.device_put(jnp.asarray(ts))
 
-    rng = np.random.default_rng(0)
-    xr = jax.device_put(jnp.asarray(rng.standard_normal(n).astype(np.float32)))
-    xi = jax.device_put(jnp.asarray(rng.standard_normal(n).astype(np.float32)))
-    f = jax.jit(step)
-    y = f(xr, xi)
+        def step(xp):
+            y = kb(xp)                          # [K, 2M]
+            cr, ci = y[:, :m].T, y[:, m:].T     # [M, K]
+            return psk_demod_planes(cr, ci, sps, 4, tcj, tsj, offset=0.5)
+
+        rng = np.random.default_rng(0)
+        xp = jax.device_put(jnp.asarray(
+            rng.standard_normal((2, hist + n)).astype(np.float32)))
+        f = jax.jit(step)
+        args = (xp,)
+    else:
+        bank = make_channelize_planes(proto, m)
+
+        def step(xr, xi):
+            br, bi = bank(xr, xi)               # [K, M]
+            cr, ci = br.T, bi.T                 # [M, K] channel-major
+            return psk_demod_planes(cr, ci, sps, 4, tcj, tsj, offset=0.5)
+
+        rng = np.random.default_rng(0)
+        xr = jax.device_put(jnp.asarray(rng.standard_normal(n).astype(np.float32)))
+        xi = jax.device_put(jnp.asarray(rng.standard_normal(n).astype(np.float32)))
+        f = jax.jit(step)
+        args = (xr, xi)
+
+    y = f(*args)
     jax.block_until_ready(y)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
-            y = f(xr, xi)
+            y = f(*args)
         jax.block_until_ready(y)
         best = min(best, (time.perf_counter() - t0) / iters)
     return {
         "config": "config5_onchip",
         "platform": jax.default_backend(),
         "channels": m,
+        "bank": "pallas" if use_pallas_bank else "xla",
         "wideband_msamples_per_s": round(n / best / 1e6, 1),
         "ms_per_iter": round(best * 1e3, 3),
     }
