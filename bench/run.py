@@ -38,13 +38,12 @@ def run_config(name: str, use_pallas: bool = False, iters: int = 20,
     from srcdsp_tpu.configs import CONFIGS
 
     spec = CONFIGS[name]
-    if name == "config1":
-        built = spec.build(use_pallas=use_pallas, **kw)
-    else:
-        built = spec.build(**kw)
-    step, args = built.step, built.example
-
     try:
+        if name == "config1":
+            built = spec.build(use_pallas=use_pallas, **kw)
+        else:
+            built = spec.build(**kw)
+        step, args = built.step, built.example
         out = step(*args)
         jax.block_until_ready(out)
     except Exception as e:
