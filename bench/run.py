@@ -382,7 +382,13 @@ def main(argv=None) -> None:
         elif name == "config5_onchip":
             rec = run_config5_onchip(iters=args.iters)
         elif name == "accuracy":
-            rec = run_accuracy()
+            try:
+                rec = run_accuracy()
+            except Exception as e:
+                rec = {"config": "accuracy",
+                       "status": "unsupported_on_backend",
+                       "note": "accuracy uses the complex-dtype paths; "
+                               "run on CPU", "error": str(e)[:160]}
         else:
             rec = run_config(name, use_pallas=args.pallas, iters=args.iters,
                              profile_dir=args.profile)
