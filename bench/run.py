@@ -368,30 +368,30 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
     _enable_compile_cache()
 
-    names = (["config1", "config2", "config3", "config4", "config5",
-              "config3_onchip", "config4_onchip", "config5_onchip", "fft",
-              "accuracy"]
+    # onchip variants run FIRST: a failed complex-dtype attempt can wedge
+    # the tunnel backend for subsequent device_puts
+    names = (["config1", "config3_onchip", "config4_onchip",
+              "config5_onchip", "fft", "config2", "config3", "config4",
+              "config5", "accuracy"]
              if args.config == "all" else [args.config])
     for name in names:
-        if name == "fft":
-            rec = run_fft(iters=args.iters)
-        elif name == "config3_onchip":
-            rec = run_config3_onchip(iters=args.iters)
-        elif name == "config4_onchip":
-            rec = run_config4_onchip(iters=args.iters)
-        elif name == "config5_onchip":
-            rec = run_config5_onchip(iters=args.iters)
-        elif name == "accuracy":
-            try:
+        try:
+            if name == "fft":
+                rec = run_fft(iters=args.iters)
+            elif name == "config3_onchip":
+                rec = run_config3_onchip(iters=args.iters)
+            elif name == "config4_onchip":
+                rec = run_config4_onchip(iters=args.iters)
+            elif name == "config5_onchip":
+                rec = run_config5_onchip(iters=args.iters)
+            elif name == "accuracy":
                 rec = run_accuracy()
-            except Exception as e:
-                rec = {"config": "accuracy",
-                       "status": "unsupported_on_backend",
-                       "note": "accuracy uses the complex-dtype paths; "
-                               "run on CPU", "error": str(e)[:160]}
-        else:
-            rec = run_config(name, use_pallas=args.pallas, iters=args.iters,
-                             profile_dir=args.profile)
+            else:
+                rec = run_config(name, use_pallas=args.pallas,
+                                 iters=args.iters, profile_dir=args.profile)
+        except Exception as e:
+            rec = {"config": name, "status": "failed_on_backend",
+                   "error": str(e)[:160]}
         line = json.dumps(rec)
         print(line)
         if args.out:
