@@ -35,22 +35,24 @@ from srcdsp_tpu.types import F32
 
 
 def _bank_kernel(x_hbm, e_ref, y_ref, slab, sem, *, b_k: int, m: int,
-                 p1: int, slab_len: int, precision):
+                 p1: int, precision):
+    # x_hbm: [2, rows_total, m] (row-major view of the padded planes);
+    # slab: [2, b_k + P, m] scratch
     i = pl.program_id(0)
-    g0 = i * b_k * m   # first sample of this step's OLDEST frame halo
+    r0 = i * b_k   # first (oldest-halo) row of this step
 
-    cp = pltpu.make_async_copy(x_hbm.at[:, pl.ds(g0, slab_len)], slab, sem)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[:, pl.ds(r0, b_k + p1 - 1), :], slab, sem)
     cp.start()
     cp.wait()
 
-    # SS[k, r*M + c] = x2[k - r, c]; shift r's block = slab samples starting
-    # (P - r) rows into the halo region
+    # SS[k, r*M + c] = x2[k - r, c]; shift r's block = slab rows starting
+    # (P - r) into the halo region — plain sublane slices, no reshapes
     cols = []
     for plane in range(2):
-        row = slab[plane:plane + 1, :]
         for r in range(p1):
-            start = (p1 - 1 - r) * m
-            cols.append(row[:, start: start + b_k * m].reshape(b_k, m))
+            start = p1 - 1 - r
+            cols.append(slab[plane, start: start + b_k, :])
     ss = jnp.concatenate(cols, axis=1)            # [B_K, 2*(P+1)*M]
     y_ref[:, :] = jnp.dot(ss, e_ref[:, :], preferred_element_type=F32,
                           precision=precision)
@@ -70,7 +72,6 @@ def make_bank_kernel(taps, num_channels: int, b_k: int = 256,
     er_s = er_np.reshape(p1 * m, m)
     ei_s = ei_np.reshape(p1 * m, m)
     e_comb = jnp.asarray(np.block([[er_s, ei_s], [-ei_s, er_s]]))
-    slab_len = b_k * m + hist
 
     def fn(x):
         n = x.shape[-1] - hist
@@ -78,9 +79,9 @@ def make_bank_kernel(taps, num_channels: int, b_k: int = 256,
             raise ValueError(f"N={n} not a multiple of {b_k * m}")
         k = n // m
         grid = k // b_k
+        x3 = x.reshape(2, (hist + n) // m, m)   # free row-major view
         kern = functools.partial(
-            _bank_kernel, b_k=b_k, m=m, p1=p1, slab_len=slab_len,
-            precision=precision)
+            _bank_kernel, b_k=b_k, m=m, p1=p1, precision=precision)
         return pl.pallas_call(
             kern,
             grid=(grid,),
@@ -93,10 +94,10 @@ def make_bank_kernel(taps, num_channels: int, b_k: int = 256,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((k, 2 * m), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((2, slab_len), jnp.float32),
+                pltpu.VMEM((2, b_k + p1 - 1, m), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
-        )(x, e_comb)
+        )(x3, e_comb)
 
     return fn, hist
