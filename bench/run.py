@@ -244,7 +244,7 @@ def run_config5_onchip(iters: int = 10, num_channels: int = 64,
 
     if use_pallas_bank:
         from srcdsp_tpu.kernels.bank_pallas import make_bank_kernel
-        kb, hist = make_bank_kernel(proto, m, b_k=256)
+        kb, hist_cols = make_bank_kernel(proto, m, b_k=256)
         k = (k // 256) * 256
         n = k * m
         tc, ts = make_timing_tone(k, sps)
@@ -252,13 +252,13 @@ def run_config5_onchip(iters: int = 10, num_channels: int = 64,
         tsj = jax.device_put(jnp.asarray(ts))
 
         def step(xp):
-            y = kb(xp)                          # [K, 2M]
-            cr, ci = y[:, :m].T, y[:, m:].T     # [M, K]
-            return psk_demod_planes(cr, ci, sps, 4, tcj, tsj, offset=0.5)
+            y = kb(xp)                          # [2M, K] channel-major
+            return psk_demod_planes(y[:m], y[m:], sps, 4, tcj, tsj,
+                                    offset=0.5)
 
         rng = np.random.default_rng(0)
         xp = jax.device_put(jnp.asarray(
-            rng.standard_normal((2, hist + n)).astype(np.float32)))
+            rng.standard_normal((2, m, hist_cols + k)).astype(np.float32)))
         f = jax.jit(step)
         args = (xp,)
     else:

@@ -56,19 +56,21 @@ def test_matmul_os2_bank_matches_complex_bank():
 
 
 def test_bank_pallas_kernel_matches_xla_bank():
-    from srcdsp_tpu.kernels.bank_pallas import make_bank_kernel
+    from srcdsp_tpu.kernels.bank_pallas import make_bank_kernel, phase_major
     from srcdsp_tpu.ops.channelize_planes import make_channelize_planes
     m = 8
     h = design_prototype(m, taps_per_phase=4)
-    fn, hist = make_bank_kernel(h, m, b_k=16, interpret=True)
+    fn, hist_cols = make_bank_kernel(h, m, b_k=16, interpret=True)
     rng = np.random.default_rng(3)
     n = 16 * m * 4
-    x = rng.standard_normal((2, hist + n)).astype(np.float32)
-    x[:, :hist] = 0.0   # stream start: kernel history == bank's from-rest
-    y = np.asarray(fn(jnp.asarray(x)))
-    yr, yi = y[:, :m], y[:, m:]
+    x = rng.standard_normal((2, hist_cols * m + n)).astype(np.float32)
+    x[:, :hist_cols * m] = 0.0  # stream start == bank's from-rest
+    xp = phase_major(jnp.asarray(x), m, hist_cols * m)
+    y = np.asarray(fn(xp))                    # [2M, K] channel-major
+    yr, yi = y[:m].T, y[m:].T                 # back to frame-major [K, M]
     bank = make_channelize_planes(h, m)
-    rr, ri = bank(jnp.asarray(x[0, hist:]), jnp.asarray(x[1, hist:]))
+    rr, ri = bank(jnp.asarray(x[0, hist_cols * m:]),
+                  jnp.asarray(x[1, hist_cols * m:]))
     rel = (np.linalg.norm(yr - np.asarray(rr)) + np.linalg.norm(yi - np.asarray(ri))) \
         / (np.linalg.norm(np.asarray(rr)) + 1e-12)
     assert rel < 1e-5, f"rel {rel:.2e}"
