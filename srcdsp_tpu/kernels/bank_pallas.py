@@ -38,7 +38,7 @@ from srcdsp_tpu.ops.channelize_planes import make_channelizer_mats
 from srcdsp_tpu.types import F32
 
 
-def _bank_kernel(x_hbm, e_ref, y_ref, slab, sem, *, b_k: int, m: int,
+def _bank_kernel(x_hbm, e_ref, y_ref, slab, ss, sem, *, b_k: int, m: int,
                  p1: int, precision):
     i = pl.program_id(0)
     k0 = i * b_k   # oldest halo column of this step
@@ -48,14 +48,16 @@ def _bank_kernel(x_hbm, e_ref, y_ref, slab, sem, *, b_k: int, m: int,
     cp.start()
     cp.wait()
 
-    # SS^T[(plane, r, c), k] = x_phase[plane, c, k - r] — lane-shifted slices
-    rows = []
+    # SS^T[(plane, r, c), k] = x_phase[plane, c, k - r]. The lane-shifted
+    # slices carry different lane offsets, which Mosaic refuses to
+    # concatenate directly — staging each through the ss scratch normalizes
+    # the layouts (the write realigns to offset 0).
     for plane in range(2):
         for r in range(p1):
             start = p1 - 1 - r
-            rows.append(slab[plane, :, start: start + b_k])
-    sst = jnp.concatenate(rows, axis=0)           # [2*(P+1)*M, B_K]
-    y_ref[:, :] = jnp.dot(e_ref[:, :], sst, preferred_element_type=F32,
+            row0 = (plane * p1 + r) * m
+            ss[row0: row0 + m, :] = slab[plane, :, start: start + b_k]
+    y_ref[:, :] = jnp.dot(e_ref[:, :], ss[:, :], preferred_element_type=F32,
                           precision=precision)
 
 
@@ -102,6 +104,7 @@ def make_bank_kernel(taps, num_channels: int, b_k: int = 256,
             out_shape=jax.ShapeDtypeStruct((2 * m, k), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((2, m, b_k + p1 - 1), jnp.float32),
+                pltpu.VMEM((2 * p1 * m, b_k), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
