@@ -39,12 +39,12 @@ from srcdsp_tpu.types import F32
 
 
 def _bank_kernel(x_hbm, e_ref, y_ref, slab, ss, sem, *, b_k: int, m: int,
-                 p1: int, precision):
+                 p1: int, hist_cols: int, precision):
     i = pl.program_id(0)
     k0 = i * b_k   # oldest halo column of this step
 
     cp = pltpu.make_async_copy(
-        x_hbm.at[:, :, pl.ds(k0, b_k + p1 - 1)], slab, sem)
+        x_hbm.at[:, :, pl.ds(k0, b_k + hist_cols)], slab, sem)
     cp.start()
     cp.wait()
 
@@ -54,7 +54,7 @@ def _bank_kernel(x_hbm, e_ref, y_ref, slab, ss, sem, *, b_k: int, m: int,
     # the layouts (the write realigns to offset 0).
     for plane in range(2):
         for r in range(p1):
-            start = p1 - 1 - r
+            start = hist_cols - r
             row0 = (plane * p1 + r) * m
             ss[row0: row0 + m, :] = slab[plane, :, start: start + b_k]
     y_ref[:, :] = jnp.dot(e_ref[:, :], ss[:, :], preferred_element_type=F32,
@@ -79,7 +79,9 @@ def make_bank_kernel(taps, num_channels: int, b_k: int = 256,
     m = num_channels
     er_np, ei_np = make_channelizer_mats(taps, m)
     p1 = er_np.shape[0]
-    hist_cols = p1 - 1
+    # lane-dim DMA slices must be 128-aligned on tiled HBM memrefs: round
+    # the history columns up to a full lane tile (extra columns are zeros)
+    hist_cols = ((p1 - 1 + 127) // 128) * 128
     er_s = er_np.reshape(p1 * m, m)
     ei_s = ei_np.reshape(p1 * m, m)
     e_comb_t = jnp.asarray(np.block([[er_s, ei_s], [-ei_s, er_s]]).T.copy())
@@ -90,7 +92,8 @@ def make_bank_kernel(taps, num_channels: int, b_k: int = 256,
             raise ValueError(f"K={k} not a multiple of b_k={b_k}")
         grid = k // b_k
         kern = functools.partial(
-            _bank_kernel, b_k=b_k, m=m, p1=p1, precision=precision)
+            _bank_kernel, b_k=b_k, m=m, p1=p1, hist_cols=hist_cols,
+            precision=precision)
         return pl.pallas_call(
             kern,
             grid=(grid,),
@@ -103,7 +106,7 @@ def make_bank_kernel(taps, num_channels: int, b_k: int = 256,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((2 * m, k), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((2, m, b_k + p1 - 1), jnp.float32),
+                pltpu.VMEM((2, m, b_k + hist_cols), jnp.float32),
                 pltpu.VMEM((2 * p1 * m, b_k), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
