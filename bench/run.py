@@ -218,7 +218,7 @@ def run_config3_onchip(iters: int = 10, channels: int = 16,
 
 
 def run_config5_onchip(iters: int = 10, num_channels: int = 64,
-                       frames: int = 1 << 16, use_pallas_bank: bool = False
+                       frames: int = 1 << 16, use_pallas_bank: bool = True
                        ) -> dict:
     """Config 5 fully on-chip: matmul-form 64-ch polyphase bank + per-channel
     plane-form QPSK demod. use_pallas_bank swaps in the single-HBM-pass
