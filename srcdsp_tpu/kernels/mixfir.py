@@ -296,7 +296,7 @@ def _kernel_mc(words0_ref, dwords_ref, x_hbm, hsub_ref, yr_ref, yi_ref,
     for j in range(nb):
         xs = slice(j * block_cols * decim, j * block_cols * decim + bspan)
         ys = slice(j * block_cols, (j + 1) * block_cols)
-        hsub = hsub_ref[j]
+        hsub = hsub_ref[0, j]
         yr_ref[0, :, ys] = jnp.dot(xwr[:, xs], hsub,
                                    preferred_element_type=F32,
                                    precision=precision)
@@ -313,9 +313,16 @@ def make_mix_fir_kernel_mc(taps, decim: int, num_channels: int,
     """Multi-channel fused kernel: x [C, 2, HK+N] -> planes [C, NT, OT].
 
     Call via `mix_fir_decim_pallas_mc`. Shares MixFirKernel metadata; the
-    words arguments become per-channel arrays.
+    words arguments become per-channel arrays. `taps` may be [T] (shared
+    across channels, the common channelizer-filter case) or [C, T]
+    (per-channel filters — the reference's fully independent per-channel
+    objects): per-channel banded matrices are staged as one [C, NB, ...]
+    constant and the grid's channel step selects its block.
     """
     taps = np.asarray(taps, np.float32)
+    per_channel = taps.ndim == 2
+    if per_channel and taps.shape[0] != num_channels:
+        raise ValueError(f"per-channel taps {taps.shape} != C={num_channels}")
     if not interpret:
         if b_rows % 8 != 0:
             raise ValueError(f"b_rows must be a multiple of 8 on TPU, got {b_rows}")
@@ -323,12 +330,18 @@ def make_mix_fir_kernel_mc(taps, decim: int, num_channels: int,
             raise ValueError(f"out_tile must be a multiple of 128, got {out_tile}")
     if out_tile % block_cols != 0:
         raise ValueError(f"out_tile {out_tile} % block_cols {block_cols} != 0")
-    t = taps.shape[0]
+    t = taps.shape[-1]
     hist = _round_up(t - 1, LANE)
     span = out_tile * decim + hist
     nb = out_tile // block_cols
     bspan = block_cols * decim + hist
-    hsubs = jnp.asarray(banded_taps(taps, decim, out_tile, hist, block_cols))
+    if per_channel:
+        hsubs = jnp.asarray(np.stack([
+            banded_taps(taps[c], decim, out_tile, hist, block_cols)
+            for c in range(num_channels)]))        # [C, NB, bspan, BC]
+    else:
+        hsubs = jnp.asarray(
+            banded_taps(taps, decim, out_tile, hist, block_cols))[None]
     stride = out_tile * decim
     slab_len = b_rows * stride + hist
 
@@ -350,8 +363,13 @@ def make_mix_fir_kernel_mc(taps, decim: int, num_channels: int,
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # words0 [C, 1]
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # dwords [C, 1]
                 pl.BlockSpec(memory_space=pl.ANY),       # x [C, 2, L] in HBM
-                pl.BlockSpec((nb, bspan, block_cols), lambda c, i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
+                # taps [Ct, NB, bspan, BC]: channel step c selects its block
+                # (index 0 when taps are shared, Ct == 1)
+                pl.BlockSpec(
+                    (1, nb, bspan, block_cols),
+                    (lambda c, i: (c, 0, 0, 0)) if per_channel
+                    else (lambda c, i: (0, 0, 0, 0)),
+                    memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((1, b_rows, out_tile), lambda c, i: (c, i, 0),

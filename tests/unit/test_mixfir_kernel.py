@@ -102,3 +102,27 @@ def test_multichannel_kernel_matches_single():
                                       jnp.asarray(x[c]))
         np.testing.assert_array_equal(np.asarray(yr[c]), np.asarray(r1[0]))
         np.testing.assert_array_equal(np.asarray(yi[c]), np.asarray(i1[0]))
+
+
+def test_multichannel_kernel_per_channel_taps():
+    """[C, T] tap sets: each channel filtered with its own design."""
+    from srcdsp_tpu.kernels.mixfir import (
+        make_mix_fir_kernel_mc, mix_fir_decim_pallas_mc)
+    m, nch = 2, 3
+    taps = np.stack([lowpass(32, c) for c in (0.05, 0.15, 0.3)])
+    kmc = make_mix_fir_kernel_mc(taps, m, nch, out_tile=128, b_rows=2,
+                                 interpret=True)
+    k1s = [make_mix_fir_kernel(taps[c], m, out_tile=128, b_rows=2,
+                               interpret=True) for c in range(nch)]
+    n = 2 * k1s[0].block_in()
+    words = np.asarray([freq_to_word(f) for f in (0.05, 0.21, 0.33)], np.uint32)
+    words0 = np.asarray([(-kmc.hist * int(w)) % (1 << 32) for w in words],
+                        np.uint32)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((nch, 2, kmc.hist + n)).astype(np.float32)
+    yr, yi = mix_fir_decim_pallas_mc(kmc, words0, words, jnp.asarray(x))
+    for c in range(nch):
+        r1, i1 = mix_fir_decim_pallas(k1s[c], int(words0[c]), int(words[c]),
+                                      jnp.asarray(x[c]))
+        np.testing.assert_array_equal(np.asarray(yr[c]), np.asarray(r1[0]))
+        np.testing.assert_array_equal(np.asarray(yi[c]), np.asarray(i1[0]))
