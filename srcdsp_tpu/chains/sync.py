@@ -62,7 +62,10 @@ def timing_estimate(state_acc: jax.Array, metric: jax.Array, sps: int,
     n = metric.shape[-1]
     if n % sps != 0:
         raise ValueError(f"block length {n} not divisible by sps {sps}")
-    k = jnp.arange(n, dtype=F32)
+    # reduce the index mod sps BEFORE the float angle: for million-sample
+    # blocks, 2*pi*k/sps at k ~ 1e6 loses ~0.1 rad to f32 rounding (the C++
+    # oracle and the plane-form path use the same reduction)
+    k = jnp.mod(jnp.arange(n, dtype=F32), F32(sps))
     tone = jnp.exp(-1j * (TWO_PI / sps) * k).astype(CF32)
     c = jnp.sum(metric.astype(F32) * tone, axis=-1)
     acc = (F32(forget) * state_acc + c).astype(CF32)
