@@ -67,3 +67,22 @@ def test_costas_converges_and_tracks_cfo():
     ang = np.angle(tail) * 4 / TWO_PI  # distance to nearest constellation pt
     frac = np.abs(ang - np.round(ang))
     assert np.mean(frac) < 0.05, f"residual phase error {np.mean(frac):.3f}"
+
+
+def test_gardner_vmap_channels():
+    """Loop trackers vmap over channels (per-channel carried loop state)."""
+    sps = 8
+    xs = []
+    for seed in (0, 1, 2):
+        _, x = _qpsk_baseband(jax.random.PRNGKey(seed), 256, sps)
+        xs.append(x)
+    xb = jnp.stack(xs)
+    st = gardner_init(channel_shape=(3,), tau0=2.0)
+    st2, sym = jax.vmap(lambda s, x: gardner_scan(
+        type(s)(tau=s.tau, freq=s.freq), x, sps))(
+        jax.tree_util.tree_map(lambda a: a, st), xb)
+    assert sym.shape[0] == 3
+    for c in range(3):
+        ref_st, ref_sym = gardner_scan(gardner_init(tau0=2.0), xb[c], sps)
+        np.testing.assert_allclose(np.asarray(sym[c]), np.asarray(ref_sym),
+                                   atol=1e-5)
