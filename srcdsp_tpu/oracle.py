@@ -167,6 +167,27 @@ def channelize(x: np.ndarray, proto: np.ndarray, m: int) -> np.ndarray:
     return out
 
 
+def psk_demod(x: np.ndarray, center_freq: float, taps: np.ndarray,
+              decim: int, sps: int, order: int) -> np.ndarray:
+    """Full M-PSK chain from oracle primitives (mirrors chains.psk.psk_apply):
+    mix -> matched filter(+decim) -> O&M timing -> V&V carrier -> slicer.
+    Returns symbol indices (M-fold phase ambiguity, as the V&V chain)."""
+    word = int(np.round(((-center_freq) % 1.0) * 4294967296.0) % 4294967296.0)
+    mixed, _ = nco_mix(x, 0, word)
+    bb = fir(mixed, taps, decim=decim)
+    power = (bb.real ** 2 + bb.imag ** 2).astype(np.float32)
+    _, tau = timing_estimate(power, sps)
+    sym = timing_sample(np.zeros(sps + 1, np.complex64), bb, tau, sps)
+    scale = np.sqrt(np.mean(np.abs(sym) ** 2) + 1e-12)
+    s = sym / scale
+    off = 0.5 if order == 4 else 0.0
+    acc = np.sum(s ** order * np.exp(-2j * np.pi * off))
+    phi = np.angle(acc) / order
+    y = s * np.exp(-1j * phi)
+    return np.mod(np.round(np.angle(y) * order / (2 * np.pi) - off),
+                  order).astype(np.int32)
+
+
 def fsk_demod(x: np.ndarray, center_freq: float, taps: np.ndarray,
               decim: int, sps: int) -> np.ndarray:
     """Full FSK chain from oracle primitives (mirrors chains.fsk.fsk_apply)."""

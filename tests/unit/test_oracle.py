@@ -142,3 +142,43 @@ def test_fsk_chain_vs_oracle():
     st = fsk_init(params)
     _, (got_bits, _) = fsk_apply(params, st, jnp.asarray(x))
     np.testing.assert_array_equal(ref_bits, np.asarray(got_bits))
+
+
+def test_psk_chain_vs_oracle():
+    """End-to-end: oracle PSK chain decodes the same data as the JAX chain
+    (both carry the same V&V M-fold ambiguity; compare after diff decode)."""
+    from srcdsp_tpu.chains.psk import (
+        constellation_offset, diff_decode, diff_encode, make_psk_params,
+        psk_apply, psk_init)
+    from srcdsp_tpu.ops.resample import resample_full
+    from srcdsp_tpu.testing.signals import tone
+    order, decim, sps, center = 4, 2, 4, 0.17
+    key = jax.random.PRNGKey(8)
+    data = jax.random.randint(key, (256,), 0, order)
+    tx = diff_encode(data, order)
+    off = constellation_offset(order)
+    sym = jnp.exp(1j * 6.283185307179586 * (tx.astype(jnp.float32) + off) / order)
+    p = make_psk_params(center, decim=decim, sps=sps, order=order)
+    x = resample_full(p.taps, sym.astype(jnp.complex64), up=decim * sps, down=1)
+    x = np.asarray(x * tone(x.shape[-1], center))
+    n_use = (x.shape[-1] // (decim * sps)) * decim * sps
+
+    ref_idx = oracle.psk_demod(x[:n_use], center, np.asarray(p.taps),
+                               decim, sps, order)
+    _, (got_idx, _) = __import__("srcdsp_tpu.chains.psk", fromlist=["psk_apply"]
+                                 ).psk_apply(p, psk_init(p), jnp.asarray(x[:n_use]))
+
+    def ser(b, d, settle=24):
+        best = 1.0
+        for lag in range(-24, 25):
+            bs, rs = settle + max(lag, 0), settle + max(-lag, 0)
+            n = min(len(b) - bs, len(d) - rs)
+            if n <= 0:
+                continue
+            best = min(best, float(np.mean(b[bs:bs + n] != d[rs:rs + n])))
+        return best
+
+    from srcdsp_tpu.chains.psk import diff_decode as dd
+    b = np.asarray(data)
+    assert ser(b, np.asarray(dd(jnp.asarray(ref_idx), order))) == 0.0
+    assert ser(b, np.asarray(dd(got_idx, order))) == 0.0
