@@ -21,3 +21,12 @@ overlap-save halo exchange over ICI.
 __version__ = "0.1.0"
 
 from srcdsp_tpu import types  # noqa: F401
+from srcdsp_tpu import ops  # noqa: F401
+from srcdsp_tpu import chains  # noqa: F401
+from srcdsp_tpu import io  # noqa: F401
+from srcdsp_tpu import checkpoint  # noqa: F401
+
+# heavier/optional subsystems stay import-on-demand:
+#   srcdsp_tpu.dist     (meshes, halos, all_to_all)
+#   srcdsp_tpu.kernels  (Pallas TPU kernels)
+#   srcdsp_tpu.oracle   (builds the C++ golden model on first use)
