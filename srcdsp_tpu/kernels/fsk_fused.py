@@ -1,0 +1,229 @@
+"""Fully-fused FSK front-end kernel (SURVEY.md C8 hot path).
+
+One pallas_call per block does the ENTIRE per-sample work of the config-4
+chain: NCO mix -> banded-Toeplitz FIR+decimate (MXU) -> frequency
+discriminator -> O&M timing partial sums. Only the per-block scalar math
+(tau from the summed accumulator, the one-hot symbol pick) remains outside
+— on the dispatch-expensive tunnel backend that's the difference between
+~15 XLA ops and 3.
+
+Pieces the Pallas lowering lacks are hand-rolled:
+- atan2: 11th-degree odd minimax polynomial on min/max-folded arguments
+  plus quadrant selects (|err| < 3e-7 rad — phase noise orders below the
+  discriminator's own quantization);
+- the discriminator's previous-sample column crosses row/grid boundaries
+  via VMEM staging and an SMEM carry (reset at each channel's first step,
+  so each kernel CALL starts from rest — one-sample seam per call,
+  matching chains.fsk_planes stream-start semantics).
+
+Output layout: d_ext [C, NT, OT + 128]: cols [0, OT) hold the
+discriminator (cycles/sample), col OT the row's sum(d^2 * cos_tone), col
+OT+1 the sin counterpart, rest zeros. The wrapper reduces the two columns
+and runs the pick.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from srcdsp_tpu.kernels.mixfir import LANE, _round_up, banded_taps
+from srcdsp_tpu.ops.nco import TWO_PI, _INV_SCALE
+from srcdsp_tpu.types import F32
+
+PAD = 128  # extra output columns (2 used for partial sums)
+
+
+def _atan_poly(a, s):
+    # minimax for atan(a), a in [0, 1]; s = a*a
+    return a * (0.99997726 + s * (-0.33262347 + s * (0.19354346 + s * (
+        -0.11643287 + s * (0.05265332 - s * 0.01172120)))))
+
+
+def _atan2(y, x):
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    a = mn / jnp.maximum(mx, 1e-30)
+    t = _atan_poly(a, a * a)
+    t = jnp.where(ay > ax, F32(np.pi / 2) - t, t)
+    t = jnp.where(x < 0, F32(np.pi) - t, t)
+    return jnp.where(y < 0, -t, t)
+
+
+def _kernel(words0_ref, dwords_ref, x_hbm, hsub_ref, d_ref,
+            yrbuf, yibuf, pcol, carry, slab, sem, *,
+            b_rows: int, out_tile: int, decim: int, hist: int, span: int,
+            slab_len: int, block_cols: int, sps: int, precision):
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    stride = out_tile * decim
+    g0 = i * b_rows * stride
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[c, :, pl.ds(g0, slab_len)], slab, sem)
+    cp.start()
+    cp.wait()
+
+    xr = slab[0:1, :]
+    xi = slab[1:2, :]
+    xwr = jnp.concatenate(
+        [xr[:, b * stride: b * stride + span] for b in range(b_rows)], axis=0)
+    xwi = jnp.concatenate(
+        [xi[:, b * stride: b * stride + span] for b in range(b_rows)], axis=0)
+    colw = words0_ref[c, 0] + (jnp.int32(g0) +
+                               jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
+                               ) * dwords_ref[c, 0]
+    roww = (jax.lax.broadcasted_iota(jnp.int32, (b_rows, 1), 0)
+            * (jnp.int32(stride) * dwords_ref[c, 0]))
+    cang = colw.astype(F32) * F32(TWO_PI * _INV_SCALE)
+    rang = roww.astype(F32) * F32(TWO_PI * _INV_SCALE)
+    cw = jnp.cos(rang) * jnp.cos(cang) - jnp.sin(rang) * jnp.sin(cang)
+    sw = jnp.cos(rang) * jnp.sin(cang) + jnp.sin(rang) * jnp.cos(cang)
+    mr = xwr * cw - xwi * sw
+    mi = xwr * sw + xwi * cw
+
+    nb = out_tile // block_cols
+    bspan = block_cols * decim + hist
+    for j in range(nb):
+        xs = slice(j * block_cols * decim, j * block_cols * decim + bspan)
+        ys = slice(j * block_cols, (j + 1) * block_cols)
+        hsub = hsub_ref[0, j]
+        yrbuf[:, ys] = jnp.dot(mr[:, xs], hsub, preferred_element_type=F32,
+                               precision=precision)
+        yibuf[:, ys] = jnp.dot(mi[:, xs], hsub, preferred_element_type=F32,
+                               precision=precision)
+
+    # previous-sample column: row b's col -1 = row b-1's last col; row 0
+    # takes the carried value (0 at each channel's first step)
+    pcol[0, 1:, :] = yrbuf[: b_rows - 1, out_tile - 1: out_tile]
+    pcol[1, 1:, :] = yibuf[: b_rows - 1, out_tile - 1: out_tile]
+
+    @pl.when(i == 0)
+    def _():
+        carry[0] = 0.0
+        carry[1] = 0.0
+
+    pcol[0, 0, 0] = carry[0]
+    pcol[1, 0, 0] = carry[1]
+    carry[0] = yrbuf[b_rows - 1, out_tile - 1]
+    carry[1] = yibuf[b_rows - 1, out_tile - 1]
+
+    yr = yrbuf[:, :]
+    yi = yibuf[:, :]
+    prev_r = jnp.concatenate([pcol[0], yrbuf[:, : out_tile - 1]], axis=1)
+    prev_i = jnp.concatenate([pcol[1], yibuf[:, : out_tile - 1]], axis=1)
+    zr = yr * prev_r + yi * prev_i          # y[n] * conj(y[n-1])
+    zi = yi * prev_r - yr * prev_i
+    d = _atan2(zi, zr) * F32(1.0 / TWO_PI)
+
+    # O&M timing partial sums with in-kernel tone (global index mod sps)
+    row = jax.lax.broadcasted_iota(jnp.int32, (b_rows, out_tile), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b_rows, out_tile), 1)
+    gidx = jnp.int32(i * b_rows * out_tile) + row * jnp.int32(out_tile) + col
+    ang = jnp.mod(gidx, jnp.int32(sps)).astype(F32) * F32(TWO_PI / sps)
+    met = d * d
+    rs_c = jnp.sum(met * jnp.cos(ang), axis=1, keepdims=True)
+    rs_s = jnp.sum(met * (-jnp.sin(ang)), axis=1, keepdims=True)
+
+    d_ref[0, :, :out_tile] = d
+    d_ref[0, :, out_tile:] = jnp.zeros((b_rows, PAD), F32)
+    d_ref[0, :, out_tile: out_tile + 1] = rs_c
+    d_ref[0, :, out_tile + 1: out_tile + 2] = rs_s
+
+
+def make_fsk_mc_kernel(taps, decim: int, num_channels: int, sps: int,
+                       out_tile: int = 512, b_rows: int = 8,
+                       block_cols: int = 128,
+                       precision=jax.lax.Precision.HIGHEST,
+                       interpret: bool = False):
+    """Build the fused FSK front-end. Returns (fn, hist) with
+    fn: (words0 i32[C,1], dwords i32[C,1], x [C, 2, HK+N])
+        -> d_ext [C, NT, OT+128]."""
+    taps = np.asarray(taps, np.float32)
+    if out_tile % sps != 0:
+        raise ValueError(f"out_tile {out_tile} % sps {sps} != 0")
+    if not interpret:
+        if b_rows % 8 != 0 or out_tile % LANE != 0:
+            raise ValueError("b_rows % 8 == 0 and out_tile % 128 == 0 required")
+    t = taps.shape[-1]
+    hist = _round_up(t - 1, LANE)
+    span = out_tile * decim + hist
+    nb = out_tile // block_cols
+    bspan = block_cols * decim + hist
+    hsubs = jnp.asarray(banded_taps(taps, decim, out_tile, hist, block_cols))[None]
+    stride = out_tile * decim
+    slab_len = b_rows * stride + hist
+
+    def fn(words0, dwords, x):
+        n = x.shape[-1] - hist
+        if n % (b_rows * stride) != 0:
+            raise ValueError(f"N={n} not a multiple of {b_rows * stride}")
+        nt = n // (out_tile * decim)
+        grid = (num_channels, nt // b_rows)
+        kern = functools.partial(
+            _kernel, b_rows=b_rows, out_tile=out_tile, decim=decim,
+            hist=hist, span=span, slab_len=slab_len, block_cols=block_cols,
+            sps=sps, precision=precision)
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, nb, bspan, block_cols),
+                             lambda c, i: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, b_rows, out_tile + PAD),
+                                   lambda c, i: (c, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (num_channels, nt, out_tile + PAD), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((b_rows, out_tile), jnp.float32),
+                pltpu.VMEM((b_rows, out_tile), jnp.float32),
+                pltpu.VMEM((2, b_rows, 1), jnp.float32),
+                pltpu.SMEM((2,), jnp.float32),
+                pltpu.VMEM((2, slab_len), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(words0, dwords, x, hsubs)
+
+    return fn, hist
+
+
+def fsk_demod_fused(fn, hist: int, out_tile: int, words0, dwords, x_planes,
+                    sps: int, state=None):
+    """Wrapper: fused kernel + the 3-op XLA tail (tau + one-hot pick).
+
+    x_planes: [C, 2, HK+N]; state: (acc_r [C,1], acc_i [C,1]) or None.
+    Returns (state, (bits [C, Nsym] int32, soft [C, Nsym] f32)).
+    """
+    from srcdsp_tpu.chains.fsk_planes import pick_symbols
+
+    w0 = jnp.asarray(np.asarray(words0, np.uint32).view(np.int32).reshape(-1, 1))
+    dw = jnp.asarray(np.asarray(dwords, np.uint32).view(np.int32).reshape(-1, 1))
+    dext = fn(w0, dw, x_planes)
+    cch = dext.shape[0]
+    d = dext[:, :, :out_tile].reshape(cch, -1)
+    rs_c = jnp.sum(dext[:, :, out_tile], axis=-1, keepdims=True)
+    rs_s = jnp.sum(dext[:, :, out_tile + 1], axis=-1, keepdims=True)
+    if state is None:
+        z = jnp.zeros((cch, 1), F32)
+        state = (z, z)
+    acc_r = F32(0.5) * state[0] + rs_c
+    acc_i = F32(0.5) * state[1] + rs_s
+    tau = jnp.mod(-F32(sps / TWO_PI) * jnp.arctan2(acc_i, acc_r), F32(sps))
+    soft = pick_symbols(d, tau, sps)
+    bits = (soft > 0).astype(jnp.int32)
+    return (acc_r, acc_i), (bits, soft)
