@@ -111,10 +111,11 @@ def _kernel(words0_ref, dwords_ref, x_hbm, hsub_ref, d_ref,
         carry[0] = 0.0
         carry[1] = 0.0
 
-    pcol[0, 0, 0] = carry[0]
-    pcol[1, 0, 0] = carry[1]
-    carry[0] = yrbuf[b_rows - 1, out_tile - 1]
-    carry[1] = yibuf[b_rows - 1, out_tile - 1]
+    # scalar VMEM stores are rejected by Mosaic: stage through [1,1] values
+    pcol[0, 0:1, 0:1] = jnp.full((1, 1), carry[0], F32)
+    pcol[1, 0:1, 0:1] = jnp.full((1, 1), carry[1], F32)
+    carry[0] = yrbuf[b_rows - 1: b_rows, out_tile - 1: out_tile][0, 0]
+    carry[1] = yibuf[b_rows - 1: b_rows, out_tile - 1: out_tile][0, 0]
 
     yr = yrbuf[:, :]
     yi = yibuf[:, :]
