@@ -118,36 +118,54 @@ def run_fft(iters: int = 20, n: int = 4096, batch: int = 256) -> dict:
 
 
 def run_config4_onchip(iters: int = 10, channels: int = 10,
-                       n_per_ch: int = 1 << 21) -> dict:
-    """The north-star chain fully on-chip: C-channel fused NCO-mix +
-    FIR-decimate (Pallas MC kernel) + discriminator + O&M timing + slicer.
+                       n_per_ch: int = 1 << 21, fused: bool = True) -> dict:
+    """The north-star chain fully on-chip. fused=True runs the single-kernel
+    front-end (mix+FIR+decim+discriminator+timing sums in ONE pallas_call);
+    fused=False composes the MC mixfir kernel with XLA demod ops.
     Reports AGGREGATE Msamples/s across channels on this one chip."""
     import time
 
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from srcdsp_tpu.chains.fsk_planes import fsk_demod_planes, make_timing_tone
-    from srcdsp_tpu.kernels.mixfir import make_mix_fir_kernel_mc
     from srcdsp_tpu.ops.nco import freq_to_word
     from srcdsp_tpu.ops.window import lowpass
 
     decim, sps = 4, 8
     taps = lowpass(64, 0.03)
-    k = make_mix_fir_kernel_mc(taps, decim, channels, out_tile=512, b_rows=32)
-    n = (n_per_ch // k.block_in()) * k.block_in()
     words = np.asarray(
         [freq_to_word(-0.05 - 0.01 * c) for c in range(channels)], np.uint32)
-    words0 = np.asarray([(-k.hist * int(w)) % (1 << 32) for w in words],
-                        np.uint32)
     rng = np.random.default_rng(0)
-    planes = jax.device_put(jnp.asarray(
-        rng.standard_normal((channels, 2, k.hist + n)).astype(np.float32)))
-    tc, ts = make_timing_tone(n // decim, sps)
-    tc = jax.device_put(jnp.asarray(tc))
-    ts = jax.device_put(jnp.asarray(ts))
-    step = jax.jit(lambda p: fsk_demod_planes(
-        k, words0, words, p, sps, tc, ts))
+
+    if fused:
+        from srcdsp_tpu.kernels.fsk_fused import (
+            fsk_demod_fused, make_fsk_mc_kernel)
+        fn, hist = make_fsk_mc_kernel(taps, decim, channels, sps,
+                                      out_tile=512, b_rows=32)
+        blk = 32 * 512 * decim
+        n = (n_per_ch // blk) * blk
+        words0 = np.asarray([(-hist * int(w)) % (1 << 32) for w in words],
+                            np.uint32)
+        planes = jax.device_put(jnp.asarray(
+            rng.standard_normal((channels, 2, hist + n)).astype(np.float32)))
+        step = jax.jit(lambda p: fsk_demod_fused(
+            fn, hist, 512, words0, words, p, sps))
+    else:
+        from srcdsp_tpu.chains.fsk_planes import (
+            fsk_demod_planes, make_timing_tone)
+        from srcdsp_tpu.kernels.mixfir import make_mix_fir_kernel_mc
+        k = make_mix_fir_kernel_mc(taps, decim, channels, out_tile=512,
+                                   b_rows=32)
+        n = (n_per_ch // k.block_in()) * k.block_in()
+        words0 = np.asarray([(-k.hist * int(w)) % (1 << 32) for w in words],
+                            np.uint32)
+        planes = jax.device_put(jnp.asarray(
+            rng.standard_normal((channels, 2, k.hist + n)).astype(np.float32)))
+        tc, ts = make_timing_tone(n // decim, sps)
+        tc = jax.device_put(jnp.asarray(tc))
+        ts = jax.device_put(jnp.asarray(ts))
+        step = jax.jit(lambda p: fsk_demod_planes(
+            k, words0, words, p, sps, tc, ts))
     y = step(planes)
     jax.block_until_ready(y)
     best = float("inf")
@@ -162,6 +180,7 @@ def run_config4_onchip(iters: int = 10, channels: int = 10,
         "config": "config4_onchip",
         "platform": jax.default_backend(),
         "channels": channels,
+        "impl": "fused_kernel" if fused else "kernel+xla",
         "aggregate_msamples_per_s": round(agg, 1),
         "ms_per_iter": round(best * 1e3, 3),
         "per_chip_vs_125msps_target": round(agg / 125.0, 2),
