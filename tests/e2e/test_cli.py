@@ -61,3 +61,37 @@ def test_cli_checkpoint_resume(tmp_path):
     a = np.fromfile(out1, np.uint8)
     b = np.fromfile(out2, np.uint8)
     assert len(b) > 0 and np.array_equal(a[-len(b):], b)
+
+
+def test_cli_psk_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from srcdsp_tpu.chains.psk import (
+        constellation_offset, diff_decode, diff_encode)
+    from srcdsp_tpu.chains.psk import make_psk_params
+    from srcdsp_tpu.ops.resample import resample_full
+    from srcdsp_tpu.ops.nco import TWO_PI
+    order, decim, sps, center = 4, 2, 4, 0.17
+    key = jax.random.PRNGKey(2)
+    data = jax.random.randint(key, (512,), 0, order)
+    tx = diff_encode(data, order)
+    off = constellation_offset(order)
+    sym = jnp.exp(1j * TWO_PI * (tx.astype(jnp.float32) + off) / order)
+    p = make_psk_params(center, decim=decim, sps=sps, order=order)
+    x = resample_full(p.taps, sym.astype(jnp.complex64), up=decim * sps, down=1)
+    from srcdsp_tpu.testing.signals import tone
+    x = np.asarray(x * tone(x.shape[-1], center))
+    cap = str(tmp_path / "psk.cf32")
+    write_capture(cap, x, CaptureMeta(fmt="cf32"))
+    out = str(tmp_path / "syms.u8")
+    cli_main(["psk", cap, out, "--center", str(center), "--decim", str(decim),
+              "--sps", str(sps), "--order", str(order), "--block", "2048"])
+    rx = np.fromfile(out, np.uint8).astype(np.int32)
+    d = np.asarray(diff_decode(jnp.asarray(rx), order))
+    b = np.asarray(data)
+    best = 1.0
+    for lag in range(-24, 25):
+        bs, rs = 24 + max(lag, 0), 24 + max(-lag, 0)
+        n = min(len(b) - bs, len(d) - rs)
+        if n > 0:
+            best = min(best, float(np.mean(b[bs:bs + n] != d[rs:rs + n])))
+    assert best < 0.02
