@@ -84,7 +84,7 @@ def run_config(name: str, use_pallas: bool = False, iters: int = 20,
     return rec
 
 
-def run_fft(iters: int = 20, n: int = 4096, batch: int = 256) -> dict:
+def run_fft(iters: int = 20, n: int = 4096, batch: int = 1024) -> dict:
     """FFT GFLOP/s (BASELINE.json metric) via the MXU four-step transform."""
     import time
 
