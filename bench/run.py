@@ -187,6 +187,57 @@ def run_config4_onchip(iters: int = 10, channels: int = 10,
     }
 
 
+def run_config2_onchip(iters: int = 10, n: int = 1 << 22) -> dict:
+    """Config 2 on-chip: fused NCO-mix + 128-tap FIR (Pallas), then the
+    fused 3/4 polyphase resampler kernel (stride-L banded Toeplitz)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from srcdsp_tpu.kernels.mixfir import make_mix_fir_kernel, mix_fir_decim_pallas
+    from srcdsp_tpu.kernels.resample_pallas import (
+        make_mix_resample_kernel, mix_resample_pallas)
+    from srcdsp_tpu.ops.nco import freq_to_word
+    from srcdsp_tpu.ops.window import lowpass
+
+    word = int(freq_to_word(0.07))
+    k1 = make_mix_fir_kernel(lowpass(128, 0.2), 1, out_tile=512, b_rows=32)
+    k2 = make_mix_resample_kernel(lowpass(48, 0.3), up=3, down=4,
+                                  out_tile=384, b_rows=8, block_cols=384)
+    # chain granularity: n divisible by both kernels' input blocks
+    import math
+    blk = math.lcm(k1.block_in(), k2.block_in())
+    n = (n // blk) * blk
+    word0 = (-k1.hist * word) % (1 << 32)
+    rng = np.random.default_rng(0)
+    planes = jax.device_put(jnp.asarray(
+        rng.standard_normal((2, k1.hist + n)).astype(np.float32)))
+    z2 = jnp.zeros((2, k2.hist), jnp.float32)
+
+    def step(p):
+        yr, yi = mix_fir_decim_pallas(k1, word0, word, p)
+        xin = jnp.concatenate([z2, jnp.concatenate([yr, yi], 0)], axis=-1)
+        return mix_resample_pallas(k2, 0, 0, xin)
+
+    f = jax.jit(step)
+    y = f(planes)
+    jax.block_until_ready(y)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = f(planes)
+        jax.block_until_ready(y)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return {
+        "config": "config2_onchip",
+        "platform": jax.default_backend(),
+        "msamples_per_s": round(n / best / 1e6, 1),
+        "ms_per_iter": round(best * 1e3, 3),
+    }
+
+
 def run_config3_onchip(iters: int = 10, channels: int = 16,
                        fft_size: int = 4096, num_taps: int = 1024,
                        n_per_ch: int = 1 << 20) -> dict:
@@ -375,8 +426,9 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("config", choices=["config1", "config2", "config3",
                                       "config4", "config4_onchip", "config5",
-                                      "config3_onchip", "config5_onchip",
-                                      "fft", "accuracy", "all"])
+                                      "config2_onchip", "config3_onchip",
+                                      "config5_onchip", "fft", "accuracy",
+                                      "all"])
     p.add_argument("--pallas", action="store_true",
                    help="use the Pallas fused kernel (config1)")
     p.add_argument("--iters", type=int, default=20)
@@ -389,7 +441,7 @@ def main(argv=None) -> None:
 
     # onchip variants run FIRST: a failed complex-dtype attempt can wedge
     # the tunnel backend for subsequent device_puts
-    names = (["config1", "config3_onchip", "config4_onchip",
+    names = (["config1", "config2_onchip", "config3_onchip", "config4_onchip",
               "config5_onchip", "fft", "config2", "config3", "config4",
               "config5", "accuracy"]
              if args.config == "all" else [args.config])
@@ -397,6 +449,8 @@ def main(argv=None) -> None:
         try:
             if name == "fft":
                 rec = run_fft(iters=args.iters)
+            elif name == "config2_onchip":
+                rec = run_config2_onchip(iters=args.iters)
             elif name == "config3_onchip":
                 rec = run_config3_onchip(iters=args.iters)
             elif name == "config4_onchip":
