@@ -288,11 +288,13 @@ def run_config3_onchip(iters: int = 10, channels: int = 16,
 
 
 def run_config5_onchip(iters: int = 10, num_channels: int = 64,
-                       frames: int = 1 << 16, use_pallas_bank: bool = True
-                       ) -> dict:
+                       frames: int = 1 << 16, use_pallas_bank: bool = True,
+                       bank_bf16: bool = True) -> dict:
     """Config 5 fully on-chip: matmul-form 64-ch polyphase bank + per-channel
     plane-form QPSK demod. use_pallas_bank swaps in the single-HBM-pass
-    Pallas bank kernel."""
+    Pallas bank kernel; bank_bf16 runs its matmul in bf16 (the serving
+    config — SER 0 validated on the modulated fixture; pass False for
+    6-pass f32)."""
     import time
 
     import jax
@@ -313,8 +315,11 @@ def run_config5_onchip(iters: int = 10, num_channels: int = 64,
     tsj = jax.device_put(jnp.asarray(ts))
 
     if use_pallas_bank:
+        import jax as _jax
         from srcdsp_tpu.kernels.bank_pallas import make_bank_kernel
-        kb, hist_cols = make_bank_kernel(proto, m, b_k=256)
+        prec = (_jax.lax.Precision.DEFAULT if bank_bf16
+                else _jax.lax.Precision.HIGHEST)
+        kb, hist_cols = make_bank_kernel(proto, m, b_k=256, precision=prec)
         k = (k // 256) * 256
         n = k * m
         tc, ts = make_timing_tone(k, sps)
@@ -358,7 +363,8 @@ def run_config5_onchip(iters: int = 10, num_channels: int = 64,
         "config": "config5_onchip",
         "platform": jax.default_backend(),
         "channels": m,
-        "bank": "pallas" if use_pallas_bank else "xla",
+        "bank": ("pallas_bf16" if bank_bf16 else "pallas_f32")
+                if use_pallas_bank else "xla",
         "wideband_msamples_per_s": round(n / best / 1e6, 1),
         "ms_per_iter": round(best * 1e3, 3),
     }
