@@ -27,9 +27,16 @@ def _flatten(state: Any):
 
 
 def save(path: str, state: Any, block_index: int, extra: dict | None = None) -> None:
-    """Save a chain state pytree + stream position. Overwrites `path`(.npz)."""
+    """Save a chain state pytree + stream position. Overwrites `path`(.npz).
+
+    Atomic: block_index travels INSIDE the .npz (one os.replace commits state
+    and position together), and the human-readable .json sidecar is also
+    replaced atomically — a crash at any point leaves either the old
+    checkpoint or the new one, never a state/position mismatch.
+    """
     leaves, treedef = _flatten(state)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays["block_index"] = np.asarray(int(block_index))
     meta = {
         "block_index": int(block_index),
         "num_leaves": len(leaves),
@@ -39,8 +46,10 @@ def save(path: str, state: Any, block_index: int, extra: dict | None = None) -> 
     tmp = path + ".tmp.npz"
     np.savez(tmp, **arrays)
     os.replace(tmp, path + ".npz")
-    with open(path + ".json", "w") as f:
+    tmpj = path + ".tmp.json"
+    with open(tmpj, "w") as f:
         json.dump(meta, f)
+    os.replace(tmpj, path + ".json")
 
 
 def restore(path: str, example_state: Any) -> tuple[Any, int]:
@@ -49,6 +58,10 @@ def restore(path: str, example_state: Any) -> tuple[Any, int]:
     with open(path + ".json") as f:
         meta = json.load(f)
     data = np.load(path + ".npz")
+    # the position embedded in the .npz is authoritative (committed atomically
+    # with the state); the .json value is advisory for humans
+    if "block_index" in data:
+        meta["block_index"] = int(data["block_index"])
     leaves, treedef = _flatten(example_state)
     if meta["num_leaves"] != len(leaves):
         raise ValueError(
@@ -68,6 +81,15 @@ def restore(path: str, example_state: Any) -> tuple[Any, int]:
 
 def exists(path: str) -> bool:
     return os.path.exists(path + ".npz") and os.path.exists(path + ".json")
+
+
+def delete(path: str) -> None:
+    """Invalidate a checkpoint (call when the stream completes)."""
+    for suffix in (".npz", ".json"):
+        try:
+            os.remove(path + suffix)
+        except FileNotFoundError:
+            pass
 
 
 # --- orbax backend (multi-host-capable; same (state, block_index) contract).

@@ -6,21 +6,37 @@ through a demod chain and write the result. Equivalent here:
     python -m srcdsp_tpu.cli fsk  in.iq bits.out --center 0.11 --decim 4 --sps 8
     python -m srcdsp_tpu.cli psk  in.iq syms.out --center 0.17 --decim 2 --sps 4 --order 4
     python -m srcdsp_tpu.cli fir  in.iq out.iq   --taps 64 --cutoff 0.1 --decim 2
+    python -m srcdsp_tpu.cli channelize in.iq out --channels 64 [--demod psk]
 
-Streams in fixed blocks with carried state (bit-exact vs one-shot),
-checkpoints every --ckpt-every blocks, and resumes automatically when the
-checkpoint file matches (--ckpt PATH).
+Streams in fixed blocks with carried state (bit-exact vs one-shot), writes
+output incrementally per block, checkpoints every --ckpt-every blocks, and
+resumes automatically when the checkpoint file matches (--ckpt PATH). On
+completion the checkpoint is deleted. `channelize` fans one wideband
+capture out to per-channel files (`out.chNNN.cf32`), optionally
+demodulating each channel (`--demod psk` -> `out.chNNN.u8` symbol indices).
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
 
 
-def _stream(args, params, state, apply_fn, out_is_bits: bool):
+def _stream(args, params, state, apply_fn, out_is_bits: bool,
+            out_per_block: int):
+    """Stream infile through the chain, committing output incrementally.
+
+    out_per_block: output items per input block (symbols for demods,
+    samples for filters) — fixed, so a checkpoint at block B implies an
+    output offset of exactly B*out_per_block items. Each block's output is
+    appended as soon as it is computed; a crash therefore loses at most the
+    blocks since the last checkpoint, and a resumed run truncates to the
+    checkpointed offset and continues IN PLACE in the same outfile. The
+    checkpoint is deleted when the stream completes.
+    """
     import jax.numpy as jnp
 
     from srcdsp_tpu import checkpoint
@@ -31,32 +47,101 @@ def _stream(args, params, state, apply_fn, out_is_bits: bool):
         state, start_block = checkpoint.restore(args.ckpt, state)
         print(f"resumed from block {start_block}", file=sys.stderr)
 
-    outputs = []
+    item = 1 if out_is_bits else 8  # u8 symbol / interleaved f32 IQ sample
+    offset = start_block * out_per_block * item
+    mode = "r+b" if (start_block and os.path.exists(args.outfile)) else "wb"
+    n_items = start_block * out_per_block
     i = start_block - 1
-    for i, xb in enumerate(read_capture_blocks(args.infile, args.block,
-                                               start_block=start_block),
-                           start=start_block):
-        state, out = apply_fn(params, state, jnp.asarray(xb))
-        outputs.append(np.asarray(out[0] if isinstance(out, tuple) else out))
-        if args.ckpt and args.ckpt_every and (i + 1) % args.ckpt_every == 0:
-            checkpoint.save(args.ckpt, state, block_index=i + 1)
-    if not outputs:
+    with open(args.outfile, mode) as f:
+        f.truncate(offset)
+        f.seek(offset)
+        for i, xb in enumerate(read_capture_blocks(args.infile, args.block,
+                                                   start_block=start_block),
+                               start=start_block):
+            state, out = apply_fn(params, state, jnp.asarray(xb))
+            arr = np.asarray(out[0] if isinstance(out, tuple) else out
+                             ).reshape(-1)
+            if out_is_bits:
+                f.write(arr.astype(np.uint8).tobytes())
+            else:
+                raw = np.empty(2 * arr.shape[0], np.float32)
+                raw[0::2] = arr.real
+                raw[1::2] = arr.imag
+                f.write(raw.tobytes())
+            n_items += arr.shape[0]
+            if args.ckpt and args.ckpt_every and (i + 1) % args.ckpt_every == 0:
+                f.flush()
+                checkpoint.save(args.ckpt, state, block_index=i + 1)
+    if i < start_block and start_block == 0:
         print("no full blocks to process", file=sys.stderr)
         return
-    cat = np.concatenate(outputs, axis=-1)
-    if out_is_bits:
-        cat.astype(np.uint8).tofile(args.outfile)
-    else:
-        from srcdsp_tpu.io.capture import CaptureMeta, write_capture
-        write_capture(args.outfile, cat.astype(np.complex64),
-                      CaptureMeta(fmt="cf32"))
+    if not out_is_bits:
+        from srcdsp_tpu.io.capture import CaptureMeta, _sidecar
+        meta = CaptureMeta(fmt="cf32", num_samples=n_items)
+        with open(_sidecar(args.outfile), "w") as f:
+            f.write(meta.to_json())
+    if args.ckpt:
+        checkpoint.delete(args.ckpt)
     print(f"processed blocks {start_block}..{i} -> {args.outfile}",
+          file=sys.stderr)
+
+
+def _channelize(args) -> None:
+    """file -> polyphase bank -> per-channel capture files (SURVEY.md C10
+    as an L4 driver, the config-5 workload in file form). With --demod psk
+    the per-channel streams are demodulated and each channel's symbol
+    indices are written as u8 instead."""
+    import jax.numpy as jnp
+
+    from srcdsp_tpu.chains.channelizer import (
+        channelize_apply, channelizer_init, design_prototype)
+    from srcdsp_tpu.io.capture import CaptureMeta, read_capture_blocks, _sidecar
+
+    m = args.channels
+    proto = design_prototype(m, taps_per_phase=args.taps_per_phase)
+    state = channelizer_init(proto, m)
+    demod = args.demod == "psk"
+    if demod:
+        from srcdsp_tpu.chains.psk import make_psk_params, psk_apply, psk_init
+        psk = make_psk_params(0.0, decim=1, sps=args.sps, order=args.order,
+                              rrc_span=4)
+        pst = psk_init(psk, channel_shape=(m,))
+
+    ext = "u8" if demod else "cf32"
+    paths = [f"{args.outfile}.ch{c:03d}.{ext}" for c in range(m)]
+    files = [open(pth, "wb") for pth in paths]
+    n_items = 0
+    nb = 0
+    try:
+        for xb in read_capture_blocks(args.infile, args.block):
+            state, y = channelize_apply(proto, state, jnp.asarray(xb), m)
+            if demod:
+                pst, (idx, _) = psk_apply(psk, pst, y)
+                out = np.asarray(idx).astype(np.uint8)      # [M, Nsym]
+            else:
+                yc = np.asarray(y)                          # [M, K] c64
+                out = np.empty((m, 2 * yc.shape[-1]), np.float32)
+                out[:, 0::2] = yc.real
+                out[:, 1::2] = yc.imag
+            for c, f in enumerate(files):
+                f.write(out[c].tobytes())
+            n_items += out.shape[-1] // (1 if demod else 2)
+            nb += 1
+    finally:
+        for f in files:
+            f.close()
+    if not demod:
+        for pth in paths:
+            with open(_sidecar(pth), "w") as f:
+                f.write(CaptureMeta(fmt="cf32", sample_rate=1.0 / m,
+                                    num_samples=n_items).to_json())
+    print(f"channelized {nb} blocks -> {m} files {args.outfile}.chNNN.{ext}",
           file=sys.stderr)
 
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="srcdsp_tpu.cli", description=__doc__)
-    p.add_argument("chain", choices=["fsk", "psk", "fir"])
+    p.add_argument("chain", choices=["fsk", "psk", "fir", "channelize"])
     p.add_argument("infile")
     p.add_argument("outfile")
     p.add_argument("--center", type=float, default=0.0,
@@ -71,7 +156,24 @@ def main(argv=None) -> None:
     p.add_argument("--block", type=int, default=1 << 16)
     p.add_argument("--ckpt", default=None)
     p.add_argument("--ckpt-every", type=int, default=16)
+    p.add_argument("--channels", type=int, default=64,
+                   help="bank size M (channelize)")
+    p.add_argument("--taps-per-phase", type=int, default=8,
+                   help="prototype taps per phase (channelize)")
+    p.add_argument("--demod", choices=["none", "psk"], default="none",
+                   help="per-channel demod after the bank (channelize)")
     args = p.parse_args(argv)
+
+    if args.order < 2 or args.order > 256 or args.order & (args.order - 1):
+        p.error(f"--order must be a power of two in [2, 256], got {args.order}")
+
+    if args.chain == "channelize":
+        # block must be a whole number of bank frames (and of symbols when
+        # demodulating at sps samples/symbol per channel)
+        q = args.channels * (args.sps if args.demod == "psk" else 1)
+        args.block -= args.block % q
+        _channelize(args)
+        return
 
     # block must be a whole number of output symbols / decimated samples
     q = args.decim * args.sps if args.chain in ("fsk", "psk") else args.decim
@@ -81,12 +183,14 @@ def main(argv=None) -> None:
         from srcdsp_tpu.chains.fsk import fsk_apply, fsk_init, make_fsk_params
         params = make_fsk_params(args.center, args.taps, args.cutoff,
                                  args.decim, args.sps, args.dev)
-        _stream(args, params, fsk_init(params), fsk_apply, out_is_bits=True)
+        _stream(args, params, fsk_init(params), fsk_apply, out_is_bits=True,
+                out_per_block=args.block // (args.decim * args.sps))
     elif args.chain == "psk":
         from srcdsp_tpu.chains.psk import make_psk_params, psk_apply, psk_init
         params = make_psk_params(args.center, args.decim, args.sps,
                                  order=args.order)
-        _stream(args, params, psk_init(params), psk_apply, out_is_bits=True)
+        _stream(args, params, psk_init(params), psk_apply, out_is_bits=True,
+                out_per_block=args.block // (args.decim * args.sps))
     else:
         import jax.numpy as jnp
 
@@ -104,7 +208,7 @@ def main(argv=None) -> None:
             return (nco_s, fir_s), y
 
         _stream(args, None, (nco_init(), fir_init(args.taps)), apply_fn,
-                out_is_bits=False)
+                out_is_bits=False, out_per_block=args.block // args.decim)
 
 
 if __name__ == "__main__":

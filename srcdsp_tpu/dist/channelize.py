@@ -81,6 +81,13 @@ def channelize_time_sharded_stream(taps, state_tail, x: jax.Array,
 def _channelize_os2_shard(taps, num_channels: int, x, axis_name: str):
     from srcdsp_tpu.chains.channelizer import channelize_os2_apply
 
+    # the (-1)^{m*k} twiddle uses the LOCAL frame index: per-shard length
+    # must be a multiple of M (an even local frame count) or odd channels
+    # silently flip sign on alternating shards
+    if x.shape[-1] % num_channels != 0:
+        raise ValueError(
+            f"os2 per-shard length {x.shape[-1]} must be a multiple of "
+            f"num_channels {num_channels} for global frame-parity consistency")
     h = pad_prototype(taps, num_channels)
     t = h.shape[0]
     tail = shift_from_left(x[..., x.shape[-1] - (t - 1):], axis_name)

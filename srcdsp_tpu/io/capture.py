@@ -106,3 +106,25 @@ def read_capture_blocks(path: str, block: int, start_block: int = 0):
             yield np_int16_to_complex64(chunk, scale=meta.scale)
         else:
             yield (chunk[0::2] + 1j * chunk[1::2]).astype(np.complex64)
+
+
+def device_blocks(path: str, block: int, start_block: int = 0,
+                  sharding=None, planes: bool = False):
+    """Generator of fixed-size blocks already resident on the accelerator.
+
+    The streaming source for `lax.scan` chains (SURVEY.md C11: numpy memmap
+    -> `jax.device_put` sharded): each block is memmap-sliced on the host
+    and device_put, optionally with a `jax.sharding.Sharding` (e.g.
+    `dist.mesh.time_sharding(mesh)` to land a time-sharded buffer directly,
+    so no later re-shard collective is needed).
+
+    planes=True yields [2, block] float32 (real, imag) planes — the layout
+    the on-chip restricted-op-set paths and Pallas kernels consume — instead
+    of [block] complex64.
+    """
+    import jax
+
+    for xb in read_capture_blocks(path, block, start_block=start_block):
+        arr = np.stack([xb.real, xb.imag]).astype(np.float32) if planes else xb
+        yield (jax.device_put(arr, sharding) if sharding is not None
+               else jax.device_put(arr))

@@ -70,10 +70,12 @@ def phase_major(x: jax.Array, m: int, hist: int) -> jax.Array:
 def make_bank_kernel(taps, num_channels: int, b_k: int = 256,
                      precision=jax.lax.Precision.HIGHEST,
                      interpret: bool = False):
-    """Build the bank kernel. Returns (fn, hist):
+    """Build the bank kernel. Returns (fn, hist_cols):
 
-    fn: x [2, M, P + K] phase-major planes -> Y [2M, K] = [Yr; Yi]
-    channel-major; K % b_k == 0, hist = P (history COLUMNS = P*M samples).
+    fn: x [2, M, hist_cols + K] phase-major planes -> Y [2M, K] = [Yr; Yi]
+    channel-major; K % b_k == 0. hist_cols is P-1 rounded UP to a full lane
+    tile (multiple of 128) — callers must prepend exactly `hist_cols`
+    history COLUMNS (hist_cols*M samples; zeros at stream start), NOT P.
     Use `phase_major()` to build the input from flat padded planes.
     """
     m = num_channels

@@ -44,6 +44,14 @@ def test_cli_fir_writes_capture(tmp_path):
 
 
 def test_cli_checkpoint_resume(tmp_path):
+    """Crash-resume: a run killed after a checkpoint continues IN PLACE in
+    the same outfile and ends bit-identical to an unbroken run; the
+    checkpoint is deleted on completion."""
+    import jax.numpy as jnp
+    from srcdsp_tpu import checkpoint
+    from srcdsp_tpu.chains.fsk import fsk_apply, fsk_init, make_fsk_params
+    from srcdsp_tpu.io.capture import read_capture_blocks
+
     decim, sps, dev, center = 4, 8, 0.05, 0.11
     bits = random_bits(jax.random.PRNGKey(1), (2048,))
     bb = fsk_baseband(bits, decim * sps, dev / decim)
@@ -51,16 +59,86 @@ def test_cli_checkpoint_resume(tmp_path):
     cap = str(tmp_path / "cap.cf32")
     write_capture(cap, x, CaptureMeta(fmt="cf32"))
     ck = str(tmp_path / "ck")
-    out1 = str(tmp_path / "a.u8")
-    cli_main(["fsk", cap, out1, "--center", str(center), "--block", "8192",
+
+    # reference: unbroken CLI run
+    ref_out = str(tmp_path / "ref.u8")
+    cli_main(["fsk", cap, ref_out, "--center", str(center), "--block", "8192",
+              "--cutoff", "0.03"])
+    ref = np.fromfile(ref_out, np.uint8)
+
+    # simulate a crash at block 3: run the same chain library-side for 3
+    # blocks, leaving the partial outfile + checkpoint a crashed CLI would
+    params = make_fsk_params(center, 64, 0.03, decim, sps, dev)
+    st = fsk_init(params)
+    out = str(tmp_path / "resumed.u8")
+    with open(out, "wb") as f:
+        for i, xb in enumerate(read_capture_blocks(cap, 8192)):
+            if i == 3:
+                break
+            st, (b, _) = fsk_apply(params, st, jnp.asarray(xb))
+            f.write(np.asarray(b).astype(np.uint8).tobytes())
+            # pretend block 2's checkpoint landed but block 2's output was
+            # only partially flushed — resume must truncate it away
+    checkpoint.save(ck, st, block_index=3)
+    with open(out, "ab") as f:
+        f.write(b"\xff" * 17)  # torn post-crash garbage past the checkpoint
+
+    cli_main(["fsk", cap, out, "--center", str(center), "--block", "8192",
               "--cutoff", "0.03", "--ckpt", ck, "--ckpt-every", "3"])
-    # resume run picks up from the last checkpoint and produces the tail
-    out2 = str(tmp_path / "b.u8")
-    cli_main(["fsk", cap, out2, "--center", str(center), "--block", "8192",
-              "--cutoff", "0.03", "--ckpt", ck, "--ckpt-every", "3"])
-    a = np.fromfile(out1, np.uint8)
-    b = np.fromfile(out2, np.uint8)
-    assert len(b) > 0 and np.array_equal(a[-len(b):], b)
+    got = np.fromfile(out, np.uint8)
+    np.testing.assert_array_equal(ref, got)
+    assert not checkpoint.exists(ck), "checkpoint must be deleted on completion"
+
+
+def test_cli_channelize_roundtrip(tmp_path):
+    """channelize subcommand: wideband tone in channel m's band lands in
+    out.chMMM.cf32 and nowhere else (file -> bank -> per-channel files)."""
+    from srcdsp_tpu.io.capture import read_capture
+
+    m = 8
+    n = 1 << 14
+    target = 3
+    x = np.asarray(tone(n, target / m)).astype(np.complex64)
+    cap = str(tmp_path / "wb.cf32")
+    write_capture(cap, x, CaptureMeta(fmt="cf32"))
+    out = str(tmp_path / "bank")
+    cli_main(["channelize", cap, out, "--channels", str(m),
+              "--taps-per-phase", "4", "--block", "4096"])
+    powers = []
+    for c in range(m):
+        y, meta = read_capture(f"{out}.ch{c:03d}.cf32")
+        assert meta.fmt == "cf32" and len(y) == n // m
+        powers.append(float(np.mean(np.abs(y[64:]) ** 2)))
+    assert powers[target] > 100 * max(p for c, p in enumerate(powers)
+                                      if c != target)
+
+
+def test_cli_channelize_demod(tmp_path):
+    """channelize --demod psk writes per-channel symbol indices."""
+    m, sps = 8, 4
+    n = 1 << 14
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    cap = str(tmp_path / "wb.cf32")
+    write_capture(cap, x, CaptureMeta(fmt="cf32"))
+    out = str(tmp_path / "dm")
+    cli_main(["channelize", cap, out, "--channels", str(m),
+              "--taps-per-phase", "4", "--demod", "psk", "--sps", str(sps),
+              "--order", "4", "--block", "4096"])
+    for c in range(m):
+        idx = np.fromfile(f"{out}.ch{c:03d}.u8", np.uint8)
+        assert len(idx) == n // m // sps and idx.max() < 4
+
+
+def test_cli_order_validated(tmp_path):
+    import pytest
+    cap = str(tmp_path / "x.cf32")
+    write_capture(cap, np.zeros(1024, np.complex64), CaptureMeta(fmt="cf32"))
+    with pytest.raises(SystemExit):
+        cli_main(["psk", cap, str(tmp_path / "o.u8"), "--order", "300"])
+    with pytest.raises(SystemExit):
+        cli_main(["psk", cap, str(tmp_path / "o.u8"), "--order", "6"])
 
 
 def test_cli_psk_roundtrip(tmp_path):

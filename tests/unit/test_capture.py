@@ -58,3 +58,25 @@ def test_block_reader_and_resume(tmp_path, x):
     np.testing.assert_array_equal(np.concatenate(blocks), x[:768])
     resumed = list(read_capture_blocks(p, 256, start_block=2))
     np.testing.assert_array_equal(resumed[0], x[512:768])
+
+
+def test_device_blocks_sharded(tmp_path, x):
+    """device_blocks: memmap -> device_put, optional NamedSharding + planes."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from srcdsp_tpu.dist.mesh import make_mesh
+    from srcdsp_tpu.io.capture import device_blocks
+
+    p = str(tmp_path / "d.cf32")
+    write_capture(p, x, CaptureMeta(fmt="cf32"))
+    blocks = list(device_blocks(p, 256))
+    assert len(blocks) == 3 and isinstance(blocks[0], jax.Array)
+    np.testing.assert_array_equal(np.asarray(blocks[1]), x[256:512])
+
+    mesh = make_mesh(time=8)
+    sh = NamedSharding(mesh, P(None, "time"))
+    planes = list(device_blocks(p, 256, sharding=sh, planes=True))
+    assert planes[0].shape == (2, 256) and planes[0].dtype == np.float32
+    assert planes[0].sharding == sh
+    np.testing.assert_array_equal(np.asarray(planes[0][0]), x[:256].real)

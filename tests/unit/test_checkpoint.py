@@ -44,6 +44,34 @@ def test_resume_bit_exact(tmp_path):
     np.testing.assert_array_equal(ref, got)
 
 
+def test_block_index_atomic_with_state(tmp_path):
+    """block_index rides inside the .npz: a stale .json (crash between the
+    two writes) cannot desync position from state."""
+    import json
+
+    params = make_fsk_params(0.1, 32, 0.05, 2, 4, 0.05)
+    st = fsk_init(params)
+    p = str(tmp_path / "c")
+    checkpoint.save(p, st, block_index=9)
+    with open(p + ".json") as f:
+        meta = json.load(f)
+    meta["block_index"] = 4  # simulate stale sidecar
+    with open(p + ".json", "w") as f:
+        json.dump(meta, f)
+    _, blk = checkpoint.restore(p, fsk_init(params))
+    assert blk == 9
+
+
+def test_delete(tmp_path):
+    params = make_fsk_params(0.1, 32, 0.05, 2, 4, 0.05)
+    p = str(tmp_path / "c")
+    checkpoint.save(p, fsk_init(params), 1)
+    assert checkpoint.exists(p)
+    checkpoint.delete(p)
+    assert not checkpoint.exists(p)
+    checkpoint.delete(p)  # idempotent
+
+
 def test_restore_shape_mismatch_raises(tmp_path):
     params = make_fsk_params(0.1, 32, 0.05, 2, 4, 0.05)
     st = fsk_init(params)
