@@ -6,6 +6,11 @@ fused kernel (the speed-of-light path); falls back to the XLA plane path if
 the kernel can't compile inside the time budget. The persistent compilation
 cache makes the Mosaic compile a one-time cost per machine.
 
+Variance control: single runs through the axon tunnel vary ±30%
+(BASELINE.md), so the reported number is the MEDIAN of several interleaved
+trials (XLA and Pallas trials alternate in one process, so drift hits both
+equally) — not a single uncontrolled draw.
+
 vs_baseline: the reference publishes no numbers (BASELINE.json
 `published: {}`); the denominator is the driver-defined north-star target
 of 1 Gsample/s aggregate on 8 chips = 125 Msamples/s/chip.
@@ -21,23 +26,11 @@ os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
 
 TARGET_MS_PER_CHIP = 125.0  # Msamples/s/chip <- 1 Gs/s / 8 chips north star
 N_SAMPLES = 1 << 23         # 8M: amortizes the ~0.5 ms tunnel dispatch
+TRIALS = 7                  # interleaved trials; report the median
+ITERS = 10                  # dispatches per trial
 
 
-def _time_step(step, args, iters=10, repeats=3):
-    import jax
-    y = step(*args)
-    jax.block_until_ready(y)
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            y = step(*args)
-        jax.block_until_ready(y)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
-
-
-def bench_xla(n: int) -> float:
+def _make_xla(n: int):
     import jax
     import jax.numpy as jnp
     from srcdsp_tpu.ops.nco import freq_to_word
@@ -56,10 +49,10 @@ def bench_xla(n: int) -> float:
     xi = jax.device_put(jnp.asarray(rng.standard_normal((1, h + n)), jnp.float32))
     step = jax.jit(lambda r, i: fused_mix_fir_decim_planes(
         coef, word0, word, r, i, m))
-    return n / _time_step(step, (xr, xi)) / 1e6
+    return step, (xr, xi), n
 
 
-def bench_pallas(n: int) -> float:
+def _make_pallas(n: int):
     import jax
     import jax.numpy as jnp
     from srcdsp_tpu.kernels.mixfir import make_mix_fir_kernel, mix_fir_decim_pallas
@@ -76,7 +69,16 @@ def bench_pallas(n: int) -> float:
     planes = jax.device_put(
         jnp.asarray(rng.standard_normal((2, k.hist + n)), jnp.float32))
     step = jax.jit(lambda p: mix_fir_decim_pallas(k, word0, word, p))
-    return n / _time_step(step, (planes,)) / 1e6
+    return step, (planes,), n
+
+
+def _trial(step, args) -> float:
+    import jax
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        y = step(*args)
+    jax.block_until_ready(y)
+    return (time.perf_counter() - t0) / ITERS
 
 
 def main() -> None:
@@ -90,21 +92,34 @@ def main() -> None:
         pass
 
     platform = jax.default_backend()
-    impl = "xla"
-    msps = bench_xla(N_SAMPLES)
+    variants = {}
+    step, args, n = _make_xla(N_SAMPLES)
+    jax.block_until_ready(step(*args))          # warm-up / compile
+    variants["xla"] = (step, args, n)
     if platform == "tpu" and os.environ.get("SRCDSP_BENCH_PALLAS", "1") != "0":
         try:
-            p = bench_pallas(N_SAMPLES)
-            if p > msps:
-                msps, impl = p, "pallas"
+            step, args, n = _make_pallas(N_SAMPLES)
+            jax.block_until_ready(step(*args))
+            variants["pallas"] = (step, args, n)
         except Exception:
             pass
+
+    times: dict[str, list[float]] = {k: [] for k in variants}
+    for _ in range(TRIALS):
+        for name, (step, args, _) in variants.items():
+            times[name].append(_trial(step, args))
+    rates = {name: variants[name][2] / float(np.median(ts)) / 1e6
+             for name, ts in times.items()}
+    impl = max(rates, key=rates.get)
+    msps = rates[impl]
 
     print(json.dumps({
         "metric": f"config1_fused_mix_fir_decim_throughput_{platform}_{impl}",
         "value": round(msps, 2),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(msps / TARGET_MS_PER_CHIP, 4),
+        "trials": TRIALS,
+        "estimator": "median_interleaved",
     }))
 
 
