@@ -187,52 +187,74 @@ def run_config4_onchip(iters: int = 10, channels: int = 10,
     }
 
 
-def run_config2_onchip(iters: int = 10, n: int = 1 << 22) -> dict:
-    """Config 2 on-chip: fused NCO-mix + 128-tap FIR (Pallas), then the
-    fused 3/4 polyphase resampler kernel (stride-L banded Toeplitz)."""
+def run_config2_onchip(iters: int = 10, n: int = 1 << 22,
+                       fused: bool = True) -> dict:
+    """Config 2 on-chip. fused=True folds the whole chain (NCO mix +
+    128-tap FIR + 3/4 resample) into ONE stride-L Toeplitz kernel via
+    combined taps hc = h_resample conv up_3(h_fir) — one pallas_call, one
+    HBM pass. fused=False is the round-1 two-kernel path (mix+FIR kernel,
+    HBM round-trip, resampler kernel)."""
     import time
 
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from srcdsp_tpu.kernels.mixfir import make_mix_fir_kernel, mix_fir_decim_pallas
     from srcdsp_tpu.kernels.resample_pallas import (
-        make_mix_resample_kernel, mix_resample_pallas)
+        combine_fir_resample_taps, make_mix_resample_kernel,
+        mix_resample_pallas)
     from srcdsp_tpu.ops.nco import freq_to_word
     from srcdsp_tpu.ops.window import lowpass
 
     word = int(freq_to_word(0.07))
-    k1 = make_mix_fir_kernel(lowpass(128, 0.2), 1, out_tile=512, b_rows=32)
-    k2 = make_mix_resample_kernel(lowpass(48, 0.3), up=3, down=4,
-                                  out_tile=384, b_rows=8, block_cols=384)
-    # chain granularity: n divisible by both kernels' input blocks
-    import math
-    blk = math.lcm(k1.block_in(), k2.block_in())
-    n = (n // blk) * blk
-    word0 = (-k1.hist * word) % (1 << 32)
     rng = np.random.default_rng(0)
-    planes = jax.device_put(jnp.asarray(
-        rng.standard_normal((2, k1.hist + n)).astype(np.float32)))
-    z2 = jnp.zeros((2, k2.hist), jnp.float32)
 
-    def step(p):
-        yr, yi = mix_fir_decim_pallas(k1, word0, word, p)
-        xin = jnp.concatenate([z2, jnp.concatenate([yr, yi], 0)], axis=-1)
-        return mix_resample_pallas(k2, 0, 0, xin)
+    if fused:
+        hc = combine_fir_resample_taps(lowpass(128, 0.2), lowpass(48, 0.3),
+                                       up=3)
+        k = make_mix_resample_kernel(hc, up=3, down=4, out_tile=384,
+                                     b_rows=24, block_cols=384)
+        n = (n // k.block_in()) * k.block_in()
+        word0 = (-k.hist * word) % (1 << 32)
+        planes = jax.device_put(jnp.asarray(
+            rng.standard_normal((2, k.hist + n)).astype(np.float32)))
+        f = jax.jit(lambda p: mix_resample_pallas(k, word0, word, p))
+        args = (planes,)
+    else:
+        from srcdsp_tpu.kernels.mixfir import (
+            make_mix_fir_kernel, mix_fir_decim_pallas)
+        k1 = make_mix_fir_kernel(lowpass(128, 0.2), 1, out_tile=512, b_rows=32)
+        k2 = make_mix_resample_kernel(lowpass(48, 0.3), up=3, down=4,
+                                      out_tile=384, b_rows=8, block_cols=384)
+        # chain granularity: n divisible by both kernels' input blocks
+        import math
+        blk = math.lcm(k1.block_in(), k2.block_in())
+        n = (n // blk) * blk
+        word0 = (-k1.hist * word) % (1 << 32)
+        planes = jax.device_put(jnp.asarray(
+            rng.standard_normal((2, k1.hist + n)).astype(np.float32)))
+        z2 = jnp.zeros((2, k2.hist), jnp.float32)
 
-    f = jax.jit(step)
-    y = f(planes)
+        def step(p):
+            yr, yi = mix_fir_decim_pallas(k1, word0, word, p)
+            xin = jnp.concatenate([z2, jnp.concatenate([yr, yi], 0)], axis=-1)
+            return mix_resample_pallas(k2, 0, 0, xin)
+
+        f = jax.jit(step)
+        args = (planes,)
+
+    y = f(*args)
     jax.block_until_ready(y)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
-            y = f(planes)
+            y = f(*args)
         jax.block_until_ready(y)
         best = min(best, (time.perf_counter() - t0) / iters)
     return {
         "config": "config2_onchip",
         "platform": jax.default_backend(),
+        "impl": "fused_combined_taps" if fused else "two_kernels",
         "msamples_per_s": round(n / best / 1e6, 1),
         "ms_per_iter": round(best * 1e3, 3),
     }
@@ -240,61 +262,90 @@ def run_config2_onchip(iters: int = 10, n: int = 1 << 22) -> dict:
 
 def run_config3_onchip(iters: int = 10, channels: int = 16,
                        fft_size: int = 4096, num_taps: int = 1024,
-                       n_per_ch: int = 1 << 20) -> dict:
-    """Config 3 fully on-chip: overlap-save FFT conv via the MXU four-step
-    transform, 16 channels batched as rows."""
+                       n_per_ch: int = 1 << 20, fused: bool = True,
+                       fft_bf16: bool = False, b_frames: int = 8) -> dict:
+    """Config 3 fully on-chip. fused=True runs the single-HBM-pass Pallas
+    overlap-save kernel (slab DMA -> VMEM frames -> four-step MXU FFT ->
+    freq multiply -> inverse, all channels in one grid); fused=False is the
+    XLA plane path with a per-channel Python loop (the round-1 baseline).
+    fft_bf16 runs the kernel matmuls at bf16-input/f32-accumulate."""
     import time
 
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from srcdsp_tpu.ops.fftconv_planes import make_fftconv_planes
     from srcdsp_tpu.ops.window import lowpass
 
     taps = lowpass(num_taps, 0.1)
-    fn, hop = make_fftconv_planes(taps, fft_size)
-    n = (n_per_ch // hop) * hop
-    overlap = fft_size - hop
     rng = np.random.default_rng(0)
 
-    def all_ch(xr, xi):
-        outs = [fn(xr[c], xi[c]) for c in range(channels)]
-        return (jnp.stack([o[0] for o in outs]),
-                jnp.stack([o[1] for o in outs]))
+    if fused:
+        from srcdsp_tpu.kernels.fftconv_pallas import (
+            fftconv_pallas, make_fftconv_kernel)
+        prec = (jax.lax.Precision.DEFAULT if fft_bf16
+                else jax.lax.Precision.HIGHEST)
+        k = make_fftconv_kernel(taps, fft_size, num_channels=channels,
+                                b_frames=b_frames, precision=prec)
+        hop = k.hop
+        n = (n_per_ch // k.block_in()) * k.block_in()
+        x = jax.device_put(jnp.asarray(rng.standard_normal(
+            (channels, 2, k.overlap + n)).astype(np.float32)))
+        step = jax.jit(lambda xp: fftconv_pallas(k, xp))
+        args = (x,)
+    else:
+        from srcdsp_tpu.ops.fftconv_planes import make_fftconv_planes
+        fn, hop = make_fftconv_planes(taps, fft_size)
+        n = (n_per_ch // hop) * hop
+        overlap = fft_size - hop
 
-    xr = jax.device_put(jnp.asarray(
-        rng.standard_normal((channels, overlap + n)).astype(np.float32)))
-    xi = jax.device_put(jnp.asarray(
-        rng.standard_normal((channels, overlap + n)).astype(np.float32)))
-    step = jax.jit(all_ch)
-    y = step(xr, xi)
+        def all_ch(xr, xi):
+            outs = [fn(xr[c], xi[c]) for c in range(channels)]
+            return (jnp.stack([o[0] for o in outs]),
+                    jnp.stack([o[1] for o in outs]))
+
+        xr = jax.device_put(jnp.asarray(
+            rng.standard_normal((channels, overlap + n)).astype(np.float32)))
+        xi = jax.device_put(jnp.asarray(
+            rng.standard_normal((channels, overlap + n)).astype(np.float32)))
+        step = jax.jit(all_ch)
+        args = (xr, xi)
+
+    y = step(*args)
     jax.block_until_ready(y)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
-            y = step(xr, xi)
+            y = step(*args)
         jax.block_until_ready(y)
         best = min(best, (time.perf_counter() - t0) / iters)
     agg = channels * n / best / 1e6
+    # 5NlogN-terms GFLOP/s: 2 FFTs (fwd+inv) per frame of fft_size samples,
+    # frames advance by hop
+    gflops_5nlogn = (agg * 1e6 / hop) * 2 * 5 * fft_size * np.log2(fft_size) / 1e9
     return {
         "config": "config3_onchip",
         "platform": jax.default_backend(),
         "channels": channels, "fft_size": fft_size, "num_taps": num_taps,
         "hop": hop,
+        "impl": ("pallas_bf16" if fft_bf16 else "pallas_f32") if fused
+                else "xla_planes",
         "aggregate_msamples_per_s": round(agg, 1),
+        "gflops_per_s_5nlogn": round(gflops_5nlogn, 1),
         "ms_per_iter": round(best * 1e3, 3),
     }
 
 
 def run_config5_onchip(iters: int = 10, num_channels: int = 64,
                        frames: int = 1 << 16, use_pallas_bank: bool = True,
-                       bank_bf16: bool = True) -> dict:
+                       bank_bf16: bool = True,
+                       fused_demod: bool = True) -> dict:
     """Config 5 fully on-chip: matmul-form 64-ch polyphase bank + per-channel
     plane-form QPSK demod. use_pallas_bank swaps in the single-HBM-pass
     Pallas bank kernel; bank_bf16 runs its matmul in bf16 (the serving
     config — SER 0 validated on the modulated fixture; pass False for
-    6-pass f32)."""
+    6-pass f32). fused_demod computes the PSK timing/V&V sums INSIDE the
+    bank kernel (make_bank_psk_kernel) so the XLA tail is pick+slice only."""
     import time
 
     import jax
@@ -314,11 +365,30 @@ def run_config5_onchip(iters: int = 10, num_channels: int = 64,
     tcj = jax.device_put(jnp.asarray(tc))
     tsj = jax.device_put(jnp.asarray(ts))
 
-    if use_pallas_bank:
-        import jax as _jax
+    if use_pallas_bank and fused_demod:
+        from srcdsp_tpu.chains.psk_planes import psk_demod_bank_stats
+        from srcdsp_tpu.kernels.bank_pallas import make_bank_psk_kernel
+        prec = (jax.lax.Precision.DEFAULT if bank_bf16
+                else jax.lax.Precision.HIGHEST)
+        kb, hist_cols = make_bank_psk_kernel(proto, m, sps=sps, order=4,
+                                             b_k=256, precision=prec)
+        k = (k // 256) * 256
+        n = k * m
+
+        def step(xp):
+            y, stats = kb(xp)                   # [2M, K] + fused sums
+            return psk_demod_bank_stats(y[:m], y[m:], stats, sps, 4,
+                                        offset=0.5)
+
+        rng = np.random.default_rng(0)
+        xp = jax.device_put(jnp.asarray(
+            rng.standard_normal((2, m, hist_cols + k)).astype(np.float32)))
+        f = jax.jit(step)
+        args = (xp,)
+    elif use_pallas_bank:
         from srcdsp_tpu.kernels.bank_pallas import make_bank_kernel
-        prec = (_jax.lax.Precision.DEFAULT if bank_bf16
-                else _jax.lax.Precision.HIGHEST)
+        prec = (jax.lax.Precision.DEFAULT if bank_bf16
+                else jax.lax.Precision.HIGHEST)
         kb, hist_cols = make_bank_kernel(proto, m, b_k=256, precision=prec)
         k = (k // 256) * 256
         n = k * m
@@ -365,6 +435,8 @@ def run_config5_onchip(iters: int = 10, num_channels: int = 64,
         "channels": m,
         "bank": ("pallas_bf16" if bank_bf16 else "pallas_f32")
                 if use_pallas_bank else "xla",
+        "demod": ("fused_stats" if (use_pallas_bank and fused_demod)
+                  else "xla_planes"),
         "wideband_msamples_per_s": round(n / best / 1e6, 1),
         "ms_per_iter": round(best * 1e3, 3),
     }

@@ -66,6 +66,54 @@ def pick_symbols_c(yr: jax.Array, yi: jax.Array, tau: jax.Array, sps: int,
     return sr, si
 
 
+def psk_demod_bank_stats(yr: jax.Array, yi: jax.Array, stats: jax.Array,
+                         sps: int, order: int, offset: float = 0.0,
+                         acc=None):
+    """Demod tail for the fused bank+stats kernel
+    (kernels.bank_pallas.make_bank_psk_kernel).
+
+    yr/yi: [M, K] bank output planes; stats: [G, M, STATS_LANES] in-kernel
+    partial sums (timing tone + per-offset V&V). The timing and carrier
+    estimates come from the STATS (no full pass over [M, K]); the only
+    K-sized work left is the symbol pick + slice. Differences vs
+    psk_demod_planes, both intentional: the V&V sum runs over ALL samples
+    of the nearest offset class (not interpolated picks), and it is
+    unnormalized — a per-channel positive scale cannot move the phase
+    angle, only the carried accumulator's inter-block weighting.
+
+    acc: (tim_r, tim_i, cr_r, cr_i) carried accumulators or None. Returns
+    (acc, (idx int32 [M, K/sps], (soft_r, soft_i))).
+    """
+    cch = yr.shape[0]
+    if acc is None:
+        z = jnp.zeros((cch, 1), F32)
+        acc = (z, z, z, z)
+    tim_r, tim_i, cr_r, cr_i = acc
+    s = jnp.sum(stats, axis=0)                        # [M, STATS_LANES]
+    tim_r = F32(0.5) * tim_r + s[:, 0:1]
+    tim_i = F32(0.5) * tim_i + s[:, 1:2]
+    tau = jnp.mod(-F32(sps / TWO_PI) * jnp.arctan2(tim_i, tim_r), F32(sps))
+    # V&V from the nearest offset class's precomputed sums
+    o_near = jnp.mod(jnp.round(tau), F32(sps))        # [M, 1]
+    cols = jnp.asarray(np.arange(sps, dtype=np.float32))[None, :]
+    onehot = (cols == o_near).astype(F32)             # [M, sps]
+    vv_r = jnp.sum(s[:, 2:2 + sps] * onehot, axis=-1, keepdims=True)
+    vv_i = jnp.sum(s[:, 2 + sps:2 + 2 * sps] * onehot, axis=-1, keepdims=True)
+    co = F32(np.cos(-TWO_PI * offset))
+    so = F32(np.sin(-TWO_PI * offset))
+    cr_r = F32(0.5) * cr_r + (vv_r * co - vv_i * so)
+    cr_i = F32(0.5) * cr_i + (vv_r * so + vv_i * co)
+    phi = jnp.arctan2(cr_i, cr_r) / order
+    sr, si = pick_symbols_c(yr, yi, tau, sps)
+    cp = jnp.cos(phi)
+    sp = jnp.sin(phi)
+    dr = sr * cp + si * sp          # s * exp(-j phi)
+    di = si * cp - sr * sp
+    idx = jnp.mod(jnp.round(jnp.arctan2(di, dr) * F32(order / TWO_PI)
+                            - F32(offset)), order).astype(jnp.int32)
+    return (tim_r, tim_i, cr_r, cr_i), (idx, (dr, di))
+
+
 def psk_demod_planes(yr: jax.Array, yi: jax.Array, sps: int, order: int,
                      tone_cos, tone_sin, offset: float = 0.0,
                      acc=None):

@@ -35,7 +35,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from srcdsp_tpu.ops.channelize_planes import make_channelizer_mats
+from srcdsp_tpu.ops.nco import TWO_PI
 from srcdsp_tpu.types import F32
+
+STATS_LANES = 128  # stats output lane padding (2 + 2*sps columns used)
 
 
 def _bank_kernel(x_hbm, e_ref, y_ref, slab, ss, sem, *, b_k: int, m: int,
@@ -59,6 +62,65 @@ def _bank_kernel(x_hbm, e_ref, y_ref, slab, ss, sem, *, b_k: int, m: int,
             ss[row0: row0 + m, :] = slab[plane, :, start: start + b_k]
     y_ref[:, :] = jnp.dot(e_ref[:, :], ss[:, :], preferred_element_type=F32,
                           precision=precision)
+
+
+def _bank_psk_kernel(x_hbm, e_ref, y_ref, st_ref, slab, ss, sem, *,
+                     b_k: int, m: int, p1: int, hist_cols: int, precision,
+                     sps: int, order: int):
+    """Bank kernel + fused PSK epilogue stats (the config-5 analog of the
+    fused FSK timing sums): per grid step, alongside the bank output,
+    accumulate the O&M timing-tone partial sums over |y|^2 and the per-
+    offset-class Viterbi&Viterbi power sums sum_{k%sps==o} y^order — so the
+    XLA tail only reduces [G, M, lanes] stats, picks, and slices instead of
+    making several full passes over the [2M, K] bank output.
+
+    st layout per step: [M, STATS_LANES]: col 0 = sum(|y|^2 cos), col 1 =
+    sum(|y|^2 * -sin) (O&M tone at k mod sps), cols 2..2+sps = Re sum y^M
+    per offset class, cols 2+sps..2+2sps = Im, rest zeros. V&V sums are
+    UNnormalized (amplitude normalization scales out of the phase angle).
+    """
+    i = pl.program_id(0)
+    k0 = i * b_k
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[:, :, pl.ds(k0, b_k + hist_cols)], slab, sem)
+    cp.start()
+    cp.wait()
+
+    for plane in range(2):
+        for r in range(p1):
+            start = hist_cols - r
+            row0 = (plane * p1 + r) * m
+            ss[row0: row0 + m, :] = slab[plane, :, start: start + b_k]
+    yv = jnp.dot(e_ref[:, :], ss[:, :], preferred_element_type=F32,
+                 precision=precision)
+    y_ref[:, :] = yv
+
+    yr = yv[:m, :]
+    yi = yv[m:, :]
+    power = yr * yr + yi * yi
+    col = jax.lax.broadcasted_iota(jnp.int32, (m, b_k), 1)
+    koff = jnp.mod(jnp.int32(i * b_k) + col, jnp.int32(sps))
+    ang = koff.astype(F32) * F32(TWO_PI / sps)
+    rs_c = jnp.sum(power * jnp.cos(ang), axis=1, keepdims=True)
+    rs_s = jnp.sum(power * (-jnp.sin(ang)), axis=1, keepdims=True)
+
+    # y^order by repeated squaring (order is a power of two, checked at build)
+    pr, pi = yr, yi
+    o = order
+    while o > 1:
+        pr, pi = pr * pr - pi * pi, 2.0 * pr * pi
+        o >>= 1
+
+    st_ref[0, :, :] = jnp.zeros((m, STATS_LANES), F32)
+    st_ref[0, :, 0:1] = rs_c
+    st_ref[0, :, 1:2] = rs_s
+    for off in range(sps):
+        mask = (koff == off).astype(F32)
+        st_ref[0, :, 2 + off: 3 + off] = jnp.sum(
+            pr * mask, axis=1, keepdims=True)
+        st_ref[0, :, 2 + sps + off: 3 + sps + off] = jnp.sum(
+            pi * mask, axis=1, keepdims=True)
 
 
 def phase_major(x: jax.Array, m: int, hist: int) -> jax.Array:
@@ -107,6 +169,68 @@ def make_bank_kernel(taps, num_channels: int, b_k: int = 256,
             out_specs=pl.BlockSpec((2 * m, b_k), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((2 * m, k), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, m, b_k + hist_cols), jnp.float32),
+                pltpu.VMEM((2 * p1 * m, b_k), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(x, e_comb_t)
+
+    return fn, hist_cols
+
+
+def make_bank_psk_kernel(taps, num_channels: int, sps: int, order: int = 4,
+                         b_k: int = 256,
+                         precision=jax.lax.Precision.HIGHEST,
+                         interpret: bool = False):
+    """Bank kernel + fused PSK epilogue stats. Returns (fn, hist_cols):
+
+    fn: x [2, M, hist_cols + K] phase-major -> (Y [2M, K], stats
+    [K/b_k, M, STATS_LANES]). Feed the pair to
+    chains.psk_planes.psk_demod_bank_stats for the 3-op demod tail.
+    b_k must be a multiple of sps so every grid step covers whole
+    offset-class periods; order must be a power of two (V&V by repeated
+    squaring on the VPU).
+    """
+    m = num_channels
+    if order & (order - 1) or order < 2:
+        raise ValueError(f"order must be a power of two >= 2, got {order}")
+    if b_k % sps != 0:
+        raise ValueError(f"b_k {b_k} % sps {sps} != 0")
+    er_np, ei_np = make_channelizer_mats(taps, m)
+    p1 = er_np.shape[0]
+    hist_cols = ((p1 - 1 + 127) // 128) * 128
+    er_s = er_np.reshape(p1 * m, m)
+    ei_s = ei_np.reshape(p1 * m, m)
+    e_comb_t = jnp.asarray(np.block([[er_s, ei_s], [-ei_s, er_s]]).T.copy())
+
+    def fn(x):
+        k = x.shape[-1] - hist_cols
+        if k % b_k != 0:
+            raise ValueError(f"K={k} not a multiple of b_k={b_k}")
+        grid = k // b_k
+        kern = functools.partial(
+            _bank_psk_kernel, b_k=b_k, m=m, p1=p1, hist_cols=hist_cols,
+            precision=precision, sps=sps, order=order)
+        return pl.pallas_call(
+            kern,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((2 * m, 2 * p1 * m), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((2 * m, b_k), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, m, STATS_LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((2 * m, k), jnp.float32),
+                jax.ShapeDtypeStruct((grid, m, STATS_LANES), jnp.float32),
+            ],
             scratch_shapes=[
                 pltpu.VMEM((2, m, b_k + hist_cols), jnp.float32),
                 pltpu.VMEM((2 * p1 * m, b_k), jnp.float32),

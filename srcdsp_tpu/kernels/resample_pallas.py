@@ -64,6 +64,27 @@ def banded_resample_taps(taps, up: int, down: int, out_tile: int, hist: int,
     ])
 
 
+def combine_fir_resample_taps(fir_taps, resample_taps, up: int) -> np.ndarray:
+    """Fold a unit-rate FIR in front of an L/M resampler into ONE tap set.
+
+    With u = h1 * x (unit-rate FIR) and y = resample_{L/M}(h2, u):
+
+        y[j] = sum_i h2[j*M - i*L] u[i]
+             = sum_q x[q] * (upsample_L(h1) conv h2)[j*M - q*L]
+
+    because zero-stuffing commutes with convolution: up_L(a * b) =
+    up_L(a) conv up_L(b). So the whole config-2 chain (mix -> FIR ->
+    resample) is the SAME banded stride-L Toeplitz kernel with taps
+    hc = h2 conv up_L(h1), length len(h2) + L*(len(h1)-1) — one HBM pass,
+    no intermediate buffer, no second kernel launch.
+    """
+    h1 = np.asarray(fir_taps, np.float64)
+    h2 = np.asarray(resample_taps, np.float64)
+    h1u = np.zeros(up * (len(h1) - 1) + 1, np.float64)
+    h1u[::up] = h1
+    return np.convolve(h1u, h2).astype(np.float32)
+
+
 def make_mix_resample_kernel(taps, up: int, down: int, out_tile: int = 512,
                              b_rows: int = 8, block_cols: int = 128,
                              precision=jax.lax.Precision.HIGHEST,

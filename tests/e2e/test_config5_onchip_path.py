@@ -33,6 +33,23 @@ def _ser(b, d, settle=30):
     return best
 
 
+def _modulated_wideband(m, nsym, order, sps, key=0):
+    """QPSK-per-channel wideband fixture + the tx data."""
+    data = jax.random.randint(jax.random.PRNGKey(key), (m, nsym), 0, order)
+    tx = diff_encode(data, order)
+    off = constellation_offset(order)
+    sym = jnp.exp(1j * TWO_PI * (tx.astype(jnp.float32) + off) / order)
+    pp = make_psk_params(0.0, decim=1, sps=sps, order=order, rrc_span=4)
+    bb = resample_full(pp.taps, sym.astype(jnp.complex64), up=sps, down=1)
+    proto = design_prototype(m, taps_per_phase=8)
+    n = bb.shape[-1] * m
+    wb = jnp.zeros((n,), jnp.complex64)
+    for c in range(m):
+        u = resample_full(proto, bb[c], up=m, down=1) * m
+        wb = wb + u * tone(n, c / m)
+    return data, proto, wb, off
+
+
 def test_config5_onchip_path_ser_zero():
     m, nsym, order, sps = 8, 256, 4, 4
     key = jax.random.PRNGKey(0)
@@ -66,3 +83,52 @@ def test_config5_onchip_path_ser_zero():
     for c in range(m):
         d = np.asarray(diff_decode(idx[c], order))
         assert _ser(np.asarray(data[c]), d) == 0.0, f"channel {c}"
+
+
+def test_fused_bank_psk_stats_ser_zero():
+    """Fused bank+PSK-stats kernel (interpret) + 3-op tail: SER 0 on the
+    modulated fixture, matching the composed bank -> psk_demod_planes path
+    (the config-5 serving chain with the epilogue fused in-kernel)."""
+    from srcdsp_tpu.chains.psk_planes import psk_demod_bank_stats
+    from srcdsp_tpu.kernels.bank_pallas import (
+        make_bank_psk_kernel, phase_major)
+
+    m, nsym, order, sps = 8, 256, 4, 4
+    data, proto, wb, off = _modulated_wideband(m, nsym, order, sps)
+    n = wb.shape[-1]
+
+    b_k = 128
+    kb, hist_cols = make_bank_psk_kernel(proto, m, sps=sps, order=order,
+                                         b_k=b_k, interpret=True)
+    k = (n // m // b_k) * b_k
+    planes = jnp.stack([jnp.real(wb), jnp.imag(wb)]).astype(jnp.float32)
+    pad = jnp.zeros((2, hist_cols * m), jnp.float32)
+    xin = jnp.concatenate([pad, planes[:, :k * m]], axis=-1)
+    y, stats = kb(phase_major(xin, m, hist_cols))
+    _, (idx, _) = psk_demod_bank_stats(y[:m], y[m:], stats, sps, order,
+                                       offset=off)
+    assert stats.shape == (k // b_k, m, 128)
+    for c in range(m):
+        d = np.asarray(diff_decode(idx[c], order))
+        assert _ser(np.asarray(data[c]), d) == 0.0, f"channel {c}"
+
+
+def test_bank_psk_kernel_bank_output_matches_plain():
+    """The stats variant's bank output is identical to make_bank_kernel's."""
+    from srcdsp_tpu.kernels.bank_pallas import (
+        make_bank_kernel, make_bank_psk_kernel, phase_major)
+
+    m, b_k = 8, 128
+    proto = design_prototype(m, taps_per_phase=4)
+    rng = np.random.default_rng(5)
+    k = 4 * b_k
+    k0, hist_cols = make_bank_kernel(proto, m, b_k=b_k, interpret=True)
+    k1, hist_cols1 = make_bank_psk_kernel(proto, m, sps=4, b_k=b_k,
+                                          interpret=True)
+    assert hist_cols == hist_cols1
+    x = jnp.asarray(rng.standard_normal((2, (hist_cols + k) * m))
+                    .astype(np.float32))
+    xp = phase_major(x, m, hist_cols)
+    y_plain = k0(xp)
+    y_stats, _ = k1(xp)
+    np.testing.assert_array_equal(np.asarray(y_plain), np.asarray(y_stats))

@@ -34,3 +34,34 @@ def test_mix_resample_kernel_matches_xla(up, down):
     n = min(len(got), len(ref))
     rel = np.linalg.norm(got[:n] - ref[:n]) / np.linalg.norm(ref[:n])
     assert rel < 2e-6, f"rel {rel:.2e}"
+
+
+def test_combined_taps_fuse_fir_then_resample():
+    """hc = h2 conv up_L(h1): ONE kernel == FIR(h1) -> resample(h2) chain
+    (the config-2 single-kernel fusion)."""
+    from srcdsp_tpu.kernels.resample_pallas import combine_fir_resample_taps
+    from srcdsp_tpu.ops.fir import fir_full
+
+    up, down = 3, 4
+    h1 = lowpass(128, 0.2)
+    h2 = lowpass(48, 0.3)
+    hc = combine_fir_resample_taps(h1, h2, up)
+    assert len(hc) == 48 + 3 * 127
+
+    k = make_mix_resample_kernel(hc, up, down, out_tile=384, b_rows=2,
+                                 block_cols=384, interpret=True)
+    nin = 2 * k.block_in()
+    word = int(freq_to_word(0.07))
+    x = complex_awgn(jax.random.PRNGKey(7), (nin,))
+    xpad = jnp.concatenate([jnp.zeros(k.hist, jnp.complex64), x])
+    planes = jnp.stack([jnp.real(xpad), jnp.imag(xpad)]).astype(jnp.float32)
+    word0 = (-k.hist * word) % (1 << 32)
+    yr, yi = mix_resample_pallas(k, word0, word, planes)
+    got = np.asarray(yr[0]) + 1j * np.asarray(yi[0])
+
+    _, mixed = nco_apply(jnp.asarray(word, jnp.uint32), nco_init(), x)
+    u = fir_full(jnp.asarray(h1), mixed)
+    ref = np.asarray(resample_full(jnp.asarray(h2), u, up, down))
+    n = min(len(got), len(ref))
+    rel = np.linalg.norm(got[:n] - ref[:n]) / np.linalg.norm(ref[:n])
+    assert rel < 5e-6, f"rel {rel:.2e}"
