@@ -77,7 +77,11 @@ def gardner_scan(state: GardnerState, x: jax.Array, sps: int,
         step, (state.tau, state.freq, jnp.zeros(state.tau.shape, CF32)),
         jnp.arange(nsym))
     sym = jnp.moveaxis(sym, 0, -1)
-    return GardnerState(tau=jnp.mod(tau, F32(sps)), freq=freq), sym
+    # tau is carried UNwrapped (the per-step clip already bounds it):
+    # wrapping mod sps at a block seam would turn a small negative jitter
+    # (-0.05) into sps-0.05 — a whole-symbol slip that permanently shears
+    # the output stream against the tx sequence
+    return GardnerState(tau=tau, freq=freq), sym
 
 
 class CostasState(NamedTuple):
@@ -91,19 +95,24 @@ def costas_init(channel_shape: tuple = ()) -> CostasState:
 
 
 def costas_scan(state: CostasState, sym: jax.Array, order: int,
-                kp: float = 0.1, ki: float = 0.01
+                kp: float = 0.1, ki: float = 0.01, offset: float = 0.0
                 ) -> tuple[CostasState, jax.Array]:
     """Decision-directed carrier tracking over symbol-rate samples.
 
     sym: [..., K] complex symbols (timing already recovered). Phase error is
-    the M-th-power detector e = angle(y^M)/M, which needs no decisions and
-    tolerates the same M-fold ambiguity as V&V. Returns derotated symbols.
+    the M-th-power detector e = angle(y^M * e^{-j*2*pi*offset})/M, which
+    needs no decisions and tolerates the same M-fold ambiguity as V&V.
+    `offset` is the constellation offset (0.5 for diagonal QPSK): without
+    the derotation an offset constellation's M-th power sits at angle pi,
+    where the detector sign is ambiguous and the loop chatters. Returns
+    derotated symbols.
     """
+    rot = jnp.exp(jnp.asarray(-1j * TWO_PI * offset)).astype(CF32)
 
     def step(carry, s):
         ph, fr = carry
         y = s * jnp.exp(-1j * ph).astype(CF32)
-        e = jnp.angle(y ** order) / order
+        e = jnp.angle((y ** order) * rot) / order
         fr2 = fr + ki * e
         ph2 = ph + kp * e + fr2
         return (ph2, fr2), y

@@ -156,6 +156,10 @@ def main(argv=None) -> None:
     p.add_argument("--block", type=int, default=1 << 16)
     p.add_argument("--ckpt", default=None)
     p.add_argument("--ckpt-every", type=int, default=16)
+    p.add_argument("--tracking", action="store_true",
+                   help="closed-loop Gardner/Costas tracking (fsk/psk) "
+                        "instead of the feedforward estimators — for "
+                        "captures with a drifting symbol clock")
     p.add_argument("--channels", type=int, default=64,
                    help="bank size M (channelize)")
     p.add_argument("--taps-per-phase", type=int, default=8,
@@ -183,14 +187,30 @@ def main(argv=None) -> None:
         from srcdsp_tpu.chains.fsk import fsk_apply, fsk_init, make_fsk_params
         params = make_fsk_params(args.center, args.taps, args.cutoff,
                                  args.decim, args.sps, args.dev)
-        _stream(args, params, fsk_init(params), fsk_apply, out_is_bits=True,
-                out_per_block=args.block // (args.decim * args.sps))
+        if args.tracking:
+            from srcdsp_tpu.chains.tracking import (
+                fsk_track_apply, fsk_track_init)
+            _stream(args, params, fsk_track_init(params), fsk_track_apply,
+                    out_is_bits=True,
+                    out_per_block=args.block // (args.decim * args.sps))
+        else:
+            _stream(args, params, fsk_init(params), fsk_apply,
+                    out_is_bits=True,
+                    out_per_block=args.block // (args.decim * args.sps))
     elif args.chain == "psk":
         from srcdsp_tpu.chains.psk import make_psk_params, psk_apply, psk_init
         params = make_psk_params(args.center, args.decim, args.sps,
                                  order=args.order)
-        _stream(args, params, psk_init(params), psk_apply, out_is_bits=True,
-                out_per_block=args.block // (args.decim * args.sps))
+        if args.tracking:
+            from srcdsp_tpu.chains.tracking import (
+                psk_track_apply, psk_track_init)
+            _stream(args, params, psk_track_init(params), psk_track_apply,
+                    out_is_bits=True,
+                    out_per_block=args.block // (args.decim * args.sps))
+        else:
+            _stream(args, params, psk_init(params), psk_apply,
+                    out_is_bits=True,
+                    out_per_block=args.block // (args.decim * args.sps))
     else:
         import jax.numpy as jnp
 

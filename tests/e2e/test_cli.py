@@ -173,3 +173,25 @@ def test_cli_psk_roundtrip(tmp_path):
         if n > 0:
             best = min(best, float(np.mean(b[bs:bs + n] != d[rs:rs + n])))
     assert best < 0.02
+
+
+def test_cli_fsk_tracking_flag(tmp_path):
+    decim, sps, dev, center = 4, 8, 0.05, 0.11
+    bits = random_bits(jax.random.PRNGKey(4), (1024,))
+    bb = fsk_baseband(bits, decim * sps, dev / decim)
+    x = np.asarray(bb * tone(bb.shape[-1], center))
+    cap = str(tmp_path / "cap.cf32")
+    write_capture(cap, x, CaptureMeta(fmt="cf32"))
+    out = str(tmp_path / "bits.u8")
+    cli_main(["fsk", cap, out, "--center", str(center), "--decim", str(decim),
+              "--sps", str(sps), "--dev", str(dev), "--block", "8192",
+              "--cutoff", "0.03", "--tracking"])
+    rx = np.fromfile(out, np.uint8)
+    b = np.asarray(bits)
+    best = 1.0
+    for lag in range(-32, 33):
+        bs, rs = 64 + max(lag, 0), 64 + max(-lag, 0)
+        n = min(len(b) - bs, len(rx) - rs)
+        if n > 0:
+            best = min(best, float(np.mean(b[bs:bs + n] != rx[rs:rs + n])))
+    assert best < 0.01
