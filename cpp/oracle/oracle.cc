@@ -229,6 +229,35 @@ void orc_timing_sample_c(const float* last, const float* x, long n, int sps,
   }
 }
 
+// ---------- C2 streaming: FIR with carried delay line ----------
+
+void orc_fir_stream(const float* x, long n, const float* taps, long t,
+                    int decim, float* hist_io, float* y) {
+  // Tail-in/tail-out form of orc_fir: hist_io carries the last t-1 input
+  // samples of the stream (interleaved complex, zeros at stream start).
+  // Feeding blocks b0, b1, ... yields outputs identical to one orc_fir
+  // call on the concatenation — the direct C++ twin of ops.fir.fir_apply's
+  // carried FirState.
+  const long h = t - 1;
+  const long total = h + n;
+  std::vector<float> xin(2 * total);
+  std::memcpy(xin.data(), hist_io, 2 * h * sizeof(float));
+  std::memcpy(xin.data() + 2 * h, x, 2 * n * sizeof(float));
+  const long nout = n / decim;
+  for (long j = 0; j < nout; ++j) {
+    const long c = h + j * decim;
+    double ar = 0.0, ai = 0.0;
+    for (long k = 0; k < t; ++k) {
+      const double hh = taps[k];
+      ar += hh * xin[2 * (c - k)];
+      ai += hh * xin[2 * (c - k) + 1];
+    }
+    y[2 * j] = static_cast<float>(ar);
+    y[2 * j + 1] = static_cast<float>(ai);
+  }
+  std::memcpy(hist_io, xin.data() + 2 * (total - h), 2 * h * sizeof(float));
+}
+
 // ---------- C10: polyphase channelizer ----------
 
 void orc_channelize(const float* x, long n, const float* proto, long t_raw,
@@ -262,6 +291,129 @@ void orc_channelize(const float* x, long n, const float* proto, long t_raw,
       y[2 * (static_cast<long>(ch) * kframes + k)] = static_cast<float>(ar);
       y[2 * (static_cast<long>(ch) * kframes + k) + 1] =
           static_cast<float>(ai);
+    }
+  }
+}
+
+void orc_channelize_stream(const float* x, long n, const float* proto,
+                           long t_raw, int m, float* hist_io, float* y) {
+  // Tail-in/tail-out analysis bank: hist_io carries the last T-1 wideband
+  // samples (T = prototype zero-padded to a multiple of m; interleaved
+  // complex, zeros at stream start). Block outputs concatenated over calls
+  // equal one orc_channelize call — the C++ twin of
+  // chains.channelizer.channelize_apply's carried ChannelizerState.
+  const long t = ((t_raw + m - 1) / m) * m;
+  const long h = t - 1;
+  std::vector<double> hh(t, 0.0);
+  for (long j = 0; j < t_raw; ++j) hh[j] = proto[j];
+  const long total = h + n;
+  std::vector<float> xin(2 * total);
+  std::memcpy(xin.data(), hist_io, 2 * h * sizeof(float));
+  std::memcpy(xin.data() + 2 * h, x, 2 * n * sizeof(float));
+  const long kframes = n / m;
+  std::vector<double> vr(m), vi(m);
+  for (long k = 0; k < kframes; ++k) {
+    for (int p = 0; p < m; ++p) { vr[p] = 0.0; vi[p] = 0.0; }
+    const long c = h + k * m;  // frame anchor in xin
+    for (long j = 0; j < t; ++j) {
+      const long idx = c - j;
+      const int p = static_cast<int>(j % m);
+      vr[p] += hh[j] * xin[2 * idx];
+      vi[p] += hh[j] * xin[2 * idx + 1];
+    }
+    for (int ch = 0; ch < m; ++ch) {
+      double ar = 0.0, ai = 0.0;
+      for (int p = 0; p < m; ++p) {
+        const double ang = kTwoPi * ch * p / m;
+        const double c_ = std::cos(ang), s_ = std::sin(ang);
+        ar += vr[p] * c_ - vi[p] * s_;
+        ai += vr[p] * s_ + vi[p] * c_;
+      }
+      y[2 * (static_cast<long>(ch) * kframes + k)] = static_cast<float>(ar);
+      y[2 * (static_cast<long>(ch) * kframes + k) + 1] =
+          static_cast<float>(ai);
+    }
+  }
+  std::memcpy(hist_io, xin.data() + 2 * (total - h), 2 * h * sizeof(float));
+}
+
+void orc_channelize_os2(const float* x, long n, const float* proto,
+                        long t_raw, int m, float* y) {
+  // 2x-oversampled analysis (chains.channelizer.channelize_os2_apply from
+  // rest): frames advance by hop = m/2;
+  //   y[ch][k] = (-1)^{ch*k} sum_j h[j] x[k*hop - j] e^{+j*2*pi*ch*j/m}
+  const long t = ((t_raw + m - 1) / m) * m;
+  std::vector<double> hh(t, 0.0);
+  for (long j = 0; j < t_raw; ++j) hh[j] = proto[j];
+  const int hop = m / 2;
+  const long kframes = n / hop;
+  std::vector<double> vr(m), vi(m);
+  for (long k = 0; k < kframes; ++k) {
+    for (int p = 0; p < m; ++p) { vr[p] = 0.0; vi[p] = 0.0; }
+    for (long j = 0; j < t; ++j) {
+      const long idx = k * hop - j;
+      if (idx < 0) break;
+      const int p = static_cast<int>(j % m);
+      vr[p] += hh[j] * x[2 * idx];
+      vi[p] += hh[j] * x[2 * idx + 1];
+    }
+    for (int ch = 0; ch < m; ++ch) {
+      double ar = 0.0, ai = 0.0;
+      for (int p = 0; p < m; ++p) {
+        const double ang = kTwoPi * ch * p / m;
+        const double c_ = std::cos(ang), s_ = std::sin(ang);
+        ar += vr[p] * c_ - vi[p] * s_;
+        ai += vr[p] * s_ + vi[p] * c_;
+      }
+      const double tw = ((static_cast<long>(ch) * k) % 2 == 1) ? -1.0 : 1.0;
+      y[2 * (static_cast<long>(ch) * kframes + k)] =
+          static_cast<float>(ar * tw);
+      y[2 * (static_cast<long>(ch) * kframes + k) + 1] =
+          static_cast<float>(ai * tw);
+    }
+  }
+}
+
+void orc_synthesize(const float* y, int m, long kframes, const float* proto,
+                    long t_raw, float* x) {
+  // Polyphase synthesis bank (chains.channelizer.synthesize_apply from
+  // rest). y: channel-major [m][kframes] interleaved complex ->
+  // x: [kframes*m] wideband.
+  //   v[k][q]   = sum_ch y[ch][k] e^{+j*2*pi*ch*q/m}
+  //   x[k*m+q]  = m * sum_l f_q[l] v[k-l][q],  f_q[l] = h[l*m+q], v[<0]=0
+  const long t = ((t_raw + m - 1) / m) * m;
+  const long pp = t / m;
+  std::vector<double> hh(t, 0.0);
+  for (long j = 0; j < t_raw; ++j) hh[j] = proto[j];
+  // phase frames v[k][q]
+  std::vector<double> vrr(kframes * m), vii(kframes * m);
+  for (long k = 0; k < kframes; ++k) {
+    for (int q = 0; q < m; ++q) {
+      double ar = 0.0, ai = 0.0;
+      for (int ch = 0; ch < m; ++ch) {
+        const double ang = kTwoPi * ch * q / m;
+        const double c_ = std::cos(ang), s_ = std::sin(ang);
+        const double yr = y[2 * (static_cast<long>(ch) * kframes + k)];
+        const double yi = y[2 * (static_cast<long>(ch) * kframes + k) + 1];
+        ar += yr * c_ - yi * s_;
+        ai += yr * s_ + yi * c_;
+      }
+      vrr[k * m + q] = ar;
+      vii[k * m + q] = ai;
+    }
+  }
+  for (long k = 0; k < kframes; ++k) {
+    for (int q = 0; q < m; ++q) {
+      double ar = 0.0, ai = 0.0;
+      for (long l = 0; l < pp; ++l) {
+        const long kf = k - l;
+        if (kf < 0) break;
+        const double f = hh[l * m + q];
+        ar += f * vrr[kf * m + q];
+        ai += f * vii[kf * m + q];
+      }
+      x[2 * (k * m + q)] = static_cast<float>(ar * m);
+      x[2 * (k * m + q) + 1] = static_cast<float>(ai * m);
     }
   }
 }

@@ -167,6 +167,75 @@ def channelize(x: np.ndarray, proto: np.ndarray, m: int) -> np.ndarray:
     return out
 
 
+def fir_stream(x: np.ndarray, taps: np.ndarray, hist: np.ndarray,
+               decim: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Streaming FIR with a carried delay line (C++ twin of fir_apply).
+
+    hist: [T-1] complex64 tail (zeros at stream start). Returns
+    (y [N/decim], new_hist). Concatenated block outputs == one fir() call.
+    """
+    x = _cf(x)
+    taps = np.ascontiguousarray(taps, np.float32)
+    hist = np.ascontiguousarray(hist, np.complex64).copy()
+    assert hist.size == taps.size - 1
+    out = np.empty(x.size // decim, np.complex64)
+    _lib().orc_fir_stream(_fp(x.view(np.float32)), ctypes.c_long(x.size),
+                          _fp(taps), ctypes.c_long(taps.size),
+                          ctypes.c_int(decim), _fp(hist.view(np.float32)),
+                          _fp(out.view(np.float32)))
+    return out, hist
+
+
+def channelize_stream(x: np.ndarray, proto: np.ndarray, m: int,
+                      hist: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Streaming analysis bank with a carried tail (C++ twin of
+    channelize_apply). hist: [T-1] complex64 (T = prototype padded to a
+    multiple of m). Returns (y [m, N/m], new_hist)."""
+    x = _cf(x)
+    proto = np.ascontiguousarray(proto, np.float32)
+    t = ((proto.size + m - 1) // m) * m
+    hist = np.ascontiguousarray(hist, np.complex64).copy()
+    assert hist.size == t - 1, (hist.size, t - 1)
+    k = x.size // m
+    out = np.empty((m, k), np.complex64)
+    _lib().orc_channelize_stream(_fp(x.view(np.float32)),
+                                 ctypes.c_long(x.size), _fp(proto),
+                                 ctypes.c_long(proto.size), ctypes.c_int(m),
+                                 _fp(hist.view(np.float32)),
+                                 _fp(out.view(np.float32)))
+    return out, hist
+
+
+def channelize_os2(x: np.ndarray, proto: np.ndarray, m: int) -> np.ndarray:
+    """2x-oversampled analysis bank from rest (twin of channelize_os2_apply):
+    frames advance by m/2, per-frame twiddle (-1)^{ch*k}."""
+    x = _cf(x)
+    proto = np.ascontiguousarray(proto, np.float32)
+    k = x.size // (m // 2)
+    out = np.empty((m, k), np.complex64)
+    _lib().orc_channelize_os2(_fp(x.view(np.float32)), ctypes.c_long(x.size),
+                              _fp(proto), ctypes.c_long(proto.size),
+                              ctypes.c_int(m), _fp(out.view(np.float32)))
+    return out
+
+
+def synthesize(y: np.ndarray, proto: np.ndarray, m: int) -> np.ndarray:
+    """Polyphase synthesis bank from rest (twin of synthesize_apply).
+
+    y: [m, K] channel streams -> x: [K*m] wideband.
+    """
+    y = np.ascontiguousarray(y, np.complex64)
+    proto = np.ascontiguousarray(proto, np.float32)
+    mm, k = y.shape
+    assert mm == m
+    out = np.empty(k * m, np.complex64)
+    _lib().orc_synthesize(_fp(y.view(np.float32)), ctypes.c_int(m),
+                          ctypes.c_long(k), _fp(proto),
+                          ctypes.c_long(proto.size),
+                          _fp(out.view(np.float32)))
+    return out
+
+
 def psk_demod(x: np.ndarray, center_freq: float, taps: np.ndarray,
               decim: int, sps: int, order: int) -> np.ndarray:
     """Full M-PSK chain from oracle primitives (mirrors chains.psk.psk_apply):

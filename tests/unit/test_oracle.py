@@ -182,3 +182,91 @@ def test_psk_chain_vs_oracle():
     b = np.asarray(data)
     assert ser(b, np.asarray(dd(jnp.asarray(ref_idx), order))) == 0.0
     assert ser(b, np.asarray(dd(got_idx, order))) == 0.0
+
+
+def _snr(ref, got):
+    err = np.asarray(ref) - np.asarray(got)
+    return 10 * np.log10(np.mean(np.abs(np.asarray(ref)) ** 2)
+                         / (np.mean(np.abs(err) ** 2) + 1e-30))
+
+
+def test_fir_stream_vs_oneshot(noise):
+    """orc_fir_stream: blocks with carried tail == one orc_fir call, and
+    matches the JAX streaming fir_apply (>100 dB)."""
+    from srcdsp_tpu.ops.fir import FirState, fir_apply, fir_init
+
+    taps = np.asarray(lowpass(33, 0.2))
+    x = noise[:1 << 12]
+    ref = oracle.fir(x, taps, decim=2)
+    hist = np.zeros(32, np.complex64)
+    parts = []
+    for b in range(4):
+        y, hist = oracle.fir_stream(x[b * 1024:(b + 1) * 1024], taps, hist,
+                                    decim=2)
+        parts.append(y)
+    np.testing.assert_array_equal(np.concatenate(parts), ref)
+
+    st = fir_init(33)
+    jparts = []
+    for b in range(4):
+        st, y = fir_apply(jnp.asarray(taps), st,
+                          jnp.asarray(x[b * 1024:(b + 1) * 1024]), decim=2)
+        jparts.append(np.asarray(y))
+    assert _snr(ref, np.concatenate(jparts)) > 100
+
+
+def test_channelize_stream_vs_oneshot(noise):
+    """orc_channelize_stream: carried tail == one orc_channelize call, and
+    matches JAX channelize_apply streaming (>100 dB)."""
+    from srcdsp_tpu.chains.channelizer import (
+        channelize_apply, channelizer_init, pad_prototype)
+
+    m = 8
+    proto = design_prototype(m, taps_per_phase=4)
+    t = int(pad_prototype(proto, m).shape[0])
+    x = noise[:2048]
+    ref = oracle.channelize(x, proto, m)
+    hist = np.zeros(t - 1, np.complex64)
+    parts = []
+    for b in range(2):
+        y, hist = oracle.channelize_stream(x[b * 1024:(b + 1) * 1024], proto,
+                                           m, hist)
+        parts.append(y)
+    np.testing.assert_array_equal(np.concatenate(parts, axis=-1), ref)
+
+    st = channelizer_init(proto, m)
+    jparts = []
+    for b in range(2):
+        st, y = channelize_apply(proto, st,
+                                 jnp.asarray(x[b * 1024:(b + 1) * 1024]), m)
+        jparts.append(np.asarray(y))
+    assert _snr(ref, np.concatenate(jparts, axis=-1)) > 100
+
+
+def test_channelize_os2_vs_oracle(noise):
+    from srcdsp_tpu.chains.channelizer import channelize_os2_full
+
+    m = 8
+    proto = design_prototype(m, taps_per_phase=4)
+    x = noise[:2048]
+    ref = oracle.channelize_os2(x, proto, m)
+    got = np.asarray(channelize_os2_full(proto, jnp.asarray(x), m))
+    assert _snr(ref, got) > 100
+
+
+def test_synthesize_vs_oracle(noise):
+    from srcdsp_tpu.chains.channelizer import (
+        channelize_full, synthesize_apply, synthesizer_init)
+
+    m = 8
+    proto = design_prototype(m, taps_per_phase=4)
+    x = noise[:2048]
+    y = np.asarray(channelize_full(proto, jnp.asarray(x), m))
+    ref = oracle.synthesize(y, proto, m)
+    st = synthesizer_init(proto, m)
+    _, got = synthesize_apply(proto, st, jnp.asarray(y), m)
+    # the reconstruction-fidelity property itself is covered by
+    # test_channelizer.test_synthesis_reconstructs (in-band content; a
+    # critically-sampled bank cannot reconstruct broadband noise); here the
+    # contract is that the C++ oracle and the JAX bank agree
+    assert _snr(ref, np.asarray(got)) > 100
