@@ -117,8 +117,9 @@ def _kernel(x_hbm, w1c_ref, w2tc_ref, w2cc_ref, g2c_ref, twf_ref, twi_ref,
     x2_l = mm(y_l, w2tc_ref[:, :])
     x2r, x2i = x2_l[:, :n2], x2_l[:, n2:]
 
-    # --- frequency multiply (row-tiled [B*n1, n2] constants)
-    hr, hi = h2_ref[0], h2_ref[1]
+    # --- frequency multiply (row-tiled [B*n1, n2] constants; leading block
+    # dim selects this channel's response when taps are per-channel)
+    hr, hi = h2_ref[0, 0], h2_ref[0, 1]
     zr = x2r * hr - x2i * hi
     zi = x2r * hi + x2i * hr
     z_l = jnp.concatenate([zr, zi], axis=1)
@@ -174,6 +175,12 @@ def make_fftconv_kernel(taps, fft_size: int = 4096, num_channels: int = 1,
                         interpret: bool = False) -> FftConvKernel:
     """Build the fused kernel for a fixed tap set / FFT size / tiling.
 
+    `taps` may be [T] (one filter shared by all channels) or [C, T]
+    (per-channel filters — the reference's independent per-channel
+    objects): per-channel frequency responses are staged as one
+    [C, 2, B*n1, n2] constant and the grid's channel step selects its
+    block.
+
     Requirements: fft_size % n2 == 0, n2 % 128 == 0, n1 = fft_size/n2 % 8
     == 0, and the lane-aligned overlap (taps-1 rounded up so hop/n2 is a
     multiple of 8) must leave hop > 0. For 1024 taps at 4096/n2=128:
@@ -181,7 +188,10 @@ def make_fftconv_kernel(taps, fft_size: int = 4096, num_channels: int = 1,
     reach (it needs hop | fft_size; here only hop % n2 == 0 is needed).
     """
     taps = np.asarray(taps, np.float64)
-    t = len(taps)
+    per_channel = taps.ndim == 2
+    if per_channel and taps.shape[0] != num_channels:
+        raise ValueError(f"per-channel taps {taps.shape} != C={num_channels}")
+    t = taps.shape[-1]
     if fft_size % n2 != 0:
         raise ValueError(f"fft_size {fft_size} % n2 {n2} != 0")
     n1 = fft_size // n2
@@ -210,8 +220,16 @@ def make_fftconv_kernel(taps, fft_size: int = 4096, num_channels: int = 1,
     twf = np.exp(-2j * np.pi * np.outer(np.arange(n1), np.arange(n2))
                  / fft_size)
     # frequency response in [k1, k2] layout: H2[k1, k2] = H[k1 + n1*k2]
-    hfull = np.fft.fft(taps, n=fft_size)
-    h2 = hfull.reshape(n2, n1).T
+    def _h_tiled(h1d):
+        h2 = np.fft.fft(h1d, n=fft_size).reshape(n2, n1).T
+        return np.stack([np.tile(h2.real, (b_frames, 1)),
+                         np.tile(h2.imag, (b_frames, 1))]).astype(np.float32)
+
+    if per_channel:
+        h2_t = jnp.asarray(np.stack([_h_tiled(taps[c])
+                                     for c in range(num_channels)]))
+    else:
+        h2_t = jnp.asarray(_h_tiled(taps))[None]    # [Ct, 2, B*n1, n2]
 
     w1c = jnp.asarray(_lhs_comb(w1))
     w2tc = jnp.asarray(_rhs_comb(w2t))
@@ -224,9 +242,6 @@ def make_fftconv_kernel(taps, fft_size: int = 4096, num_channels: int = 1,
     twi_t = jnp.asarray(np.stack([np.tile(twf.real, (b_frames, 1)),
                                   np.tile(-twf.imag, (b_frames, 1))]
                                  ).astype(np.float32))    # [2, B*n1, n2]
-    h2_t = jnp.asarray(np.stack([np.tile(h2.real, (b_frames, 1)),
-                                 np.tile(h2.imag, (b_frames, 1))]
-                                ).astype(np.float32))     # [2, B*n1, n2]
 
     def fn(x):
         c, two, r, nn2 = x.shape
@@ -258,8 +273,13 @@ def make_fftconv_kernel(taps, fft_size: int = 4096, num_channels: int = 1,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, b_frames * n1, n2), lambda c, i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, b_frames * n1, n2), lambda c, i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
+                # H [Ct, 2, B*n1, n2]: channel step selects its response
+                # (index 0 when taps are shared, Ct == 1)
+                pl.BlockSpec(
+                    (1, 2, b_frames * n1, n2),
+                    (lambda c, i: (c, 0, 0, 0)) if per_channel
+                    else (lambda c, i: (0, 0, 0, 0)),
+                    memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((1, b_frames * hs, n2), lambda c, i: (c, i, 0),
@@ -281,6 +301,25 @@ def make_fftconv_kernel(taps, fft_size: int = 4096, num_channels: int = 1,
     return FftConvKernel(fn=fn, fft_size=fft_size, hop=hop, overlap=overlap,
                          num_taps=t, n1=n1, n2=n2, b_frames=b_frames,
                          num_channels=num_channels)
+
+
+class FftConvStream:
+    """Streaming driver for the fused OS kernel: manages the carried
+    overlap prefix so callers feed raw [C, 2, N] plane chunks (N a multiple
+    of kernel.block_in()) and receive filtered planes. Chunked output is
+    bit-identical to one-shot (identical frames — see the streaming test).
+    """
+
+    def __init__(self, kernel: FftConvKernel):
+        self.kernel = kernel
+        self.hist = jnp.zeros((kernel.num_channels, 2, kernel.overlap),
+                              jnp.float32)
+
+    def process(self, x_chunk: jax.Array) -> tuple[jax.Array, jax.Array]:
+        xin = jnp.concatenate([self.hist, x_chunk], axis=-1)
+        yr, yi = fftconv_pallas(self.kernel, xin)
+        self.hist = xin[..., xin.shape[-1] - self.kernel.overlap:]
+        return yr, yi
 
 
 def fftconv_pallas(kernel: FftConvKernel, x_planes: jax.Array
