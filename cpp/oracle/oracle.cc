@@ -418,4 +418,91 @@ void orc_synthesize(const float* y, int m, long kframes, const float* proto,
   }
 }
 
+void orc_synthesize_os2(const float* y, int m, long kframes,
+                        const float* proto, long t_raw, float* x) {
+  // 2x-oversampled synthesis (chains.channelizer.synthesize_os2_apply
+  // from rest). y: [m][kframes] channel-major interleaved complex (frames
+  // at rate 2fs/M, analysis twiddle already folded in) ->
+  // x: [kframes*m/2] wideband.
+  //   v[k][q] = sum_ch y[ch][k] e^{+j*2*pi*ch*q/m}
+  //   x[n]    = hop * sum_l f[l*hop + r] v[k-l][(k*hop + r) mod m],
+  //             n = k*hop + r, r in [0, hop), hop = m/2, v[<0] = 0
+  const long t = ((t_raw + m - 1) / m) * m;
+  const int hop = m / 2;
+  const long lags = t / hop;  // 2P frame lags overlap each hop
+  std::vector<double> hh(t, 0.0);
+  for (long j = 0; j < t_raw; ++j) hh[j] = proto[j];
+  std::vector<double> vrr(kframes * m), vii(kframes * m);
+  for (long k = 0; k < kframes; ++k) {
+    for (int q = 0; q < m; ++q) {
+      double ar = 0.0, ai = 0.0;
+      for (int ch = 0; ch < m; ++ch) {
+        const double ang = kTwoPi * ch * q / m;
+        const double c_ = std::cos(ang), s_ = std::sin(ang);
+        const double yr = y[2 * (static_cast<long>(ch) * kframes + k)];
+        const double yi = y[2 * (static_cast<long>(ch) * kframes + k) + 1];
+        ar += yr * c_ - yi * s_;
+        ai += yr * s_ + yi * c_;
+      }
+      vrr[k * m + q] = ar;
+      vii[k * m + q] = ai;
+    }
+  }
+  for (long k = 0; k < kframes; ++k) {
+    for (int r = 0; r < hop; ++r) {
+      const int q = static_cast<int>((k * hop + r) % m);
+      double ar = 0.0, ai = 0.0;
+      for (long l = 0; l < lags; ++l) {
+        const long kf = k - l;
+        if (kf < 0) break;
+        const double f = hh[l * hop + r];
+        ar += f * vrr[kf * m + q];
+        ai += f * vii[kf * m + q];
+      }
+      x[2 * (k * hop + r)] = static_cast<float>(ar * hop);
+      x[2 * (k * hop + r) + 1] = static_cast<float>(ai * hop);
+    }
+  }
+}
+
+void orc_resample_stream(const float* x, long n, const float* taps, long t,
+                         int up, int down, float* hist_io, long* off_io,
+                         float* y) {
+  // Tail-in/tail-out rational resampler: hist_io carries the last
+  // ceil((t-1)/up) input samples (interleaved complex, zeros at stream
+  // start); off_io carries the output-phase remainder (0 at start).
+  // Block outputs concatenated over calls == one orc_resample call.
+  const long hist = (t - 1 + up - 1) / up;  // input-domain history
+  const long total = hist + n;
+  std::vector<float> xin(2 * total);
+  std::memcpy(xin.data(), hist_io, 2 * hist * sizeof(float));
+  std::memcpy(xin.data() + 2 * hist, x, 2 * n * sizeof(float));
+  // global output index j consumed so far: off_io holds j0 such that the
+  // stream position of xin[hist] (this block's first sample) is i0 = j0
+  // outputs already emitted <=> global input index g0 with j0 = emitted.
+  const long g0 = *off_io;                 // global input samples consumed
+  const long j0 = (g0 * up) / down;        // outputs emitted by prior blocks
+  const long jend = ((g0 + n) * up) / down;      // outputs after this block
+  for (long j = j0; j < jend; ++j) {
+    const long c = j * down;               // global zero-stuffed index
+    double ar = 0.0, ai = 0.0;
+    for (long k = 0; k < t; ++k) {
+      const long ui = c - k;
+      if (ui < 0) break;
+      if (ui % up != 0) continue;
+      const long i = ui / up;              // global input index
+      const long local = i - g0 + hist;    // index into xin
+      if (local < 0 || local >= total) continue;
+      const double h = taps[k];
+      ar += h * xin[2 * local];
+      ai += h * xin[2 * local + 1];
+    }
+    y[2 * (j - j0)] = static_cast<float>(ar);
+    y[2 * (j - j0) + 1] = static_cast<float>(ai);
+  }
+  *off_io = g0 + n;
+  std::memcpy(hist_io, xin.data() + 2 * (total - hist),
+              2 * hist * sizeof(float));
+}
+
 }  // extern "C"

@@ -219,6 +219,47 @@ def channelize_os2(x: np.ndarray, proto: np.ndarray, m: int) -> np.ndarray:
     return out
 
 
+def synthesize_os2(y: np.ndarray, proto: np.ndarray, m: int) -> np.ndarray:
+    """2x-oversampled synthesis bank from rest (twin of
+    synthesize_os2_apply). y: [m, K] -> x: [K*m/2] wideband."""
+    y = np.ascontiguousarray(y, np.complex64)
+    proto = np.ascontiguousarray(proto, np.float32)
+    mm, k = y.shape
+    assert mm == m
+    out = np.empty(k * (m // 2), np.complex64)
+    _lib().orc_synthesize_os2(_fp(y.view(np.float32)), ctypes.c_int(m),
+                              ctypes.c_long(k), _fp(proto),
+                              ctypes.c_long(proto.size),
+                              _fp(out.view(np.float32)))
+    return out
+
+
+def resample_stream(x: np.ndarray, taps: np.ndarray, up: int, down: int,
+                    hist: np.ndarray, offset: int
+                    ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Streaming rational resampler with carried input tail + output phase.
+
+    hist: [ceil((T-1)/up)] complex64 (zeros at start); offset: global input
+    samples consumed so far (0 at start). Returns (y, new_hist,
+    new_offset); outputs concatenated over blocks == one resample() call.
+    """
+    x = _cf(x)
+    taps = np.ascontiguousarray(taps, np.float32)
+    h = (taps.size - 1 + up - 1) // up
+    hist = np.ascontiguousarray(hist, np.complex64).copy()
+    assert hist.size == h, (hist.size, h)
+    j0 = (offset * up) // down
+    jend = ((offset + x.size) * up) // down
+    out = np.empty(jend - j0, np.complex64)
+    off = ctypes.c_long(offset)
+    _lib().orc_resample_stream(_fp(x.view(np.float32)), ctypes.c_long(x.size),
+                               _fp(taps), ctypes.c_long(taps.size),
+                               ctypes.c_int(up), ctypes.c_int(down),
+                               _fp(hist.view(np.float32)), ctypes.byref(off),
+                               _fp(out.view(np.float32)))
+    return out, hist, int(off.value)
+
+
 def synthesize(y: np.ndarray, proto: np.ndarray, m: int) -> np.ndarray:
     """Polyphase synthesis bank from rest (twin of synthesize_apply).
 

@@ -270,3 +270,35 @@ def test_synthesize_vs_oracle(noise):
     # critically-sampled bank cannot reconstruct broadband noise); here the
     # contract is that the C++ oracle and the JAX bank agree
     assert _snr(ref, np.asarray(got)) > 100
+
+
+def test_synthesize_os2_vs_oracle(noise):
+    from srcdsp_tpu.chains.channelizer import (
+        channelize_os2_full, synthesize_os2_apply, synthesizer_os2_init)
+
+    m = 8
+    proto = design_prototype(m, taps_per_phase=4)
+    x = noise[:2048]
+    y = np.asarray(channelize_os2_full(proto, jnp.asarray(x), m))
+    ref = oracle.synthesize_os2(y, proto, m)
+    st = synthesizer_os2_init(proto, m)
+    _, got = synthesize_os2_apply(proto, st, jnp.asarray(y), m)
+    assert _snr(ref, np.asarray(got)) > 100
+
+
+def test_resample_stream_vs_oneshot(noise):
+    up, down = 3, 4
+    taps = np.asarray(lowpass(48, 0.3 / down))
+    x = noise[:4000]
+    ref = oracle.resample(x, taps, up, down)
+    h = (len(taps) - 1 + up - 1) // up
+    hist = np.zeros(h, np.complex64)
+    off = 0
+    parts = []
+    for blk in (1000, 1500, 1500):      # uneven splits exercise the phase
+        y, hist, off2 = oracle.resample_stream(x[off:off + blk], taps, up,
+                                               down, hist, off)
+        off = off2
+        parts.append(y)
+    got = np.concatenate(parts)
+    np.testing.assert_array_equal(got, ref[:len(got)])
