@@ -32,6 +32,27 @@ def _enable_compile_cache() -> None:
         pass
 
 
+
+def _time_median(step, args, iters: int, trials: int = 7):
+    """Median of `trials` timed runs of `iters` dispatches (variance
+    control: single draws through the tunnel vary +-30%). Returns
+    (median_secs_per_iter, [min, max] secs)."""
+    import time
+
+    import jax
+    import numpy as np
+
+    y = step(*args)
+    jax.block_until_ready(y)
+    ts = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = step(*args)
+        jax.block_until_ready(y)
+        ts.append((time.perf_counter() - t0) / iters)
+    return float(np.median(ts)), [min(ts), max(ts)]
+
 def run_config(name: str, use_pallas: bool = False, iters: int = 20,
                profile_dir: str | None = None, **kw) -> dict:
     import jax
@@ -57,13 +78,7 @@ def run_config(name: str, use_pallas: bool = False, iters: int = 20,
             out = step(*args)
             jax.block_until_ready(out)
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = step(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
+    best, _rng = _time_median(step, args, iters)
 
     msps = built.samples_per_call / best / 1e6
     rec = {
@@ -97,15 +112,7 @@ def run_fft(iters: int = 20, n: int = 4096, batch: int = 1024) -> dict:
     rng = np.random.default_rng(0)
     xr = jax.device_put(jnp.asarray(rng.standard_normal((batch, n)), jnp.float32))
     xi = jax.device_put(jnp.asarray(rng.standard_normal((batch, n)), jnp.float32))
-    y = fft(xr, xi)
-    jax.block_until_ready(y)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            y = fft(xr, xi)
-        jax.block_until_ready(y)
-        best = min(best, (time.perf_counter() - t0) / iters)
+    best, _rng = _time_median(fft, (xr, xi), iters)
     return {
         "config": "fft",
         "platform": jax.default_backend(),
@@ -166,15 +173,7 @@ def run_config4_onchip(iters: int = 10, channels: int = 10,
         ts = jax.device_put(jnp.asarray(ts))
         step = jax.jit(lambda p: fsk_demod_planes(
             k, words0, words, p, sps, tc, ts))
-    y = step(planes)
-    jax.block_until_ready(y)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            y = step(planes)
-        jax.block_until_ready(y)
-        best = min(best, (time.perf_counter() - t0) / iters)
+    best, _rng = _time_median(step, (planes,), iters)
     agg = channels * n / best / 1e6
     return {
         "config": "config4_onchip",
@@ -242,15 +241,7 @@ def run_config2_onchip(iters: int = 10, n: int = 1 << 22,
         f = jax.jit(step)
         args = (planes,)
 
-    y = f(*args)
-    jax.block_until_ready(y)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            y = f(*args)
-        jax.block_until_ready(y)
-        best = min(best, (time.perf_counter() - t0) / iters)
+    best, _rng = _time_median(f, args, iters)
     return {
         "config": "config2_onchip",
         "platform": jax.default_backend(),
@@ -310,15 +301,7 @@ def run_config3_onchip(iters: int = 10, channels: int = 16,
         step = jax.jit(all_ch)
         args = (xr, xi)
 
-    y = step(*args)
-    jax.block_until_ready(y)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            y = step(*args)
-        jax.block_until_ready(y)
-        best = min(best, (time.perf_counter() - t0) / iters)
+    best, _rng = _time_median(step, args, iters)
     agg = channels * n / best / 1e6
     # 5NlogN-terms GFLOP/s: 2 FFTs (fwd+inv) per frame of fft_size samples,
     # frames advance by hop
@@ -420,15 +403,7 @@ def run_config5_onchip(iters: int = 10, num_channels: int = 64,
         f = jax.jit(step)
         args = (xr, xi)
 
-    y = f(*args)
-    jax.block_until_ready(y)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            y = f(*args)
-        jax.block_until_ready(y)
-        best = min(best, (time.perf_counter() - t0) / iters)
+    best, _rng = _time_median(f, args, iters)
     return {
         "config": "config5_onchip",
         "platform": jax.default_backend(),
