@@ -88,11 +88,19 @@ def combine_fir_resample_taps(fir_taps, resample_taps, up: int) -> np.ndarray:
 def make_mix_resample_kernel(taps, up: int, down: int, out_tile: int = 512,
                              b_rows: int = 8, block_cols: int = 128,
                              precision=jax.lax.Precision.HIGHEST,
+                             hist_round: int = LANE,
                              interpret: bool = False) -> MixFirKernel:
     """Fused mix + L/M resample: x [2, HX+NIN] -> planes [NT, OT].
 
     NIN input samples produce NIN*up/down outputs; NIN must be a multiple of
     block_in() = b_rows*out_tile*down/up.
+
+    hist_round: alignment of the history prefix. The slab DMA start offsets
+    are multiples of b_rows*row_stride regardless of hist, so smaller
+    roundings are legal when Mosaic accepts the unaligned VMEM window
+    slices — for long combined tap sets (combine_fir_resample_taps) the
+    default lane rounding pads the Toeplitz band with up to 127 zero rows
+    of pure MXU waste; hist_round=8 trims them.
     """
     taps = np.asarray(taps, np.float32)
     if (out_tile * down) % up != 0 or (block_cols * down) % up != 0:
@@ -104,7 +112,7 @@ def make_mix_resample_kernel(taps, up: int, down: int, out_tile: int = 512,
         if out_tile % LANE != 0:
             raise ValueError(f"out_tile must be a multiple of 128, got {out_tile}")
     t = taps.shape[0]
-    hist = _round_up(-(-(t - 1) // up), LANE)   # ceil((T-1)/up) -> lane pad
+    hist = _round_up(-(-(t - 1) // up), hist_round)  # ceil((T-1)/up) aligned
     row_stride = (out_tile * down) // up
     blk_stride = (block_cols * down) // up
     span = row_stride + hist

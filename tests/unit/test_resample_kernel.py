@@ -65,3 +65,27 @@ def test_combined_taps_fuse_fir_then_resample():
     n = min(len(got), len(ref))
     rel = np.linalg.norm(got[:n] - ref[:n]) / np.linalg.norm(ref[:n])
     assert rel < 5e-6, f"rel {rel:.2e}"
+
+
+def test_combined_taps_tight_hist_round():
+    """hist_round=8 (trimmed Toeplitz band) is numerically identical to the
+    lane-rounded default in interpret mode."""
+    from srcdsp_tpu.kernels.resample_pallas import combine_fir_resample_taps
+
+    up, down = 3, 4
+    hc = combine_fir_resample_taps(lowpass(128, 0.2), lowpass(48, 0.3), up)
+    word = int(freq_to_word(0.07))
+    outs = []
+    for hr in (128, 8):
+        k = make_mix_resample_kernel(hc, up, down, out_tile=384, b_rows=2,
+                                     block_cols=384, hist_round=hr,
+                                     interpret=True)
+        nin = 2 * k.block_in()
+        x = complex_awgn(jax.random.PRNGKey(9), (nin,))
+        xpad = jnp.concatenate([jnp.zeros(k.hist, jnp.complex64), x])
+        planes = jnp.stack([jnp.real(xpad), jnp.imag(xpad)]).astype(jnp.float32)
+        word0 = (-k.hist * word) % (1 << 32)
+        yr, yi = mix_resample_pallas(k, word0, word, planes)
+        outs.append(np.asarray(yr[0]) + 1j * np.asarray(yi[0]))
+    rel = np.linalg.norm(outs[0] - outs[1]) / np.linalg.norm(outs[0])
+    assert rel < 1e-6, f"rel {rel:.2e}"
