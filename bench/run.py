@@ -187,12 +187,14 @@ def run_config4_onchip(iters: int = 10, channels: int = 10,
 
 
 def run_config2_onchip(iters: int = 10, n: int = 1 << 22,
-                       fused: bool = True) -> dict:
+                       fused: bool = True, channels: int = 1,
+                       hist_round: int = 128) -> dict:
     """Config 2 on-chip. fused=True folds the whole chain (NCO mix +
     128-tap FIR + 3/4 resample) into ONE stride-L Toeplitz kernel via
     combined taps hc = h_resample conv up_3(h_fir) — one pallas_call, one
-    HBM pass. fused=False is the round-1 two-kernel path (mix+FIR kernel,
-    HBM round-trip, resampler kernel)."""
+    HBM pass; channels>1 uses the multi-channel grid (BASELINE config 2 is
+    4 channels; n is PER CHANNEL). fused=False is the round-1 two-kernel
+    path (mix+FIR kernel, HBM round-trip, resampler kernel)."""
     import time
 
     import jax
@@ -200,18 +202,36 @@ def run_config2_onchip(iters: int = 10, n: int = 1 << 22,
     import numpy as np
     from srcdsp_tpu.kernels.resample_pallas import (
         combine_fir_resample_taps, make_mix_resample_kernel,
-        mix_resample_pallas)
+        make_mix_resample_kernel_mc, mix_resample_pallas,
+        mix_resample_pallas_mc)
     from srcdsp_tpu.ops.nco import freq_to_word
     from srcdsp_tpu.ops.window import lowpass
 
     word = int(freq_to_word(0.07))
     rng = np.random.default_rng(0)
 
-    if fused:
+    if fused and channels > 1:
+        hc = combine_fir_resample_taps(lowpass(128, 0.2), lowpass(48, 0.3),
+                                       up=3)
+        k = make_mix_resample_kernel_mc(hc, up=3, down=4,
+                                        num_channels=channels, out_tile=384,
+                                        b_rows=24, block_cols=384,
+                                        hist_round=hist_round)
+        n = (n // k.block_in()) * k.block_in()
+        words = np.asarray([(word + 7919 * c) % (1 << 32)
+                            for c in range(channels)], np.uint32)
+        words0 = np.asarray([(-k.hist * int(w)) % (1 << 32) for w in words],
+                            np.uint32)
+        planes = jax.device_put(jnp.asarray(rng.standard_normal(
+            (channels, 2, k.hist + n)).astype(np.float32)))
+        f = jax.jit(lambda p: mix_resample_pallas_mc(k, words0, words, p))
+        args = (planes,)
+    elif fused:
         hc = combine_fir_resample_taps(lowpass(128, 0.2), lowpass(48, 0.3),
                                        up=3)
         k = make_mix_resample_kernel(hc, up=3, down=4, out_tile=384,
-                                     b_rows=24, block_cols=384)
+                                     b_rows=24, block_cols=384,
+                                     hist_round=hist_round)
         n = (n // k.block_in()) * k.block_in()
         word0 = (-k.hist * word) % (1 << 32)
         planes = jax.device_put(jnp.asarray(
@@ -246,7 +266,8 @@ def run_config2_onchip(iters: int = 10, n: int = 1 << 22,
         "config": "config2_onchip",
         "platform": jax.default_backend(),
         "impl": "fused_combined_taps" if fused else "two_kernels",
-        "msamples_per_s": round(n / best / 1e6, 1),
+        "channels": channels,
+        "msamples_per_s": round(channels * n / best / 1e6, 1),
         "ms_per_iter": round(best * 1e3, 3),
     }
 

@@ -174,3 +174,148 @@ def mix_resample_pallas(kernel: MixFirKernel, word0: int, dword: int,
     yr, yi = kernel.fn(w0, dw, x_planes)
     n = yr.shape[0] * yr.shape[1]
     return yr.reshape(1, n), yi.reshape(1, n)
+
+
+# ---------------------------------------------------------------------------
+# Multi-channel variant (BASELINE config 2 is a 4-CHANNEL chain): C
+# independent channels with per-channel NCO words, one shared tap set,
+# grid (channels, row-groups) — the resampler analog of
+# kernels.mixfir.make_mix_fir_kernel_mc.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_mc(words0_ref, dwords_ref, x_hbm, hsub_ref, yr_ref, yi_ref,
+               slab, sem, *, b_rows: int, out_tile: int, row_stride: int,
+               blk_stride: int, span: int, bspan: int, slab_len: int,
+               block_cols: int, precision):
+    # mixfir._kernel body with a channel grid axis; row_stride/blk_stride
+    # carry the L/M input-advance rates (OT*M/L, BC*M/L)
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    g0 = i * b_rows * row_stride
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[c, :, pl.ds(g0, slab_len)], slab, sem)
+    cp.start()
+    cp.wait()
+
+    xr = slab[0:1, :]
+    xi = slab[1:2, :]
+    xwr = jnp.concatenate(
+        [xr[:, b * row_stride: b * row_stride + span] for b in range(b_rows)],
+        axis=0)
+    xwi = jnp.concatenate(
+        [xi[:, b * row_stride: b * row_stride + span] for b in range(b_rows)],
+        axis=0)
+    colw = words0_ref[c, 0] + (jnp.int32(g0) +
+                               jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
+                               ) * dwords_ref[c, 0]
+    roww = (jax.lax.broadcasted_iota(jnp.int32, (b_rows, 1), 0)
+            * (jnp.int32(row_stride) * dwords_ref[c, 0]))
+    from srcdsp_tpu.ops.nco import TWO_PI, _INV_SCALE
+    from srcdsp_tpu.types import F32
+    cang = colw.astype(F32) * F32(TWO_PI * _INV_SCALE)
+    rang = roww.astype(F32) * F32(TWO_PI * _INV_SCALE)
+    ccol = jnp.cos(cang)
+    scol = jnp.sin(cang)
+    crow = jnp.cos(rang)
+    srow = jnp.sin(rang)
+    cw = crow * ccol - srow * scol
+    sw = crow * scol + srow * ccol
+    mr = xwr * cw - xwi * sw
+    mi = xwr * sw + xwi * cw
+    nb = out_tile // block_cols
+    for j in range(nb):
+        xs = slice(j * blk_stride, j * blk_stride + bspan)
+        ys = slice(j * block_cols, (j + 1) * block_cols)
+        hsub = hsub_ref[j]
+        yr_ref[0, :, ys] = jnp.dot(mr[:, xs], hsub,
+                                   preferred_element_type=F32,
+                                   precision=precision)
+        yi_ref[0, :, ys] = jnp.dot(mi[:, xs], hsub,
+                                   preferred_element_type=F32,
+                                   precision=precision)
+
+
+def make_mix_resample_kernel_mc(taps, up: int, down: int, num_channels: int,
+                                out_tile: int = 512, b_rows: int = 8,
+                                block_cols: int = 128,
+                                precision=jax.lax.Precision.HIGHEST,
+                                hist_round: int = LANE,
+                                interpret: bool = False) -> MixFirKernel:
+    """Multi-channel fused mix + L/M resample: x [C, 2, HX+NIN] ->
+    planes [C, NT, OT]. Call via `mix_resample_pallas_mc`; per-channel NCO
+    words, shared taps."""
+    taps = np.asarray(taps, np.float32)
+    if (out_tile * down) % up != 0 or (block_cols * down) % up != 0:
+        raise ValueError(f"out_tile*down and block_cols*down must be "
+                         f"multiples of up={up}")
+    if not interpret:
+        if b_rows % 8 != 0:
+            raise ValueError(f"b_rows must be a multiple of 8, got {b_rows}")
+        if out_tile % LANE != 0:
+            raise ValueError(f"out_tile must be a multiple of 128, got {out_tile}")
+    t = taps.shape[0]
+    hist = _round_up(-(-(t - 1) // up), hist_round)
+    row_stride = (out_tile * down) // up
+    blk_stride = (block_cols * down) // up
+    span = row_stride + hist
+    bspan = blk_stride + hist
+    hsubs = jnp.asarray(
+        banded_resample_taps(taps, up, down, out_tile, hist, block_cols))
+    nb = out_tile // block_cols
+    slab_len = b_rows * row_stride + hist
+
+    def fn(words0, dwords, x):
+        nin = x.shape[-1] - hist
+        if nin % (b_rows * row_stride) != 0:
+            raise ValueError(
+                f"NIN={nin} not a multiple of {b_rows * row_stride}")
+        grid = (num_channels, nin // (b_rows * row_stride))
+        nt = grid[1] * b_rows
+        kern = functools.partial(
+            _kernel_mc, b_rows=b_rows, out_tile=out_tile,
+            row_stride=row_stride, blk_stride=blk_stride,
+            span=span, bspan=bspan, slab_len=slab_len,
+            block_cols=block_cols, precision=precision)
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # words0 [C, 1]
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # dwords [C, 1]
+                pl.BlockSpec(memory_space=pl.ANY),       # x [C, 2, L] in HBM
+                pl.BlockSpec((nb, bspan, block_cols), lambda c, i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, b_rows, out_tile), lambda c, i: (c, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b_rows, out_tile), lambda c, i: (c, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((num_channels, nt, out_tile), jnp.float32),
+                jax.ShapeDtypeStruct((num_channels, nt, out_tile), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, slab_len), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(words0, dwords, x, hsubs)
+
+    return MixFirKernel(fn=fn, num_taps=t, decim=down, out_tile=out_tile,
+                        b_rows=b_rows, hist=hist,
+                        in_block=b_rows * row_stride)
+
+
+def mix_resample_pallas_mc(kernel: MixFirKernel, words0, dwords,
+                           x_planes: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """x_planes: [C, 2, HX+NIN] f32; words0/dwords: [C] u32 ->
+    planes [C, NIN*up/down]."""
+    w0 = jnp.asarray(np.asarray(words0, np.uint32).view(np.int32).reshape(-1, 1))
+    dw = jnp.asarray(np.asarray(dwords, np.uint32).view(np.int32).reshape(-1, 1))
+    yr, yi = kernel.fn(w0, dw, x_planes)
+    c, nt, ot = yr.shape
+    return yr.reshape(c, nt * ot), yi.reshape(c, nt * ot)

@@ -89,3 +89,33 @@ def test_combined_taps_tight_hist_round():
         outs.append(np.asarray(yr[0]) + 1j * np.asarray(yi[0]))
     rel = np.linalg.norm(outs[0] - outs[1]) / np.linalg.norm(outs[0])
     assert rel < 1e-6, f"rel {rel:.2e}"
+
+
+def test_mc_resample_kernel_matches_single():
+    """Multi-channel kernel: per-channel NCO words, shared taps — each
+    channel bit-identical to the single-channel kernel (config 2 is a
+    4-channel chain)."""
+    from srcdsp_tpu.kernels.resample_pallas import (
+        make_mix_resample_kernel_mc, mix_resample_pallas_mc)
+
+    up, down, cch = 3, 4, 4
+    taps = lowpass(48, 0.3 / down)
+    k1 = make_mix_resample_kernel(taps, up, down, out_tile=384, b_rows=2,
+                                  block_cols=384, interpret=True)
+    kc = make_mix_resample_kernel_mc(taps, up, down, cch, out_tile=384,
+                                     b_rows=2, block_cols=384, interpret=True)
+    assert k1.hist == kc.hist
+    nin = 2 * kc.block_in()
+    words = np.asarray([int(freq_to_word(0.02 * (c + 1))) for c in range(cch)],
+                       np.uint64)
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((cch, 2, kc.hist + nin)).astype(np.float32)
+    x[:, :, :kc.hist] = 0.0
+    words0 = np.asarray([(-kc.hist * int(w)) % (1 << 32) for w in words],
+                        np.uint32)
+    yr, yi = mix_resample_pallas_mc(kc, words0, words.astype(np.uint32), x)
+    for c in range(cch):
+        r1, i1 = mix_resample_pallas(k1, int(words0[c]), int(words[c]),
+                                     jnp.asarray(x[c]))
+        np.testing.assert_array_equal(np.asarray(yr[c]), np.asarray(r1[0]))
+        np.testing.assert_array_equal(np.asarray(yi[c]), np.asarray(i1[0]))
