@@ -132,3 +132,37 @@ def test_bank_psk_kernel_bank_output_matches_plain():
     y_plain = k0(xp)
     y_stats, _ = k1(xp)
     np.testing.assert_array_equal(np.asarray(y_plain), np.asarray(y_stats))
+
+
+def test_fused_bank_psk_stats_bf16_emulated_ser_zero():
+    """bf16 serving margin for the FUSED bank+stats path: emulate the MXU's
+    bf16-input rounding by quantizing both the wideband planes and the
+    prototype to bfloat16 before the (f32-accumulate) interpret kernel —
+    SER must stay 0 on the modulated fixture (the hardware serving config
+    runs precision=DEFAULT, bf16 inputs + f32 accumulate)."""
+    from srcdsp_tpu.chains.psk_planes import psk_demod_bank_stats
+    from srcdsp_tpu.kernels.bank_pallas import (
+        make_bank_psk_kernel, phase_major)
+
+    m, nsym, order, sps = 8, 256, 4, 4
+    data, proto, wb, off = _modulated_wideband(m, nsym, order, sps, key=1)
+    n = wb.shape[-1]
+
+    def q(a):
+        return np.asarray(a, np.float32).astype(jnp.bfloat16).astype(
+            np.float32)
+
+    proto_q = q(proto)
+    b_k = 128
+    kb, hist_cols = make_bank_psk_kernel(proto_q, m, sps=sps, order=order,
+                                         b_k=b_k, interpret=True)
+    k = (n // m // b_k) * b_k
+    planes = jnp.asarray(q(jnp.stack([jnp.real(wb), jnp.imag(wb)])))
+    pad = jnp.zeros((2, hist_cols * m), jnp.float32)
+    xin = jnp.concatenate([pad, planes[:, :k * m]], axis=-1)
+    y, stats = kb(phase_major(xin, m, hist_cols))
+    _, (idx, _) = psk_demod_bank_stats(y[:m], y[m:], stats, sps, order,
+                                       offset=off)
+    for c in range(m):
+        d = np.asarray(diff_decode(idx[c], order))
+        assert _ser(np.asarray(data[c]), d) == 0.0, f"channel {c}"
