@@ -13,3 +13,10 @@ from srcdsp_tpu.chains.sync import (  # noqa: F401
 from srcdsp_tpu.chains.fsk import (  # noqa: F401
     FskParams, FskState, fsk_init, fsk_apply, make_fsk_params,
 )
+from srcdsp_tpu.chains.psk import (  # noqa: F401
+    PskParams, PskState, make_psk_params, psk_apply, psk_init,
+)
+from srcdsp_tpu.chains.tracking import (  # noqa: F401
+    FskTrackState, PskTrackState, fsk_track_apply, fsk_track_init,
+    psk_track_apply, psk_track_init,
+)
