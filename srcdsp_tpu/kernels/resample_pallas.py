@@ -33,6 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 from srcdsp_tpu.kernels.mixfir import (
     LANE, MixFirKernel, _kernel, _round_up,
 )
+from srcdsp_tpu.ops.nco import TWO_PI, _INV_SCALE
+from srcdsp_tpu.types import F32
 
 
 def toeplitz_resample(taps: np.ndarray, up: int, down: int, out_tile: int,
@@ -212,8 +214,6 @@ def _kernel_mc(words0_ref, dwords_ref, x_hbm, hsub_ref, yr_ref, yi_ref,
                                ) * dwords_ref[c, 0]
     roww = (jax.lax.broadcasted_iota(jnp.int32, (b_rows, 1), 0)
             * (jnp.int32(row_stride) * dwords_ref[c, 0]))
-    from srcdsp_tpu.ops.nco import TWO_PI, _INV_SCALE
-    from srcdsp_tpu.types import F32
     cang = colw.astype(F32) * F32(TWO_PI * _INV_SCALE)
     rang = roww.astype(F32) * F32(TWO_PI * _INV_SCALE)
     ccol = jnp.cos(cang)
