@@ -275,7 +275,7 @@ def run_config2_onchip(iters: int = 10, n: int = 1 << 22,
 def run_config3_onchip(iters: int = 10, channels: int = 16,
                        fft_size: int = 4096, num_taps: int = 1024,
                        n_per_ch: int = 1 << 20, fused: bool = True,
-                       fft_bf16: bool = False, b_frames: int = 8) -> dict:
+                       fft_bf16: bool = False, b_frames: int = 16) -> dict:
     """Config 3 fully on-chip. fused=True runs the single-HBM-pass Pallas
     overlap-save kernel (slab DMA -> VMEM frames -> four-step MXU FFT ->
     freq multiply -> inverse, all channels in one grid); fused=False is the
