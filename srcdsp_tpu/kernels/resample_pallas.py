@@ -97,12 +97,13 @@ def make_mix_resample_kernel(taps, up: int, down: int, out_tile: int = 512,
     NIN input samples produce NIN*up/down outputs; NIN must be a multiple of
     block_in() = b_rows*out_tile*down/up.
 
-    hist_round: alignment of the history prefix. The slab DMA start offsets
-    are multiples of b_rows*row_stride regardless of hist, so smaller
-    roundings are legal when Mosaic accepts the unaligned VMEM window
-    slices — for long combined tap sets (combine_fir_resample_taps) the
-    default lane rounding pads the Toeplitz band with up to 127 zero rows
-    of pure MXU waste; hist_round=8 trims them.
+    hist_round: alignment of the history prefix. Interpret mode accepts
+    any multiple of 8 (the trimmed band is numerically identical — see
+    tests), but the HARDWARE Mosaic lowering rejects non-lane-aligned
+    window slices (measured 2026-08-17: hist_round=8 fails to compile on
+    TPU v5 lite), so on real chips keep the default 128. The band
+    therefore carries up to 127 zero rows of MXU padding for long
+    combined tap sets — a known cost, not a knob, on current Mosaic.
     """
     taps = np.asarray(taps, np.float32)
     if (out_tile * down) % up != 0 or (block_cols * down) % up != 0:
