@@ -341,8 +341,8 @@ def run_config3_onchip(iters: int = 10, channels: int = 16,
 
 
 def run_config5_onchip(iters: int = 10, num_channels: int = 64,
-                       frames: int = 1 << 16, use_pallas_bank: bool = True,
-                       bank_bf16: bool = True,
+                       frames: int = 1 << 17, use_pallas_bank: bool = True,
+                       bank_bf16: bool = True, b_k: int = 512,
                        fused_demod: bool = True) -> dict:
     """Config 5 fully on-chip: matmul-form 64-ch polyphase bank + per-channel
     plane-form QPSK demod. use_pallas_bank swaps in the single-HBM-pass
@@ -375,8 +375,8 @@ def run_config5_onchip(iters: int = 10, num_channels: int = 64,
         prec = (jax.lax.Precision.DEFAULT if bank_bf16
                 else jax.lax.Precision.HIGHEST)
         kb, hist_cols = make_bank_psk_kernel(proto, m, sps=sps, order=4,
-                                             b_k=256, precision=prec)
-        k = (k // 256) * 256
+                                             b_k=b_k, precision=prec)
+        k = (k // b_k) * b_k
         n = k * m
 
         def step(xp):
@@ -393,8 +393,8 @@ def run_config5_onchip(iters: int = 10, num_channels: int = 64,
         from srcdsp_tpu.kernels.bank_pallas import make_bank_kernel
         prec = (jax.lax.Precision.DEFAULT if bank_bf16
                 else jax.lax.Precision.HIGHEST)
-        kb, hist_cols = make_bank_kernel(proto, m, b_k=256, precision=prec)
-        k = (k // 256) * 256
+        kb, hist_cols = make_bank_kernel(proto, m, b_k=b_k, precision=prec)
+        k = (k // b_k) * b_k
         n = k * m
         tc, ts = make_timing_tone(k, sps)
         tcj = jax.device_put(jnp.asarray(tc))
