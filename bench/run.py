@@ -125,10 +125,14 @@ def run_fft(iters: int = 20, n: int = 4096, batch: int = 1024) -> dict:
 
 
 def run_config4_onchip(iters: int = 10, channels: int = 10,
-                       n_per_ch: int = 1 << 21, fused: bool = True) -> dict:
+                       n_per_ch: int = 1 << 21, fused: bool = True,
+                       bf16: bool = True) -> dict:
     """The north-star chain fully on-chip. fused=True runs the single-kernel
     front-end (mix+FIR+decim+discriminator+timing sums in ONE pallas_call);
-    fused=False composes the MC mixfir kernel with XLA demod ops.
+    fused=False composes the MC mixfir kernel with XLA demod ops. bf16 runs
+    the FIR matmuls at bf16-input/f32-accumulate — the serving config:
+    bits measured IDENTICAL to f32-HIGHEST on the modulated fixture
+    (BASELINE.md 2026-08-17) at +10% throughput.
     Reports AGGREGATE Msamples/s across channels on this one chip."""
     import time
 
@@ -143,12 +147,15 @@ def run_config4_onchip(iters: int = 10, channels: int = 10,
     words = np.asarray(
         [freq_to_word(-0.05 - 0.01 * c) for c in range(channels)], np.uint32)
     rng = np.random.default_rng(0)
+    prec = (jax.lax.Precision.DEFAULT if bf16
+            else jax.lax.Precision.HIGHEST)
 
     if fused:
         from srcdsp_tpu.kernels.fsk_fused import (
             fsk_demod_fused, make_fsk_mc_kernel)
         fn, hist = make_fsk_mc_kernel(taps, decim, channels, sps,
-                                      out_tile=512, b_rows=32)
+                                      out_tile=512, b_rows=32,
+                                      precision=prec)
         blk = 32 * 512 * decim
         n = (n_per_ch // blk) * blk
         words0 = np.asarray([(-hist * int(w)) % (1 << 32) for w in words],
@@ -179,7 +186,8 @@ def run_config4_onchip(iters: int = 10, channels: int = 10,
         "config": "config4_onchip",
         "platform": jax.default_backend(),
         "channels": channels,
-        "impl": "fused_kernel" if fused else "kernel+xla",
+        "impl": ("fused_kernel_bf16" if bf16 else "fused_kernel") if fused
+                else "kernel+xla",
         "aggregate_msamples_per_s": round(agg, 1),
         "ms_per_iter": round(best * 1e3, 3),
         "per_chip_vs_125msps_target": round(agg / 125.0, 2),
