@@ -180,6 +180,40 @@ def make_bank_kernel(taps, num_channels: int, b_k: int = 256,
     return fn, hist_cols
 
 
+def bank_os2_pallas(fn, hist_cols: int, x_flat: jax.Array, num_channels: int
+                    ) -> jax.Array:
+    """2x-oversampled analysis from the critically-sampled Pallas bank.
+
+    An os2 bank (frames advance by M/2) is exactly TWO critically-sampled
+    banks: the even frames are the standard bank; the odd frames are the
+    same bank run on the stream advanced by M/2 samples, with odd channels
+    negated (the (-1)^{ch*k} twiddle: k odd). So the Pallas fast path
+    composes two calls of `fn` (from make_bank_kernel) and interleaves —
+    no new kernel.
+
+    x_flat: [2, (hist_cols + K) * M] flat padded planes (hist_cols*M
+    history samples, zeros at stream start), K*M payload with K % b_k == 0.
+    Returns Y [2M, 2K] channel-major at the 2x rate (frame j at stream
+    sample j*M/2), matching chains.channelizer.channelize_os2_apply.
+    """
+    m = num_channels
+    hop = m // 2
+    total = x_flat.shape[-1]
+    k = total // m - hist_cols
+    y_even = fn(phase_major(x_flat, m, hist_cols))            # [2M, K]
+    # odd frames: stream shifted LEFT by hop (frame j' of the shifted
+    # stream anchors at sample j'*M + hop); drop the first hop samples of
+    # history and pad the tail so the column count stays K + hist_cols
+    x_shift = jnp.concatenate(
+        [x_flat[:, hop:], jnp.zeros((2, hop), x_flat.dtype)], axis=-1)
+    y_odd = fn(phase_major(x_shift, m, hist_cols))            # [2M, K]
+    sign = jnp.asarray(np.where(np.arange(m) % 2 == 1, -1.0, 1.0),
+                       jnp.float32)[:, None]
+    sign2 = jnp.concatenate([sign, sign], axis=0)             # [2M, 1]
+    y = jnp.stack([y_even, y_odd * sign2], axis=-1)           # [2M, K, 2]
+    return y.reshape(2 * m, 2 * k)
+
+
 def make_bank_psk_kernel(taps, num_channels: int, sps: int, order: int = 4,
                          b_k: int = 256,
                          precision=jax.lax.Precision.HIGHEST,

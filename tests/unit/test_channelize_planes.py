@@ -74,3 +74,34 @@ def test_bank_pallas_kernel_matches_xla_bank():
     rel = (np.linalg.norm(yr - np.asarray(rr)) + np.linalg.norm(yi - np.asarray(ri))) \
         / (np.linalg.norm(np.asarray(rr)) + 1e-12)
     assert rel < 1e-5, f"rel {rel:.2e}"
+
+
+def test_bank_os2_pallas_matches_os2_full():
+    """2x-oversampled analysis via two critically-sampled Pallas bank calls
+    (interpret) == channelize_os2_full."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from srcdsp_tpu.chains.channelizer import (
+        channelize_os2_full, design_prototype)
+    from srcdsp_tpu.kernels.bank_pallas import (
+        bank_os2_pallas, make_bank_kernel, phase_major)
+    from srcdsp_tpu.testing.signals import complex_awgn
+
+    m, b_k = 8, 64
+    proto = design_prototype(m, taps_per_phase=4)
+    fn, hist_cols = make_bank_kernel(proto, m, b_k=b_k, interpret=True)
+    k = 4 * b_k
+    x = np.asarray(complex_awgn(jax.random.PRNGKey(6), (k * m,)))
+    flat = np.zeros((2, (hist_cols + k) * m), np.float32)
+    flat[0, hist_cols * m:] = x.real
+    flat[1, hist_cols * m:] = x.imag
+    y = np.asarray(bank_os2_pallas(fn, hist_cols, jnp.asarray(flat), m))
+    got = y[:m] + 1j * y[m:]                      # [M, 2K]
+
+    ref = np.asarray(channelize_os2_full(proto, jnp.asarray(x), m))  # [M, 2K]
+    nk = min(got.shape[-1], ref.shape[-1]) - 2    # last odd frame may touch
+    err = ref[:, :nk] - got[:, :nk]               # the zero tail pad
+    snr = 10 * np.log10(np.mean(np.abs(ref[:, :nk]) ** 2)
+                        / (np.mean(np.abs(err) ** 2) + 1e-30))
+    assert snr > 100, f"snr {snr:.1f}"
