@@ -59,6 +59,51 @@ def _shard_body(kernel: MixFirKernel, dword: int, axis_name: str,
     return new_tail, jnp.stack([yr.reshape(k), yi.reshape(k)])
 
 
+def fftconv_time_sharded(kernel, state_tail: jax.Array, x_planes: jax.Array,
+                         mesh: Mesh) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Time-sharded fused overlap-save FFT filter (the long-filter analog
+    of `mix_fir_time_sharded`).
+
+    kernel: a kernels.fftconv_pallas.FftConvKernel built with
+    num_channels = C. x_planes: [C, 2, S] raw planes (NO history prefix),
+    sharded on the last axis over mesh axis 'time'; per-shard length must
+    be a multiple of kernel.block_in(). state_tail: [C, 2, overlap]
+    replicated carried tail (zeros at stream start).
+
+    Each shard receives its left neighbor's trailing `overlap` samples via
+    one ppermute (shard 0 takes the carried tail) and runs the SAME fused
+    kernel as the single-chip path — frames are globally seamless, so the
+    output is bit-identical to the single-device kernel on [tail | x].
+    Returns (new_state_tail, yr, yi) with yr/yi [C, S] sharded like x.
+    """
+    from srcdsp_tpu.kernels.fftconv_pallas import fftconv_pallas
+
+    ov = kernel.overlap
+
+    def body(tail, x):
+        local_tail = x[..., x.shape[-1] - ov:]
+        from_left = lax.ppermute(
+            local_tail, TIME_AXIS,
+            perm=[(i, i + 1) for i in range(lax.axis_size(TIME_AXIS) - 1)])
+        is_first = lax.axis_index(TIME_AXIS) == 0
+        seed = jnp.where(is_first, tail, from_left)
+        xin = jnp.concatenate([seed, x], axis=-1)
+        yr, yi = fftconv_pallas(kernel, xin)
+        is_last = lax.axis_index(TIME_AXIS) == lax.axis_size(TIME_AXIS) - 1
+        new_tail = lax.psum(
+            jnp.where(is_last, local_tail, jnp.zeros_like(local_tail)),
+            TIME_AXIS)
+        return new_tail, yr, yi
+
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(None, None, TIME_AXIS)),
+        out_specs=(P(), P(None, TIME_AXIS), P(None, TIME_AXIS)),
+        check_vma=False,
+    )
+    return f(state_tail, x_planes)
+
+
 def mix_fir_time_sharded(kernel: MixFirKernel, word0: int, dword: int,
                          state_tail: jax.Array, x_planes: jax.Array,
                          mesh: Mesh) -> tuple[jax.Array, jax.Array]:

@@ -71,3 +71,39 @@ def test_fused_kernel_sharded_multibuffer_stream():
     got = np.concatenate(outs, axis=-1)
     np.testing.assert_array_equal(got[0], np.asarray(r_ref[0]))
     np.testing.assert_array_equal(got[1], np.asarray(i_ref[0]))
+
+
+def test_fftconv_time_sharded_bit_exact():
+    """Time-sharded fused OS filter == single-device kernel, bit-exact,
+    incl. 2-buffer streaming with the carried tail."""
+    from srcdsp_tpu.dist.fused import fftconv_time_sharded
+    from srcdsp_tpu.kernels.fftconv_pallas import (
+        fftconv_pallas, make_fftconv_kernel)
+
+    mesh = make_mesh(time=4)
+    taps = lowpass(200, 0.1)
+    cch = 2
+    k = make_fftconv_kernel(taps, 2048, num_channels=cch, b_frames=2,
+                            interpret=True)
+    shard_n = k.block_in()
+    n = 4 * shard_n
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((cch, 2, 2 * n)).astype(np.float32)
+
+    pad = np.zeros((cch, 2, k.overlap), np.float32)
+    r_ref, i_ref = fftconv_pallas(
+        k, jnp.asarray(np.concatenate([pad, x], axis=-1)))
+
+    sh = jax.NamedSharding(mesh, P(None, None, "time"))
+    tail = jnp.zeros((cch, 2, k.overlap), jnp.float32)
+    rs, is_ = [], []
+    for b in range(2):
+        xb = jax.device_put(jnp.asarray(x[:, :, b * n:(b + 1) * n]), sh)
+        tail, yr, yi = fftconv_time_sharded(k, tail, xb, mesh)
+        rs.append(np.asarray(yr))
+        is_.append(np.asarray(yi))
+    np.testing.assert_array_equal(np.concatenate(rs, axis=-1),
+                                  np.asarray(r_ref))
+    np.testing.assert_array_equal(np.concatenate(is_, axis=-1),
+                                  np.asarray(i_ref))
+    np.testing.assert_array_equal(np.asarray(tail), x[:, :, -k.overlap:])
