@@ -195,6 +195,11 @@ def bank_os2_pallas(fn, hist_cols: int, x_flat: jax.Array, num_channels: int
     history samples, zeros at stream start), K*M payload with K % b_k == 0.
     Returns Y [2M, 2K] channel-major at the 2x rate (frame j at stream
     sample j*M/2), matching chains.channelizer.channelize_os2_apply.
+
+    Lookahead caveat: the LAST odd frame anchors M/2 samples past the
+    payload and is computed against zero padding here; streaming callers
+    should overlap consecutive chunks by M samples (drop the final even/odd
+    pair and recompute it with the next chunk) when that frame matters.
     """
     m = num_channels
     hop = m // 2
