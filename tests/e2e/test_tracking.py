@@ -147,3 +147,30 @@ def test_tracking_matches_feedforward_on_clean_clock(psk_drift_fixture):
         idxs.append(np.asarray(idx))
     d = np.asarray(diff_decode(jnp.asarray(np.concatenate(idxs)), order))
     assert _ser(data, d) == 0.0
+
+
+def test_tracking_multichannel_vmap_semantics(psk_drift_fixture):
+    """Tracking chains carry leading channel axes like every other chain:
+    a 3-channel batch demodulates each channel identically to running it
+    alone."""
+    params, data, drift = psk_drift_fixture
+    block = 2048
+    n = 4 * block
+    chans = np.stack([drift[:n], drift[7:n + 7], drift[13:n + 13]])
+
+    st = psk_track_init(params, channel_shape=(3,))
+    idxs = []
+    for b in range(n // block):
+        st, (idx, _) = psk_track_apply(
+            params, st, jnp.asarray(chans[:, b * block:(b + 1) * block]))
+        idxs.append(np.asarray(idx))
+    batched = np.concatenate(idxs, axis=-1)
+
+    for c in range(3):
+        st1 = psk_track_init(params)
+        one = []
+        for b in range(n // block):
+            st1, (idx, _) = psk_track_apply(
+                params, st1, jnp.asarray(chans[c, b * block:(b + 1) * block]))
+            one.append(np.asarray(idx))
+        np.testing.assert_array_equal(batched[c], np.concatenate(one))
