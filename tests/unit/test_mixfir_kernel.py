@@ -126,3 +126,32 @@ def test_multichannel_kernel_per_channel_taps():
                                       jnp.asarray(x[c]))
         np.testing.assert_array_equal(np.asarray(yr[c]), np.asarray(r1[0]))
         np.testing.assert_array_equal(np.asarray(yi[c]), np.asarray(i1[0]))
+
+
+def test_rows_kernel_matches_classic():
+    """Row-aligned kernel (kernels.mixfir_rows) == classic windowed kernel
+    to float-reassociation (chunked accumulation order differs)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from srcdsp_tpu.kernels.mixfir import (
+        make_mix_fir_kernel, mix_fir_decim_pallas)
+    from srcdsp_tpu.kernels.mixfir_rows import (
+        make_mix_fir_rows_kernel, mix_fir_rows_pallas)
+    from srcdsp_tpu.ops.nco import freq_to_word
+    from srcdsp_tpu.ops.window import lowpass
+
+    taps = lowpass(64, 0.2)
+    word = int(freq_to_word(0.11))
+    k0 = make_mix_fir_kernel(taps, 2, out_tile=512, b_rows=4, interpret=True)
+    k1 = make_mix_fir_rows_kernel(taps, 2, out_tile=512, b_rows=4,
+                                  interpret=True)
+    n = 3 * k0.block_in()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, k0.hist + n)).astype(np.float32))
+    w0 = (-k0.hist * word) % (1 << 32)
+    r0, i0 = mix_fir_decim_pallas(k0, w0, word, x)
+    r1, i1 = mix_fir_rows_pallas(k1, w0, word, x)
+    a = np.asarray(r0[0]) + 1j * np.asarray(i0[0])
+    b = np.asarray(r1[0]) + 1j * np.asarray(i1[0])
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 2e-6, f"rel {rel:.2e}"
