@@ -76,24 +76,25 @@ def _kernel(word0_ref, dword_ref, x_hbm, h_ref, yr_ref, yi_ref, slab, sem,
     mr = xr * c - xi * s
     mi = xr * s + xi * c
 
-    # --- strided-sublane chunk slices feed the banded matmuls. Window b's
-    # chunk (j*bc_rows + delta) is mixed-slab row b*rs8 + j*bc_rows + delta;
-    # over all b that is rows [base + delta :: rs8] — realized by reshaping
-    # the leading ROW axis (layout-preserving: sublane-major split).
+    # --- chunk slices feed the banded matmuls. Window b's chunk
+    # (j*bc_rows + delta) is mixed-slab row b*rs8 + j*bc_rows + delta; over
+    # all b that is rows [base :: rs8]. Mosaic's hardware lowering rejects
+    # stride-8 extract_strided_slice, so the access is expressed through a
+    # sublane-major reshape [nq, rs8, LANE] (layout-preserving) and a
+    # middle-axis index: rows base+b*rs8 = m3[q + b, rem] with
+    # q, rem = divmod(base, rs8).
     bc_rows = (block_cols * decim) // LANE    # band row advance per j-block
+    nq = slab_rows // rs8
+    mr3 = mr.reshape(nq, rs8, LANE)
+    mi3 = mi.reshape(nq, rs8, LANE)
     for j in range(nb):
         accr = jnp.zeros((b_rows, block_cols), F32)
         acci = jnp.zeros((b_rows, block_cols), F32)
         for delta in range(ndelta):
             base = j * bc_rows + delta
-            # rows base, base+rs8, ..., base+(B-1)*rs8: slice a [B, LANE]
-            # tile via the [*, rs8, LANE] reshape of the aligned prefix
-            xrs = jax.lax.slice(
-                mr, (base, 0), (base + (b_rows - 1) * rs8 + 1, LANE),
-                (rs8, 1))
-            xis = jax.lax.slice(
-                mi, (base, 0), (base + (b_rows - 1) * rs8 + 1, LANE),
-                (rs8, 1))
+            q, rem = divmod(base, rs8)
+            xrs = mr3[q: q + b_rows, rem, :]
+            xis = mi3[q: q + b_rows, rem, :]
             h = h_ref[j, delta]
             accr = accr + jnp.dot(xrs, h, preferred_element_type=F32,
                                   precision=precision)
@@ -151,7 +152,9 @@ def make_mix_fir_rows_kernel(taps, decim: int, out_tile: int = 512,
                   for d in range(ndelta)])
         for j in range(nb)])                             # [nb, ndelta, 128, BC]
     hsubs = jnp.asarray(hsub)
-    slab_rows = _round_up((b_rows - 1) * rs8 + span // LANE + 1, 8)
+    import math
+    slab_rows = _round_up((b_rows - 1) * rs8 + span // LANE + 1,
+                          math.lcm(8, rs8))   # reshapeable to [nq, rs8, .]
 
     def fn(word0, dword, x, n=None):
         two, r, lane = x.shape
