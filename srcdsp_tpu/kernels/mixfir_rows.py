@@ -23,6 +23,16 @@ prime suspect for the remaining step time. This kernel removes them:
 Same semantics as kernels.mixfir (verified to float-sum reassociation in
 tests); the chunked accumulation order differs, so outputs match to ~1e-6
 rel, not bit-exactly.
+
+MEASURED OUTCOME (2026-08-17, interleaved A/B on TPU v5 lite): 2259.8 vs
+the classic kernel's 2433.5 Ms/s — 7% SLOWER. The window-copy hypothesis
+is FALSIFIED: removing the [1, span] copies does not pay, and the 12
+smaller [32,128]x[128,128] matmuls per step (vs 8 banded [32,384] ones)
+cost more than the copies saved. kernels.mixfir remains the production
+config-1 kernel; this module stays as the documented experiment (it also
+established that Mosaic's hardware lowering rejects strided
+extract_strided_slice — chunk access must go through a sublane-major
+reshape + middle-axis index).
 """
 
 from __future__ import annotations
