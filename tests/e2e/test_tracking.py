@@ -174,3 +174,21 @@ def test_tracking_multichannel_vmap_semantics(psk_drift_fixture):
                 params, st1, jnp.asarray(chans[c, b * block:(b + 1) * block]))
             one.append(np.asarray(idx))
         np.testing.assert_array_equal(batched[c], np.concatenate(one))
+
+
+def test_tracking_block_split_invariance(psk_drift_fixture):
+    """The carried (tail, gardner, costas) state makes tracking outputs
+    IDENTICAL for any block split — the §4 streaming property extended to
+    the closed-loop chains."""
+    params, _, drift = psk_drift_fixture
+    n = 8192
+    outs = []
+    for block in (2048, 4096):
+        st = psk_track_init(params)
+        idxs = []
+        for b in range(n // block):
+            st, (idx, _) = psk_track_apply(
+                params, st, jnp.asarray(drift[b * block:(b + 1) * block]))
+            idxs.append(np.asarray(idx))
+        outs.append(np.concatenate(idxs, axis=-1))
+    np.testing.assert_array_equal(outs[0], outs[1])
