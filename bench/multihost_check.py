@@ -97,7 +97,35 @@ def worker(proc_id: int) -> None:
                                atol=2e-5))
     print(f"proc {proc_id}: idx_exact={ok_idx} soft_close={ok_soft}",
           flush=True)
-    if not (ok_idx and ok_soft):
+
+    # the fused Pallas kernel with its ppermute halo CROSSING the process
+    # boundary (interpret mode per shard; on a pod this is the compiled
+    # kernel with ICI/DCN halos)
+    from srcdsp_tpu.dist.fused import mix_fir_time_sharded
+    from srcdsp_tpu.kernels.mixfir import (
+        make_mix_fir_kernel, mix_fir_decim_pallas)
+    from srcdsp_tpu.ops.nco import freq_to_word
+
+    kern = make_mix_fir_kernel(jnp.asarray(lowpass(32, 0.2)), 2,
+                               out_tile=128, b_rows=2, interpret=True)
+    word = int(freq_to_word(0.31))
+    n_k = p_total * kern.block_in()
+    rngk = np.random.default_rng(1)
+    xk = rngk.standard_normal((2, n_k)).astype(np.float32)
+    per = n_k // NPROC
+    xkg = mhu.host_local_array_to_global_array(
+        xk[:, proc_id * per:(proc_id + 1) * per], mesh, P(None, "time"))
+    tail0 = jnp.zeros((2, kern.hist), jnp.float32)
+    _, yk = mix_fir_time_sharded(kern, 0, word, tail0, xkg, mesh)
+    yk_h = np.asarray(mhu.process_allgather(yk, tiled=True))
+    xpad = np.concatenate([np.zeros((2, kern.hist), np.float32), xk], axis=1)
+    r_ref, i_ref = mix_fir_decim_pallas(
+        kern, (-kern.hist * word) % (1 << 32), word, jnp.asarray(xpad))
+    ok_pallas = (np.array_equal(yk_h[0], np.asarray(r_ref[0]))
+                 and np.array_equal(yk_h[1], np.asarray(i_ref[0])))
+    print(f"proc {proc_id}: pallas_cross_process_exact={ok_pallas}",
+          flush=True)
+    if not (ok_idx and ok_soft and ok_pallas):
         sys.exit(1)
 
 
