@@ -446,6 +446,50 @@ def run_config5_onchip(iters: int = 10, num_channels: int = 64,
     }
 
 
+def run_soak(buffers: int = 32, n_per_buf: int = 1 << 23) -> dict:
+    """Sustained-streaming soak: back-to-back buffers through the config-1
+    kernel with per-buffer phase continuation (no per-trial sync), plus a
+    finiteness check — the production serving pattern. Dispatch pipelining
+    makes this FASTER than the synchronized benchmark loops."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from srcdsp_tpu.kernels.mixfir import make_mix_fir_kernel
+    from srcdsp_tpu.ops.nco import freq_to_word
+    from srcdsp_tpu.ops.window import lowpass
+
+    taps = lowpass(64, 0.2)
+    word = int(freq_to_word(0.11))
+    k = make_mix_fir_kernel(taps, 2, out_tile=512, b_rows=32)
+    n = (n_per_buf // k.block_in()) * k.block_in()
+    rng = np.random.default_rng(0)
+    x = jax.device_put(jnp.asarray(
+        rng.standard_normal((2, k.hist + n)).astype(np.float32)))
+    dw = jnp.asarray(np.uint32(word).view(np.int32)).reshape(1, 1)
+    f = jax.jit(k.fn)
+    w0s = [jnp.asarray(np.uint32(((b * n - k.hist) * word) % (1 << 32))
+                       .view(np.int32)).reshape(1, 1)
+           for b in range(buffers)]
+    y = f(w0s[0], dw, x)
+    jax.block_until_ready(y)
+    t0 = time.perf_counter()
+    for b in range(buffers):
+        yr, yi = f(w0s[b], dw, x)
+    jax.block_until_ready((yr, yi))
+    dt = time.perf_counter() - t0
+    return {
+        "config": "soak",
+        "platform": jax.default_backend(),
+        "buffers": buffers,
+        "gb_processed": round(buffers * n * 8 / 1e9, 2),
+        "sustained_msamples_per_s": round(buffers * n / dt / 1e6, 1),
+        "all_finite": bool(jnp.all(jnp.isfinite(yr))
+                           and jnp.all(jnp.isfinite(yi))),
+    }
+
+
 def run_accuracy() -> dict:
     """SNR delta vs the C++ oracle (BASELINE.json metric) on the config-1
     chain, plus config-4 BER on a clean capture."""
@@ -510,7 +554,7 @@ def main(argv=None) -> None:
                                       "config4", "config4_onchip", "config5",
                                       "config2_onchip", "config3_onchip",
                                       "config5_onchip", "fft", "accuracy",
-                                      "all"])
+                                      "soak", "all"])
     p.add_argument("--pallas", action="store_true",
                    help="use the Pallas fused kernel (config1)")
     p.add_argument("--iters", type=int, default=20)
@@ -531,6 +575,8 @@ def main(argv=None) -> None:
         try:
             if name == "fft":
                 rec = run_fft(iters=args.iters)
+            elif name == "soak":
+                rec = run_soak()
             elif name == "config2_onchip":
                 rec = run_config2_onchip(iters=args.iters)
             elif name == "config3_onchip":
