@@ -68,7 +68,7 @@ def pick_symbols_c(yr: jax.Array, yi: jax.Array, tau: jax.Array, sps: int,
 
 def psk_demod_bank_stats(yr: jax.Array, yi: jax.Array, stats: jax.Array,
                          sps: int, order: int, offset: float = 0.0,
-                         acc=None):
+                         acc=None, interp: bool = True):
     """Demod tail for the fused bank+stats kernel
     (kernels.bank_pallas.make_bank_psk_kernel).
 
@@ -104,7 +104,10 @@ def psk_demod_bank_stats(yr: jax.Array, yi: jax.Array, stats: jax.Array,
     cr_r = F32(0.5) * cr_r + (vv_r * co - vv_i * so)
     cr_i = F32(0.5) * cr_i + (vv_r * so + vv_i * co)
     phi = jnp.arctan2(cr_i, cr_r) / order
-    sr, si = pick_symbols_c(yr, yi, tau, sps)
+    # interp=False: nearest-offset pick — halves the remaining [M, K] tail
+    # (one one-hot reduce instead of two over shifted copies); at sps >= 4
+    # the eye is wide enough that SER stays 0 on the fixtures
+    sr, si = pick_symbols_c(yr, yi, tau, sps, interp=interp)
     cp = jnp.cos(phi)
     sp = jnp.sin(phi)
     dr = sr * cp + si * sp          # s * exp(-j phi)

@@ -16,10 +16,12 @@ Pieces the Pallas lowering lacks are hand-rolled:
   so each kernel CALL starts from rest — one-sample seam per call,
   matching chains.fsk_planes stream-start semantics).
 
-Output layout: d_ext [C, NT, OT + 128]: cols [0, OT) hold the
-discriminator (cycles/sample), col OT the row's sum(d^2 * cos_tone), col
-OT+1 the sin counterpart, rest zeros. The wrapper reduces the two columns
-and runs the pick.
+Output layout (round 2): TWO outputs — d [C, NT, OT] (discriminator,
+cycles/sample; contiguous, so the wrapper's [C, K] reshape is a free
+view) and st [C, NT, 128] (col 0 = the row's sum(d^2 * cos_tone), col 1
+= the sin counterpart, rest zeros). The original single padded output
+made the wrapper's d-slice a strided 0.5 ms device copy (profiler,
+BASELINE.md device-side table); the split removes it.
 """
 
 from __future__ import annotations
@@ -58,7 +60,7 @@ def _atan2(y, x):
     return jnp.where(y < 0, -t, t)
 
 
-def _kernel(words0_ref, dwords_ref, x_hbm, hsub_ref, d_ref,
+def _kernel(words0_ref, dwords_ref, x_hbm, hsub_ref, d_ref, st_ref,
             yrbuf, yibuf, pcol, carry, slab, sem, *,
             b_rows: int, out_tile: int, decim: int, hist: int, span: int,
             slab_len: int, block_cols: int, sps: int, precision):
@@ -134,10 +136,10 @@ def _kernel(words0_ref, dwords_ref, x_hbm, hsub_ref, d_ref,
     rs_c = jnp.sum(met * jnp.cos(ang), axis=1, keepdims=True)
     rs_s = jnp.sum(met * (-jnp.sin(ang)), axis=1, keepdims=True)
 
-    d_ref[0, :, :out_tile] = d
-    d_ref[0, :, out_tile:] = jnp.zeros((b_rows, PAD), F32)
-    d_ref[0, :, out_tile: out_tile + 1] = rs_c
-    d_ref[0, :, out_tile + 1: out_tile + 2] = rs_s
+    d_ref[0, :, :] = d
+    st_ref[0, :, :] = jnp.zeros((b_rows, PAD), F32)
+    st_ref[0, :, 0:1] = rs_c
+    st_ref[0, :, 1:2] = rs_s
 
 
 def make_fsk_mc_kernel(taps, decim: int, num_channels: int, sps: int,
@@ -147,7 +149,7 @@ def make_fsk_mc_kernel(taps, decim: int, num_channels: int, sps: int,
                        interpret: bool = False):
     """Build the fused FSK front-end. Returns (fn, hist) with
     fn: (words0 i32[C,1], dwords i32[C,1], x [C, 2, HK+N])
-        -> d_ext [C, NT, OT+128]."""
+        -> (d [C, NT, OT], st [C, NT, 128])."""
     taps = np.asarray(taps, np.float32)
     if out_tile % sps != 0:
         raise ValueError(f"out_tile {out_tile} % sps {sps} != 0")
@@ -184,11 +186,17 @@ def make_fsk_mc_kernel(taps, decim: int, num_channels: int, sps: int,
                              lambda c, i: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, b_rows, out_tile + PAD),
-                                   lambda c, i: (c, i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct(
-                (num_channels, nt, out_tile + PAD), jnp.float32),
+            out_specs=[
+                pl.BlockSpec((1, b_rows, out_tile), lambda c, i: (c, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b_rows, PAD), lambda c, i: (c, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((num_channels, nt, out_tile),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((num_channels, nt, PAD), jnp.float32),
+            ],
             scratch_shapes=[
                 pltpu.VMEM((b_rows, out_tile), jnp.float32),
                 pltpu.VMEM((b_rows, out_tile), jnp.float32),
@@ -214,11 +222,11 @@ def fsk_demod_fused(fn, hist: int, out_tile: int, words0, dwords, x_planes,
 
     w0 = jnp.asarray(np.asarray(words0, np.uint32).view(np.int32).reshape(-1, 1))
     dw = jnp.asarray(np.asarray(dwords, np.uint32).view(np.int32).reshape(-1, 1))
-    dext = fn(w0, dw, x_planes)
-    cch = dext.shape[0]
-    d = dext[:, :, :out_tile].reshape(cch, -1)
-    rs_c = jnp.sum(dext[:, :, out_tile], axis=-1, keepdims=True)
-    rs_s = jnp.sum(dext[:, :, out_tile + 1], axis=-1, keepdims=True)
+    dd, st = fn(w0, dw, x_planes)
+    cch = dd.shape[0]
+    d = dd.reshape(cch, -1)              # contiguous: a free view
+    rs_c = jnp.sum(st[:, :, 0], axis=-1, keepdims=True)
+    rs_s = jnp.sum(st[:, :, 1], axis=-1, keepdims=True)
     if state is None:
         z = jnp.zeros((cch, 1), F32)
         state = (z, z)
