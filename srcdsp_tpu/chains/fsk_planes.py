@@ -69,26 +69,17 @@ def om_timing_planes(metric: jax.Array, tone_cos: jax.Array,
 
 
 def pick_symbols(d: jax.Array, tau: jax.Array, sps: int) -> jax.Array:
-    """Nearest-offset symbol pick as a sum of strided lane slices.
+    """Nearest-offset symbol pick: one-hot reduce over the sps axis.
 
     d: [C, K] with K % sps == 0; tau: [C, 1] in [0, sps).
     Returns soft symbols [C, K/sps].
-
-    Formulated as sum_o 1[o == round(tau)] * d[:, o::sps] rather than a
-    [C, K/sps, sps] reshape + one-hot reduce: the reshape's minor dim of
-    `sps` (4-8, far below the 128-lane tile) forces an expensive TPU
-    relayout — profiled at ~0.5 ms per 20M-sample config-4 call, the
-    single largest non-kernel device cost. The strided-slice form touches
-    the same bytes with lane-major layouts throughout. Semantics
-    identical (one-hot selection of one offset class).
     """
+    c, k = d.shape
+    d3 = d.reshape(c, k // sps, sps)
     off = jnp.mod(jnp.round(tau), F32(sps))                    # [C, 1]
-    acc = None
-    for o in range(sps):
-        w = (off == F32(o)).astype(F32)                        # [C, 1]
-        term = w * d[:, o::sps]
-        acc = term if acc is None else acc + term
-    return acc
+    cols = jnp.asarray(np.arange(sps, dtype=np.float32))[None, None, :]
+    onehot = (cols == off[:, :, None]).astype(F32)             # [C, 1, sps]
+    return jnp.sum(d3 * onehot, axis=-1)
 
 
 class FskPlanesStream:

@@ -43,19 +43,14 @@ def pick_symbols_c(yr: jax.Array, yi: jax.Array, tau: jax.Array, sps: int,
     interp=True: linear interpolation between samples floor(tau) and
     floor(tau)+1 (the +1 neighbor comes from a one-sample-left-shifted
     copy, so the symbol-boundary wrap is handled by flat indexing);
-    interp=False: nearest-offset one-hot pick. The selection runs as a
-    sum of strided lane slices, not a [C, K/sps, sps] reshape — the
-    minor-sps reshape forces a TPU relayout (see
-    chains.fsk_planes.pick_symbols).
+    interp=False: nearest-offset one-hot pick.
     """
+    c, k = yr.shape
+    cols = jnp.asarray(np.arange(sps, dtype=np.float32))[None, None, :]
 
     def pick(y, off):
-        acc = None
-        for o in range(sps):
-            w = (off == F32(o)).astype(F32)                    # [C, 1]
-            term = w * y[:, o::sps]
-            acc = term if acc is None else acc + term
-        return acc
+        onehot = (cols == off[:, :, None]).astype(F32)
+        return jnp.sum(y.reshape(c, k // sps, sps) * onehot, axis=-1)
 
     if not interp:
         off = jnp.mod(jnp.round(tau), F32(sps))
