@@ -60,10 +60,11 @@ def _atan2(y, x):
     return jnp.where(y < 0, -t, t)
 
 
-def _kernel(words0_ref, dwords_ref, x_hbm, hsub_ref, d_ref, st_ref,
-            yrbuf, yibuf, pcol, carry, slab, sem, *,
+def _kernel(words0_ref, dwords_ref, x_hbm, hsub_ref, perm_ref, d_ref,
+            st_ref, yrbuf, yibuf, pcol, carry, slab, sem, *,
             b_rows: int, out_tile: int, decim: int, hist: int, span: int,
-            slab_len: int, block_cols: int, sps: int, precision):
+            slab_len: int, block_cols: int, sps: int, precision,
+            class_major: bool):
     c = pl.program_id(0)
     i = pl.program_id(1)
     stride = out_tile * decim
@@ -136,6 +137,14 @@ def _kernel(words0_ref, dwords_ref, x_hbm, hsub_ref, d_ref, st_ref,
     rs_c = jnp.sum(met * jnp.cos(ang), axis=1, keepdims=True)
     rs_s = jnp.sum(met * (-jnp.sin(ang)), axis=1, keepdims=True)
 
+    if class_major:
+        # lane permutation to offset-class-major order via a 1-pass matmul
+        # (a permutation is exact at any matmul precision up to the bf16
+        # rounding of d itself, which cannot flip a sign): the wrapper's
+        # symbol pick then reads CONTIGUOUS lane blocks instead of paying
+        # the minor-sps reshape relayout (~0.5 ms/call, profiled)
+        d = jnp.dot(d, perm_ref[:, :], preferred_element_type=F32,
+                    precision=jax.lax.Precision.DEFAULT)
     d_ref[0, :, :] = d
     st_ref[0, :, :] = jnp.zeros((b_rows, PAD), F32)
     st_ref[0, :, 0:1] = rs_c
@@ -146,10 +155,16 @@ def make_fsk_mc_kernel(taps, decim: int, num_channels: int, sps: int,
                        out_tile: int = 512, b_rows: int = 8,
                        block_cols: int = 128,
                        precision=jax.lax.Precision.HIGHEST,
+                       class_major: bool = False,
                        interpret: bool = False):
     """Build the fused FSK front-end. Returns (fn, hist) with
     fn: (words0 i32[C,1], dwords i32[C,1], x [C, 2, HK+N])
-        -> (d [C, NT, OT], st [C, NT, 128])."""
+        -> (d [C, NT, OT], st [C, NT, 128]).
+
+    class_major=True emits each row of d with its lanes permuted to
+    offset-class-major order (lane o*(OT/sps)+s = sample s*sps+o), so the
+    demod tail's symbol pick is a sum of contiguous lane blocks — pass the
+    same flag to fsk_demod_fused."""
     taps = np.asarray(taps, np.float32)
     if out_tile % sps != 0:
         raise ValueError(f"out_tile {out_tile} % sps {sps} != 0")
@@ -162,6 +177,11 @@ def make_fsk_mc_kernel(taps, decim: int, num_channels: int, sps: int,
     nb = out_tile // block_cols
     bspan = block_cols * decim + hist
     hsubs = jnp.asarray(banded_taps(taps, decim, out_tile, hist, block_cols))[None]
+    # lane permutation matrix: row i -> col (i%sps)*(OT/sps) + i//sps
+    pm = np.zeros((out_tile, out_tile), np.float32)
+    for i_ in range(out_tile):
+        pm[i_, (i_ % sps) * (out_tile // sps) + i_ // sps] = 1.0
+    perm = jnp.asarray(pm)
     stride = out_tile * decim
     slab_len = b_rows * stride + hist
 
@@ -174,7 +194,7 @@ def make_fsk_mc_kernel(taps, decim: int, num_channels: int, sps: int,
         kern = functools.partial(
             _kernel, b_rows=b_rows, out_tile=out_tile, decim=decim,
             hist=hist, span=span, slab_len=slab_len, block_cols=block_cols,
-            sps=sps, precision=precision)
+            sps=sps, precision=precision, class_major=class_major)
         return pl.pallas_call(
             kern,
             grid=grid,
@@ -184,6 +204,8 @@ def make_fsk_mc_kernel(taps, decim: int, num_channels: int, sps: int,
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((1, nb, bspan, block_cols),
                              lambda c, i: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((out_tile, out_tile), lambda c, i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -206,17 +228,19 @@ def make_fsk_mc_kernel(taps, decim: int, num_channels: int, sps: int,
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
-        )(words0, dwords, x, hsubs)
+        )(words0, dwords, x, hsubs, perm)
 
     return fn, hist
 
 
 def fsk_demod_fused(fn, hist: int, out_tile: int, words0, dwords, x_planes,
-                    sps: int, state=None):
+                    sps: int, state=None, class_major: bool = False):
     """Wrapper: fused kernel + the 3-op XLA tail (tau + one-hot pick).
 
     x_planes: [C, 2, HK+N]; state: (acc_r [C,1], acc_i [C,1]) or None.
     Returns (state, (bits [C, Nsym] int32, soft [C, Nsym] f32)).
+    class_major must match the kernel's flag: the pick then sums
+    contiguous lane blocks of the permuted rows (no minor-sps relayout).
     """
     from srcdsp_tpu.chains.fsk_planes import pick_symbols
 
@@ -224,7 +248,6 @@ def fsk_demod_fused(fn, hist: int, out_tile: int, words0, dwords, x_planes,
     dw = jnp.asarray(np.asarray(dwords, np.uint32).view(np.int32).reshape(-1, 1))
     dd, st = fn(w0, dw, x_planes)
     cch = dd.shape[0]
-    d = dd.reshape(cch, -1)              # contiguous: a free view
     rs_c = jnp.sum(st[:, :, 0], axis=-1, keepdims=True)
     rs_s = jnp.sum(st[:, :, 1], axis=-1, keepdims=True)
     if state is None:
@@ -233,6 +256,20 @@ def fsk_demod_fused(fn, hist: int, out_tile: int, words0, dwords, x_planes,
     acc_r = F32(0.5) * state[0] + rs_c
     acc_i = F32(0.5) * state[1] + rs_s
     tau = jnp.mod(-F32(sps / TWO_PI) * jnp.arctan2(acc_i, acc_r), F32(sps))
-    soft = pick_symbols(d, tau, sps)
+    if class_major:
+        # rows of dd are class-major: lane block o holds that row's symbols
+        # sampled at offset o — select the nearest class with contiguous
+        # slices (the whole point of the in-kernel permutation)
+        off = jnp.mod(jnp.round(tau), F32(sps))            # [C, 1]
+        spr = out_tile // sps
+        soft3 = None
+        for o in range(sps):
+            w = (off == F32(o)).astype(F32)[:, :, None]    # [C, 1, 1]
+            term = w * dd[:, :, o * spr:(o + 1) * spr]
+            soft3 = term if soft3 is None else soft3 + term
+        soft = soft3.reshape(cch, -1)
+    else:
+        d = dd.reshape(cch, -1)          # contiguous: a free view
+        soft = pick_symbols(d, tau, sps)
     bits = (soft > 0).astype(jnp.int32)
     return (acc_r, acc_i), (bits, soft)

@@ -58,3 +58,42 @@ def test_fused_fsk_kernel_matches_composed_path():
             m = min(b.shape[-1] - bs, r.shape[-1] - rs)
             best = min(best, float(np.mean(b[c, bs:bs + m] != r[c, rs:rs + m])))
         assert best == 0.0, f"channel {c}"
+
+
+def test_class_major_bits_match():
+    """class_major=True (in-kernel lane permutation + contiguous-slice
+    pick) produces the same bits as the standard layout."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from srcdsp_tpu.kernels.fsk_fused import (
+        fsk_demod_fused, make_fsk_mc_kernel)
+    from srcdsp_tpu.ops.nco import freq_to_word
+    from srcdsp_tpu.ops.window import lowpass
+    from srcdsp_tpu.testing.signals import fsk_baseband, random_bits, tone
+
+    nch, decim, sps = 2, 4, 8
+    taps = lowpass(64, 0.03)
+    centers = [0.05, 0.07]
+    words = np.asarray([freq_to_word(-c) for c in centers], np.uint32)
+    bits_tx = random_bits(jax.random.PRNGKey(5), (nch, 64))
+    bb = fsk_baseband(bits_tx, decim * sps, 0.05 / decim)
+    x = np.stack([np.asarray(bb[c] * tone(bb.shape[-1], centers[c]))
+                  for c in range(nch)])
+
+    outs = {}
+    for cm in (False, True):
+        fn, hist = make_fsk_mc_kernel(taps, decim, nch, sps, out_tile=128,
+                                      b_rows=2, class_major=cm,
+                                      interpret=True)
+        n = (x.shape[-1] // (2 * 128 * decim)) * (2 * 128 * decim)
+        words0 = np.asarray([(-hist * int(w)) % (1 << 32) for w in words],
+                            np.uint32)
+        planes = np.zeros((nch, 2, hist + n), np.float32)
+        planes[:, 0, hist:] = x[:, :n].real
+        planes[:, 1, hist:] = x[:, :n].imag
+        _, (bits, soft) = fsk_demod_fused(fn, hist, 128, words0, words,
+                                          jnp.asarray(planes), sps,
+                                          class_major=cm)
+        outs[cm] = np.asarray(bits)
+    np.testing.assert_array_equal(outs[False], outs[True])
