@@ -155,7 +155,7 @@ def run_config4_onchip(iters: int = 10, channels: int = 10,
             fsk_demod_fused, make_fsk_mc_kernel)
         fn, hist = make_fsk_mc_kernel(taps, decim, channels, sps,
                                       out_tile=512, b_rows=32,
-                                      precision=prec)
+                                      precision=prec, class_major=True)
         blk = 32 * 512 * decim
         n = (n_per_ch // blk) * blk
         words0 = np.asarray([(-hist * int(w)) % (1 << 32) for w in words],
@@ -163,7 +163,7 @@ def run_config4_onchip(iters: int = 10, channels: int = 10,
         planes = jax.device_put(jnp.asarray(
             rng.standard_normal((channels, 2, hist + n)).astype(np.float32)))
         step = jax.jit(lambda p: fsk_demod_fused(
-            fn, hist, 512, words0, words, p, sps))
+            fn, hist, 512, words0, words, p, sps, class_major=True))
     else:
         from srcdsp_tpu.chains.fsk_planes import (
             fsk_demod_planes, make_timing_tone)
