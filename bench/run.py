@@ -383,14 +383,15 @@ def run_config5_onchip(iters: int = 10, num_channels: int = 64,
         prec = (jax.lax.Precision.DEFAULT if bank_bf16
                 else jax.lax.Precision.HIGHEST)
         kb, hist_cols = make_bank_psk_kernel(proto, m, sps=sps, order=4,
-                                             b_k=b_k, precision=prec)
+                                             b_k=b_k, precision=prec,
+                                             class_major=True)
         k = (k // b_k) * b_k
         n = k * m
 
         def step(xp):
             y, stats = kb(xp)                   # [2M, K] + fused sums
             return psk_demod_bank_stats(y[:m], y[m:], stats, sps, 4,
-                                        offset=0.5)
+                                        offset=0.5, class_major_b_k=b_k)
 
         rng = np.random.default_rng(0)
         xp = jax.device_put(jnp.asarray(

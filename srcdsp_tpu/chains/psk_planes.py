@@ -68,7 +68,8 @@ def pick_symbols_c(yr: jax.Array, yi: jax.Array, tau: jax.Array, sps: int,
 
 def psk_demod_bank_stats(yr: jax.Array, yi: jax.Array, stats: jax.Array,
                          sps: int, order: int, offset: float = 0.0,
-                         acc=None, interp: bool = True):
+                         acc=None, interp: bool = True,
+                         class_major_b_k: int = 0):
     """Demod tail for the fused bank+stats kernel
     (kernels.bank_pallas.make_bank_psk_kernel).
 
@@ -104,10 +105,23 @@ def psk_demod_bank_stats(yr: jax.Array, yi: jax.Array, stats: jax.Array,
     cr_r = F32(0.5) * cr_r + (vv_r * co - vv_i * so)
     cr_i = F32(0.5) * cr_i + (vv_r * so + vv_i * co)
     phi = jnp.arctan2(cr_i, cr_r) / order
-    # interp=False: nearest-offset pick — halves the remaining [M, K] tail
-    # (one one-hot reduce instead of two over shifted copies); at sps >= 4
-    # the eye is wide enough that SER stays 0 on the fixtures
-    sr, si = pick_symbols_c(yr, yi, tau, sps, interp=interp)
+    if class_major_b_k:
+        # the kernel was built with class_major=True and this b_k: each
+        # b_k lane block of yr/yi is offset-class-major, so the pick
+        # reduces a SECOND-minor sps axis over 128-lane minors — no
+        # minor-sps relayout (same trick as kernels.fsk_fused)
+        spb = class_major_b_k // sps
+        oh = (jnp.asarray(np.arange(sps, dtype=np.float32))[None, :]
+              == o_near).astype(F32)[:, None, :, None]   # [M, 1, sps, 1]
+        y4r = yr.reshape(cch, -1, sps, spb)
+        y4i = yi.reshape(cch, -1, sps, spb)
+        sr = jnp.sum(y4r * oh, axis=2).reshape(cch, -1)
+        si = jnp.sum(y4i * oh, axis=2).reshape(cch, -1)
+    else:
+        # interp=False: nearest-offset pick — halves the remaining [M, K]
+        # tail (one one-hot reduce instead of two over shifted copies); at
+        # sps >= 4 the eye is wide enough that SER stays 0 on the fixtures
+        sr, si = pick_symbols_c(yr, yi, tau, sps, interp=interp)
     cp = jnp.cos(phi)
     sp = jnp.sin(phi)
     dr = sr * cp + si * sp          # s * exp(-j phi)

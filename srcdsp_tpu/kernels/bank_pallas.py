@@ -64,9 +64,9 @@ def _bank_kernel(x_hbm, e_ref, y_ref, slab, ss, sem, *, b_k: int, m: int,
                           precision=precision)
 
 
-def _bank_psk_kernel(x_hbm, e_ref, y_ref, st_ref, slab, ss, sem, *,
-                     b_k: int, m: int, p1: int, hist_cols: int, precision,
-                     sps: int, order: int):
+def _bank_psk_kernel(x_hbm, e_ref, perm_ref, y_ref, st_ref, slab, ss, sem,
+                     *, b_k: int, m: int, p1: int, hist_cols: int,
+                     precision, sps: int, order: int, class_major: bool):
     """Bank kernel + fused PSK epilogue stats (the config-5 analog of the
     fused FSK timing sums): per grid step, alongside the bank output,
     accumulate the O&M timing-tone partial sums over |y|^2 and the per-
@@ -94,7 +94,8 @@ def _bank_psk_kernel(x_hbm, e_ref, y_ref, st_ref, slab, ss, sem, *,
             ss[row0: row0 + m, :] = slab[plane, :, start: start + b_k]
     yv = jnp.dot(e_ref[:, :], ss[:, :], preferred_element_type=F32,
                  precision=precision)
-    y_ref[:, :] = yv
+    if not class_major:
+        y_ref[:, :] = yv
 
     yr = yv[:m, :]
     yi = yv[m:, :]
@@ -121,6 +122,13 @@ def _bank_psk_kernel(x_hbm, e_ref, y_ref, st_ref, slab, ss, sem, *,
             pr * mask, axis=1, keepdims=True)
         st_ref[0, :, 2 + sps + off: 3 + sps + off] = jnp.sum(
             pi * mask, axis=1, keepdims=True)
+
+    if class_major:
+        # permute this block's lanes to offset-class-major order (1-pass
+        # matmul; sign-safe) so the demod tail's pick avoids the minor-sps
+        # relayout — same trick as kernels.fsk_fused class_major
+        y_ref[:, :] = jnp.dot(yv, perm_ref[:, :], preferred_element_type=F32,
+                              precision=jax.lax.Precision.DEFAULT)
 
 
 def phase_major(x: jax.Array, m: int, hist: int) -> jax.Array:
@@ -222,6 +230,7 @@ def bank_os2_pallas(fn, hist_cols: int, x_flat: jax.Array, num_channels: int
 def make_bank_psk_kernel(taps, num_channels: int, sps: int, order: int = 4,
                          b_k: int = 256,
                          precision=jax.lax.Precision.HIGHEST,
+                         class_major: bool = False,
                          interpret: bool = False):
     """Bank kernel + fused PSK epilogue stats. Returns (fn, hist_cols):
 
@@ -230,7 +239,11 @@ def make_bank_psk_kernel(taps, num_channels: int, sps: int, order: int = 4,
     chains.psk_planes.psk_demod_bank_stats for the 3-op demod tail.
     b_k must be a multiple of sps so every grid step covers whole
     offset-class periods; order must be a power of two (V&V by repeated
-    squaring on the VPU).
+    squaring on the VPU). class_major=True permutes each b_k block's
+    lanes to offset-class-major order in-kernel (pass the same flag plus
+    b_k to psk_demod_bank_stats) — the tail pick then reduces over a
+    second-minor sps axis with 128-lane minors instead of paying the
+    minor-sps relayout.
     """
     m = num_channels
     if order & (order - 1) or order < 2:
@@ -243,6 +256,10 @@ def make_bank_psk_kernel(taps, num_channels: int, sps: int, order: int = 4,
     er_s = er_np.reshape(p1 * m, m)
     ei_s = ei_np.reshape(p1 * m, m)
     e_comb_t = jnp.asarray(np.block([[er_s, ei_s], [-ei_s, er_s]]).T.copy())
+    pm = np.zeros((b_k, b_k), np.float32)
+    for k_ in range(b_k):
+        pm[k_, (k_ % sps) * (b_k // sps) + k_ // sps] = 1.0
+    perm = jnp.asarray(pm)
 
     def fn(x):
         k = x.shape[-1] - hist_cols
@@ -251,13 +268,16 @@ def make_bank_psk_kernel(taps, num_channels: int, sps: int, order: int = 4,
         grid = k // b_k
         kern = functools.partial(
             _bank_psk_kernel, b_k=b_k, m=m, p1=p1, hist_cols=hist_cols,
-            precision=precision, sps=sps, order=order)
+            precision=precision, sps=sps, order=order,
+            class_major=class_major)
         return pl.pallas_call(
             kern,
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((2 * m, 2 * p1 * m), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_k, b_k), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -276,6 +296,6 @@ def make_bank_psk_kernel(taps, num_channels: int, sps: int, order: int = 4,
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
-        )(x, e_comb_t)
+        )(x, e_comb_t, perm)
 
     return fn, hist_cols

@@ -191,3 +191,34 @@ def test_fused_bank_psk_stats_nearest_pick_ser_zero():
     for c in range(m):
         d = np.asarray(diff_decode(idx[c], order))
         assert _ser(np.asarray(data[c]), d) == 0.0, f"channel {c}"
+
+
+def test_fused_bank_psk_stats_class_major_ser_zero():
+    """class_major bank kernel + class-major tail: SER 0 and idx identical
+    to the standard-layout fused path on the modulated fixture."""
+    from srcdsp_tpu.chains.psk_planes import psk_demod_bank_stats
+    from srcdsp_tpu.kernels.bank_pallas import (
+        make_bank_psk_kernel, phase_major)
+
+    m, nsym, order, sps = 8, 256, 4, 4
+    data, proto, wb, off = _modulated_wideband(m, nsym, order, sps, key=3)
+    n = wb.shape[-1]
+    b_k = 128
+    idxs = {}
+    for cm in (False, True):
+        kb, hist_cols = make_bank_psk_kernel(proto, m, sps=sps, order=order,
+                                             b_k=b_k, class_major=cm,
+                                             interpret=True)
+        k = (n // m // b_k) * b_k
+        planes = jnp.stack([jnp.real(wb), jnp.imag(wb)]).astype(jnp.float32)
+        pad = jnp.zeros((2, hist_cols * m), jnp.float32)
+        xin = jnp.concatenate([pad, planes[:, :k * m]], axis=-1)
+        y, stats = kb(phase_major(xin, m, hist_cols))
+        _, (idx, _) = psk_demod_bank_stats(
+            y[:m], y[m:], stats, sps, order, offset=off,
+            interp=False, class_major_b_k=b_k if cm else 0)
+        idxs[cm] = np.asarray(idx)
+        for c in range(m):
+            d = np.asarray(diff_decode(jnp.asarray(idxs[cm][c]), order))
+            assert _ser(np.asarray(data[c]), d) == 0.0, f"cm={cm} ch {c}"
+    np.testing.assert_array_equal(idxs[False], idxs[True])
