@@ -304,8 +304,12 @@ def run_config3_onchip(iters: int = 10, channels: int = 16,
             fftconv_pallas, make_fftconv_kernel)
         prec = (jax.lax.Precision.DEFAULT if fft_bf16
                 else jax.lax.Precision.HIGHEST)
+        # karatsuba: 3-matmul complex form for the lane-contracting stages —
+        # A/B medians: f32 +6% wall / +10% device, bf16 within noise, SNR
+        # unchanged (bench/results_round2.jsonl). Serving default.
         k = make_fftconv_kernel(taps, fft_size, num_channels=channels,
-                                b_frames=b_frames, precision=prec)
+                                b_frames=b_frames, precision=prec,
+                                karatsuba=True)
         hop = k.hop
         n = (n_per_ch // k.block_in()) * k.block_in()
         x = jax.device_put(jnp.asarray(rng.standard_normal(

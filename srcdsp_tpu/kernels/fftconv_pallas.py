@@ -78,7 +78,7 @@ def _rhs_comb(m: np.ndarray) -> np.ndarray:
 
 def _kernel(x_hbm, w1c_ref, w2tc_ref, w2cc_ref, g2c_ref, twf_ref, twi_ref,
             h2_ref, yr_ref, yi_ref, slab, sem, *, b: int, n1: int, n2: int,
-            hs: int, ov_rows: int, precision):
+            hs: int, ov_rows: int, precision, karatsuba: bool):
     c = pl.program_id(0)
     i = pl.program_id(1)
     row0 = i * b * hs
@@ -107,26 +107,55 @@ def _kernel(x_hbm, w1c_ref, w2tc_ref, w2cc_ref, g2c_ref, twf_ref, twi_ref,
     tr = sr * twr - si * twi_f
     ti = sr * twi_f + si * twr
 
-    # --- restack: frames to rows, planes to lanes -> [B*n1, 2*n2]
-    y_l = jnp.concatenate(
-        [jnp.concatenate([tr[:, bb * n2:(bb + 1) * n2],
-                          ti[:, bb * n2:(bb + 1) * n2]], axis=1)
-         for bb in range(b)], axis=0)
+    if karatsuba:
+        # 3-matmul (Gauss) complex form for the lane-contracting stages:
+        # with W constant, Y = X @ W needs only
+        #   t1 = (Xr + Xi) @ Wr,  t2 = Xi @ (Wi + Wr),  t3 = Xr @ (Wi - Wr)
+        #   Yr = t1 - t2,  Yi = t1 + t3
+        # i.e. 3 [.,n2]x[n2,n2] MXU tile passes instead of the combined
+        # form's 4 ([.,2n2]x[2n2,2n2]). Only worth it here, where every dim
+        # is a lane-tile multiple; the row-contracting stages (2n1 = 64 < 128)
+        # pad to one tile either way and stay combined. Constants arrive
+        # packed [n2, 3*n2] = [Wr | Wi+Wr | Wi-Wr].
+        yr_l = jnp.concatenate([tr[:, bb * n2:(bb + 1) * n2]
+                                for bb in range(b)], axis=0)
+        yi_l = jnp.concatenate([ti[:, bb * n2:(bb + 1) * n2]
+                                for bb in range(b)], axis=0)
+        t1 = mm(yr_l + yi_l, w2tc_ref[:, :n2])
+        t2 = mm(yi_l, w2tc_ref[:, n2:2 * n2])
+        t3 = mm(yr_l, w2tc_ref[:, 2 * n2:])
+        x2r, x2i = t1 - t2, t1 + t3
 
-    # --- stage 2 (contract n2): spectrum [B*n1, 2*n2] = [X2r | X2i]
-    x2_l = mm(y_l, w2tc_ref[:, :])
-    x2r, x2i = x2_l[:, :n2], x2_l[:, n2:]
+        hr, hi = h2_ref[0, 0], h2_ref[0, 1]
+        zr = x2r * hr - x2i * hi
+        zi = x2r * hi + x2i * hr
 
-    # --- frequency multiply (row-tiled [B*n1, n2] constants; leading block
-    # dim selects this channel's response when taps are per-channel)
-    hr, hi = h2_ref[0, 0], h2_ref[0, 1]
-    zr = x2r * hr - x2i * hi
-    zi = x2r * hi + x2i * hr
-    z_l = jnp.concatenate([zr, zi], axis=1)
+        s1 = mm(zr + zi, w2cc_ref[:, :n2])
+        s2 = mm(zi, w2cc_ref[:, n2:2 * n2])
+        s3 = mm(zr, w2cc_ref[:, 2 * n2:])
+        ur, ui = s1 - s2, s1 + s3
+    else:
+        # --- restack: frames to rows, planes to lanes -> [B*n1, 2*n2]
+        y_l = jnp.concatenate(
+            [jnp.concatenate([tr[:, bb * n2:(bb + 1) * n2],
+                              ti[:, bb * n2:(bb + 1) * n2]], axis=1)
+             for bb in range(b)], axis=0)
 
-    # --- inverse stage 1 (contract k2): U [B*n1, 2*n2]
-    u_l = mm(z_l, w2cc_ref[:, :])
-    ur, ui = u_l[:, :n2], u_l[:, n2:]
+        # --- stage 2 (contract n2): spectrum [B*n1, 2*n2] = [X2r | X2i]
+        x2_l = mm(y_l, w2tc_ref[:, :])
+        x2r, x2i = x2_l[:, :n2], x2_l[:, n2:]
+
+        # --- frequency multiply (row-tiled [B*n1, n2] constants; leading
+        # block dim selects this channel's response when taps are
+        # per-channel)
+        hr, hi = h2_ref[0, 0], h2_ref[0, 1]
+        zr = x2r * hr - x2i * hi
+        zi = x2r * hi + x2i * hr
+        z_l = jnp.concatenate([zr, zi], axis=1)
+
+        # --- inverse stage 1 (contract k2): U [B*n1, 2*n2]
+        u_l = mm(z_l, w2cc_ref[:, :])
+        ur, ui = u_l[:, :n2], u_l[:, n2:]
 
     # --- inverse twiddle (row-tiled [B*n1, n2] constants)
     tir, tii = twi_ref[0], twi_ref[1]
@@ -172,6 +201,7 @@ class FftConvKernel:
 def make_fftconv_kernel(taps, fft_size: int = 4096, num_channels: int = 1,
                         n2: int = LANE, b_frames: int = 8,
                         precision=jax.lax.Precision.HIGHEST,
+                        karatsuba: bool = False,
                         interpret: bool = False) -> FftConvKernel:
     """Build the fused kernel for a fixed tap set / FFT size / tiling.
 
@@ -232,8 +262,17 @@ def make_fftconv_kernel(taps, fft_size: int = 4096, num_channels: int = 1,
         h2_t = jnp.asarray(_h_tiled(taps))[None]    # [Ct, 2, B*n1, n2]
 
     w1c = jnp.asarray(_lhs_comb(w1))
-    w2tc = jnp.asarray(_rhs_comb(w2t))
-    w2cc = jnp.asarray(_rhs_comb(w2c))
+    if karatsuba:
+        # packed [n2, 3*n2] = [Wr | Wi+Wr | Wi-Wr] for the 3-matmul form
+        def _kpack(m):
+            return np.concatenate(
+                [m.real, m.imag + m.real, m.imag - m.real],
+                axis=1).astype(np.float32)
+        w2tc = jnp.asarray(_kpack(w2t))
+        w2cc = jnp.asarray(_kpack(w2c))
+    else:
+        w2tc = jnp.asarray(_rhs_comb(w2t))
+        w2cc = jnp.asarray(_rhs_comb(w2c))
     g2c = jnp.asarray(_lhs_comb(g2))
     twf_t = jnp.asarray(np.stack([np.tile(twf.real, (1, b_frames)),
                                   np.tile(twf.imag, (1, b_frames))]
@@ -255,7 +294,9 @@ def make_fftconv_kernel(taps, fft_size: int = 4096, num_channels: int = 1,
         grid = (num_channels, rows_out // (b_frames * hs))
         kern = functools.partial(
             _kernel, b=b_frames, n1=n1, n2=n2, hs=hs, ov_rows=ov_rows,
-            precision=precision)
+            precision=precision, karatsuba=karatsuba)
+        w2_cols = 3 * n2 if karatsuba else 2 * n2
+        w2_rows = n2 if karatsuba else 2 * n2
         return pl.pallas_call(
             kern,
             grid=grid,
@@ -263,9 +304,9 @@ def make_fftconv_kernel(taps, fft_size: int = 4096, num_channels: int = 1,
                 pl.BlockSpec(memory_space=pl.ANY),        # x stays in HBM
                 pl.BlockSpec((2 * n1, 2 * n1), lambda c, i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((2 * n2, 2 * n2), lambda c, i: (0, 0),
+                pl.BlockSpec((w2_rows, w2_cols), lambda c, i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((2 * n2, 2 * n2), lambda c, i: (0, 0),
+                pl.BlockSpec((w2_rows, w2_cols), lambda c, i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2 * hs, 2 * n1), lambda c, i: (0, 0),
                              memory_space=pltpu.VMEM),

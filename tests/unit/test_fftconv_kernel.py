@@ -125,3 +125,24 @@ def test_stream_class_bit_identical():
                                   np.concatenate([r1, r2], axis=-1))
     np.testing.assert_array_equal(np.asarray(yi),
                                   np.concatenate([i1, i2], axis=-1))
+
+
+def test_karatsuba_matches_combined():
+    """3-matmul (Gauss) lane-stage form == combined 2x2 block form to f32
+    rounding, at both precisions (same frames, same math — only the
+    complex-multiply factorization differs)."""
+    taps = lowpass(1024, 0.1)
+    rng = np.random.default_rng(3)
+    for prec in (jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT):
+        k0 = make_fftconv_kernel(taps, 4096, num_channels=2, b_frames=2,
+                                 precision=prec, interpret=True)
+        k1 = make_fftconv_kernel(taps, 4096, num_channels=2, b_frames=2,
+                                 precision=prec, karatsuba=True,
+                                 interpret=True)
+        n = 2 * k0.block_in()
+        x = jnp.asarray(rng.standard_normal(
+            (2, 2, k0.overlap + n)).astype(np.float32))
+        y0 = fftconv_pallas(k0, x)
+        y1 = fftconv_pallas(k1, x)
+        for a, b in zip(y0, y1):
+            assert _snr_db(np.asarray(a), np.asarray(b)) > 120
