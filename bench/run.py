@@ -99,8 +99,13 @@ def run_config(name: str, use_pallas: bool = False, iters: int = 20,
     return rec
 
 
-def run_fft(iters: int = 20, n: int = 4096, batch: int = 1024) -> dict:
-    """FFT GFLOP/s (BASELINE.json metric) via the MXU four-step transform."""
+def run_fft(iters: int = 20, n: int = 4096, batch: int = 1024,
+            fused: bool = True, fft_bf16: bool = False,
+            natural_order: bool = True) -> dict:
+    """FFT GFLOP/s (BASELINE.json metric). fused=True runs the batched
+    Pallas kernel (whole transform in VMEM, karatsuba lane stage);
+    fused=False is the round-1 XLA plane path. natural_order=False skips
+    the final unscramble transpose (transform-only rate)."""
     import time
 
     import jax
@@ -108,7 +113,16 @@ def run_fft(iters: int = 20, n: int = 4096, batch: int = 1024) -> dict:
     import numpy as np
     from srcdsp_tpu.ops.fft_planes import fft_planes_flops, make_fft_planes
 
-    fft = jax.jit(make_fft_planes(n))
+    if fused:
+        from srcdsp_tpu.kernels.fft_pallas import make_fft_kernel
+        prec = (jax.lax.Precision.DEFAULT if fft_bf16
+                else jax.lax.Precision.HIGHEST)
+        k = make_fft_kernel(n, b_frames=16, precision=prec,
+                            natural_order=natural_order)
+        batch = (batch // k.b_frames) * k.b_frames
+        fft = jax.jit(k.fn)
+    else:
+        fft = jax.jit(make_fft_planes(n))
     rng = np.random.default_rng(0)
     xr = jax.device_put(jnp.asarray(rng.standard_normal((batch, n)), jnp.float32))
     xi = jax.device_put(jnp.asarray(rng.standard_normal((batch, n)), jnp.float32))
@@ -116,6 +130,9 @@ def run_fft(iters: int = 20, n: int = 4096, batch: int = 1024) -> dict:
     return {
         "config": "fft",
         "platform": jax.default_backend(),
+        "impl": ("pallas_bf16" if fft_bf16 else "pallas_f32") if fused
+                else "xla_planes",
+        "natural_order": natural_order,
         "fft_size": n,
         "batch": batch,
         "ms_per_iter": round(best * 1e3, 3),
