@@ -211,7 +211,7 @@ def run_config4_onchip(iters: int = 10, channels: int = 10,
     }
 
 
-def run_config2_onchip(iters: int = 10, n: int = 1 << 22,
+def run_config2_onchip(iters: int = 10, n: int = 1 << 24,
                        fused: bool = True, channels: int = 1,
                        hist_round: int = 128) -> dict:
     """Config 2 on-chip. fused=True folds the whole chain (NCO mix +
@@ -219,7 +219,12 @@ def run_config2_onchip(iters: int = 10, n: int = 1 << 22,
     combined taps hc = h_resample conv up_3(h_fir) — one pallas_call, one
     HBM pass; channels>1 uses the multi-channel grid (BASELINE config 2 is
     4 channels; n is PER CHANNEL). fused=False is the round-1 two-kernel
-    path (mix+FIR kernel, HBM round-trip, resampler kernel)."""
+    path (mix+FIR kernel, HBM round-trip, resampler kernel).
+
+    Call sizing: the chain carries ~2.6 ms fixed per-call overhead through
+    the tunnel, so it is dispatch-bound below ~8M samples/call (2026-08-17
+    medians: 4M -> 1185, 16M -> 2700, 32M -> 3167 Ms/s; device-side rate
+    4.1 Gs/s). 16M is the serving default."""
     import time
 
     import jax
