@@ -25,7 +25,13 @@ import numpy as np
 os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
 
 TARGET_MS_PER_CHIP = 125.0  # Msamples/s/chip <- 1 Gs/s / 8 chips north star
-N_SAMPLES = 1 << 23         # 8M: amortizes the ~0.5 ms tunnel dispatch
+# 64M samples/call: the chain carries ~2-3 ms of fixed per-call overhead
+# through the tunnel (several dispatches per call), so throughput is
+# dispatch-bound below ~32M samples/call (8M: 2614, 16M: 4289, 32M: 6211,
+# 64M: 7537 Ms/s f32 medians, 2026-08-17). 128M hit a >10 min remote
+# compile; 64M is the serving call size.
+N_SAMPLES = 1 << 26
+N_SAMPLES_XLA = 1 << 23     # plane path OOMs HBM at 64M (phasor temps)
 TRIALS = 7                  # interleaved trials; report the median
 ITERS = 10                  # dispatches per trial
 
@@ -95,7 +101,7 @@ def main() -> None:
 
     platform = jax.default_backend()
     variants = {}
-    step, args, n = _make_xla(N_SAMPLES)
+    step, args, n = _make_xla(N_SAMPLES_XLA)
     jax.block_until_ready(step(*args))          # warm-up / compile
     variants["xla"] = (step, args, n)
     if platform == "tpu" and os.environ.get("SRCDSP_BENCH_PALLAS", "1") != "0":

@@ -142,7 +142,7 @@ def run_fft(iters: int = 20, n: int = 4096, batch: int = 1024,
 
 
 def run_config4_onchip(iters: int = 10, channels: int = 10,
-                       n_per_ch: int = 1 << 21, fused: bool = True,
+                       n_per_ch: int = 1 << 24, fused: bool = True,
                        bf16: bool = True) -> dict:
     """The north-star chain fully on-chip. fused=True runs the single-kernel
     front-end (mix+FIR+decim+discriminator+timing sums in ONE pallas_call);
@@ -211,7 +211,7 @@ def run_config4_onchip(iters: int = 10, channels: int = 10,
     }
 
 
-def run_config2_onchip(iters: int = 10, n: int = 1 << 24,
+def run_config2_onchip(iters: int = 10, n: int = 1 << 25,
                        fused: bool = True, channels: int = 1,
                        hist_round: int = 128) -> dict:
     """Config 2 on-chip. fused=True folds the whole chain (NCO mix +
@@ -304,7 +304,7 @@ def run_config2_onchip(iters: int = 10, n: int = 1 << 24,
 
 def run_config3_onchip(iters: int = 10, channels: int = 16,
                        fft_size: int = 4096, num_taps: int = 1024,
-                       n_per_ch: int = 1 << 20, fused: bool = True,
+                       n_per_ch: int = 1 << 23, fused: bool = True,
                        fft_bf16: bool = False, b_frames: int = 16) -> dict:
     """Config 3 fully on-chip. fused=True runs the single-HBM-pass Pallas
     overlap-save kernel (slab DMA -> VMEM frames -> four-step MXU FFT ->
@@ -375,7 +375,7 @@ def run_config3_onchip(iters: int = 10, channels: int = 16,
 
 
 def run_config5_onchip(iters: int = 10, num_channels: int = 64,
-                       frames: int = 1 << 17, use_pallas_bank: bool = True,
+                       frames: int = 1 << 19, use_pallas_bank: bool = True,
                        bank_bf16: bool = True, b_k: int = 512,
                        fused_demod: bool = True) -> dict:
     """Config 5 fully on-chip: matmul-form 64-ch polyphase bank + per-channel
