@@ -99,13 +99,18 @@ def run_config(name: str, use_pallas: bool = False, iters: int = 20,
     return rec
 
 
-def run_fft(iters: int = 20, n: int = 4096, batch: int = 1024,
+def run_fft(iters: int = 20, n: int = 4096, batch: int = 8192,
             fused: bool = True, fft_bf16: bool = False,
             natural_order: bool = True) -> dict:
     """FFT GFLOP/s (BASELINE.json metric). fused=True runs the batched
     Pallas kernel (whole transform in VMEM, karatsuba lane stage);
     fused=False is the round-1 XLA plane path. natural_order=False skips
-    the final unscramble transpose (transform-only rate)."""
+    the final unscramble transpose (transform-only rate).
+
+    Batch sweep (2026-08-17, f32 5NlogN GFLOP/s): 1024 -> 210.8/232.4
+    (natural/transform-only), 4096 -> 345.9/419.7, 8192 -> 395.0/586.9 —
+    dispatch-bound below ~16M samples like every chain; 8192 is the
+    serving batch."""
     import time
 
     import jax

@@ -465,6 +465,37 @@ void orc_synthesize_os2(const float* y, int m, long kframes,
   }
 }
 
+// ---------- IIR (beyond-parity: ops/iir.py twin) ----------
+
+void orc_iir_stream(const float* x, long n, const double* b, const double* a,
+                    long p, float* z_io, float* y) {
+  // Direct-form-II-transposed, double-precision accumulate, normalized
+  // coefficients b[0..p], a[0..p] with a[0] == 1. z_io: carried complex
+  // state [p] (interleaved; zeros at stream start). Block outputs
+  // concatenated over calls == one whole-signal run — the C++ twin of
+  // ops.iir.iir_apply's carried IirState (different state coordinates,
+  // identical filter semantics).
+  std::vector<double> zr(p), zi(p);
+  for (long j = 0; j < p; ++j) { zr[j] = z_io[2 * j]; zi[j] = z_io[2 * j + 1]; }
+  for (long i = 0; i < n; ++i) {
+    const double xr = x[2 * i], xi = x[2 * i + 1];
+    const double yr = b[0] * xr + zr[0];
+    const double yi = b[0] * xi + zi[0];
+    for (long j = 0; j + 1 < p; ++j) {
+      zr[j] = b[j + 1] * xr + zr[j + 1] - a[j + 1] * yr;
+      zi[j] = b[j + 1] * xi + zi[j + 1] - a[j + 1] * yi;
+    }
+    if (p > 0) {
+      zr[p - 1] = b[p] * xr - a[p] * yr;
+      zi[p - 1] = b[p] * xi - a[p] * yi;
+    }
+    y[2 * i] = static_cast<float>(yr);
+    y[2 * i + 1] = static_cast<float>(yi);
+  }
+  for (long j = 0; j < p; ++j) { z_io[2 * j] = static_cast<float>(zr[j]);
+                                 z_io[2 * j + 1] = static_cast<float>(zi[j]); }
+}
+
 void orc_resample_stream(const float* x, long n, const float* taps, long t,
                          int up, int down, float* hist_io, long* off_io,
                          float* y) {

@@ -11,6 +11,10 @@ from srcdsp_tpu.ops.nco import NcoState, nco_init, nco_apply, nco_phasor  # noqa
 from srcdsp_tpu.ops.resample import ResampleState, resample_init, resample_apply  # noqa: F401
 from srcdsp_tpu.ops.fftconv import FftConvState, fftconv_init, fftconv_apply  # noqa: F401
 from srcdsp_tpu.ops.fft_planes import make_fft_planes  # noqa: F401
+from srcdsp_tpu.ops.iir import (  # noqa: F401
+    IirParams, IirState, iir_init, iir_apply, iir_full, make_iir_params,
+    make_sos_params, sos_init, sos_apply,
+)
 from srcdsp_tpu.ops.planes import (  # noqa: F401
     fused_mix_fir_decim_planes, phase_coef_matrix, plane_hist_len,
 )

@@ -309,3 +309,32 @@ def fsk_demod(x: np.ndarray, center_freq: float, taps: np.ndarray,
     soft = timing_sample(np.zeros(sps + 1, np.complex64),
                          d.astype(np.complex64), tau, sps)
     return (soft.real > 0).astype(np.int32)
+
+
+def iir_stream(x: np.ndarray, b: np.ndarray, a: np.ndarray,
+               z: np.ndarray | None = None
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Streaming IIR (direct-form-II-transposed, double accumulate).
+
+    Twin of ops.iir.iir_apply (same filter semantics; the C++ state is the
+    DF2T delay z [p] complex64, zeros at stream start). Returns (y, new_z);
+    outputs concatenated over blocks == one whole-signal run.
+    """
+    x = _cf(x)
+    b = np.asarray(b, np.float64)
+    a = np.asarray(a, np.float64)
+    b = b / a[0]
+    a = a / a[0]
+    p = max(a.size, b.size) - 1
+    b = np.concatenate([b, np.zeros(p + 1 - b.size)])
+    a = np.concatenate([a, np.zeros(p + 1 - a.size)])
+    z = (np.zeros(p, np.complex64) if z is None
+         else np.ascontiguousarray(z, np.complex64).copy())
+    assert z.size == p
+    out = np.empty(x.size, np.complex64)
+    dp = ctypes.POINTER(ctypes.c_double)
+    _lib().orc_iir_stream(_fp(x.view(np.float32)), ctypes.c_long(x.size),
+                          b.ctypes.data_as(dp), a.ctypes.data_as(dp),
+                          ctypes.c_long(p), _fp(z.view(np.float32)),
+                          _fp(out.view(np.float32)))
+    return out, z
