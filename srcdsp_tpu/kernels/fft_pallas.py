@@ -62,7 +62,7 @@ def _kpack(m: np.ndarray) -> np.ndarray:
 
 
 def _kernel(xr_ref, xi_ref, w1c_ref, w2k_ref, twf_ref, yr_ref, yi_ref, *,
-            b: int, n1: int, n2: int, precision):
+            b: int, n1: int, n2: int, precision, natural: bool = False):
     def mm(a, bb):
         return jnp.dot(a, bb, preferred_element_type=F32, precision=precision)
 
@@ -95,8 +95,22 @@ def _kernel(xr_ref, xi_ref, w1c_ref, w2k_ref, twf_ref, yr_ref, yi_ref, *,
     t1 = mm(yr_l + yi_l, w2k_ref[:, :n2])
     t2 = mm(yi_l, w2k_ref[:, n2:2 * n2])
     t3 = mm(yr_l, w2k_ref[:, 2 * n2:])
-    yr_ref[:, :] = t1 - t2
-    yi_ref[:, :] = t1 + t3
+    xr_out = t1 - t2
+    xi_out = t1 + t3
+    if not natural:
+        yr_ref[:, :] = xr_out
+        yi_ref[:, :] = xi_out
+        return
+    # in-kernel unscramble: each frame's [n1, n2] digit tile flattens to
+    # one natural-order row (lane k = n1*k2 + k1 <=> transpose + reshape)
+    rows_r, rows_i = [], []
+    for bb in range(b):
+        fr = xr_out[bb * n1:(bb + 1) * n1, :]
+        fi = xi_out[bb * n1:(bb + 1) * n1, :]
+        rows_r.append(fr.T.reshape(1, n1 * n2))
+        rows_i.append(fi.T.reshape(1, n1 * n2))
+    yr_ref[:, :] = jnp.concatenate(rows_r, axis=0)
+    yi_ref[:, :] = jnp.concatenate(rows_i, axis=0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -123,6 +137,20 @@ def make_fft_kernel(fft_size: int = 4096, n2: int = LANE, b_frames: int = 16,
     skips the final XLA unscramble and returns the four-step layout
     (frame-major rows of X[k1 + n1*k2] at [k1, k2]) — the transform-only
     rate, and the layout the fused OS-conv kernel consumes internally.
+    natural_order="kernel" performs the unscramble INSIDE the kernel
+    (per-frame transpose+flatten in VMEM, emitting [B, N] rows directly)
+    instead of the XLA transpose pass over HBM. HARDWARE-BLOCKED negative
+    result (2026-08-17): the per-frame transpose passes Mosaic layout
+    inference but the [n2, n1] -> [1, N] flatten is an unsupported
+    sublane-to-lane shape cast ("infer-vector-layout: unsupported shape
+    cast"); kept interpret-mode-only for documentation. The relayout is
+    not avoidable by refactoring the math: with row-major [s1, s2] input
+    tiles (the free HBM view) the four-step's clean cross-term
+    cancellation forces the transposed-digit output k = k1 + n1*k2, and
+    the dual factorization that yields natural output needs column-major
+    input — transpose parity is conserved through the two matmul stages,
+    so exactly one physical relayout must happen on one side. The XLA
+    unscramble (transpose + lane-collapse reshape) is that relayout.
     """
     n1 = fft_size // n2
     if n1 * n2 != fft_size:
@@ -182,11 +210,48 @@ def make_fft_kernel(fft_size: int = 4096, n2: int = LANE, b_frames: int = 16,
             interpret=interpret,
         )(xr, xi, w1c, w2k, twf_t)
 
+    kern_nat = functools.partial(_kernel, b=b_frames, n1=n1, n2=n2,
+                                 precision=precision, natural=True)
+
+    def fn_nat(xr2: jax.Array, xi2: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """In-kernel unscramble: [B*n1, n2] planes in -> [B, N] natural."""
+        rt = xr2.shape[0]
+        bt = rt // n1
+        return pl.pallas_call(
+            kern_nat,
+            grid=(bt // b_frames,),
+            in_specs=[
+                pl.BlockSpec((b_frames * n1, n2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_frames * n1, n2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2 * n1, 2 * n1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n2, 3 * n2), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, n1, b_frames * n2), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((b_frames, fft_size), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_frames, fft_size), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bt, fft_size), jnp.float32),
+                jax.ShapeDtypeStruct((bt, fft_size), jnp.float32),
+            ],
+            interpret=interpret,
+        )(xr2, xi2, w1c, w2k, twf_t)
+
     def fn(xr: jax.Array, xi: jax.Array) -> tuple[jax.Array, jax.Array]:
         bt, nn = xr.shape
         if nn != fft_size or bt % b_frames != 0:
             raise ValueError(f"x [{bt}, {nn}] needs N={fft_size}, "
                              f"B % {b_frames} == 0")
+        if natural_order == "kernel":
+            return fn_nat(xr.reshape(bt * n1, n2), xi.reshape(bt * n1, n2))
         yr, yi = fn_rows(xr.reshape(bt * n1, n2), xi.reshape(bt * n1, n2))
         if natural_order:
             # [bt, k1, k2] -> [bt, k2, k1]: flat index n1*k2 + k1 = k

@@ -65,3 +65,17 @@ def test_ifft_round_trip():
     rr, ri = ifft_pallas(k, yr, yi)
     assert _snr_db(np.asarray(xr), np.asarray(rr)) > 110
     assert _snr_db(np.asarray(xi), np.asarray(ri)) > 110
+
+
+def test_in_kernel_unscramble_interpret():
+    """natural_order='kernel' (interpret-only: Mosaic rejects the final
+    sublane-to-lane shape cast on hardware — see make_fft_kernel docs)."""
+    k = make_fft_kernel(4096, b_frames=4, natural_order="kernel",
+                        interpret=True)
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal((8, 4096)) + 1j * rng.standard_normal((8, 4096)))
+    yr, yi = k.fn(jnp.asarray(x.real.astype(np.float32)),
+                  jnp.asarray(x.imag.astype(np.float32)))
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.fft(x.astype(np.complex64), axis=-1)
+    assert _snr_db(ref, got) > 110
