@@ -84,6 +84,81 @@ def gardner_scan(state: GardnerState, x: jax.Array, sps: int,
     return GardnerState(tau=tau, freq=freq), sym
 
 
+class GardnerFreeState(NamedTuple):
+    """Free-running (skip/stuff) timing state: the strobe position is an
+    unbounded accumulator, so sustained ppm offsets change the emitted
+    symbol COUNT instead of shearing the stream."""
+
+    pos: jax.Array    # [...] next strobe position in buffer coords (the
+                      # buffer is [sps carried samples | block]); carried
+                      # across blocks as pos - N
+    freq: jax.Array   # [...] samples/symbol deviation from nominal sps
+    prev: jax.Array   # [...] previous strobe value (Gardner memory)
+
+
+def gardner_free_init(channel_shape: tuple = (),
+                      tau0: float = 0.0) -> GardnerFreeState:
+    return GardnerFreeState(
+        pos=jnp.full(channel_shape, tau0, F32),
+        freq=jnp.zeros(channel_shape, F32),
+        prev=jnp.zeros(channel_shape, CF32),
+    )
+
+
+def gardner_free_cap(n: int, sps: int, max_dev: float) -> int:
+    """Static output capacity for a block of n samples: the most strobes a
+    clock running max_dev fast can emit, plus seam slack."""
+    import math
+    return int(math.ceil((n + sps) / (sps * (1.0 - max_dev)))) + 2
+
+
+def gardner_free_scan(state: GardnerFreeState, x: jax.Array, sps: int,
+                      kp: float = 0.5, ki: float = 0.02,
+                      max_dev: float = 0.05
+                      ) -> tuple[GardnerFreeState,
+                                 tuple[jax.Array, jax.Array]]:
+    """Skip/stuff Gardner tracking: unbounded sustained clock offsets.
+
+    x: [..., sps + N] — the caller prepends its carried sps-sample tail
+    (same convention as gardner_scan's input). Returns
+    (state, (symbols [..., K], valid [..., K] bool)) with K =
+    gardner_free_cap(N, sps, max_dev) a STATIC capacity; masked-off lanes
+    hold frozen values. Unlike gardner_scan (fixed N/sps strobes, tau
+    clipped to a bounded window), the strobe position free-runs at
+    sps + freq samples/strobe: a clock that is 1000 ppm fast simply emits
+    ~0.1% more symbols, with no shear and no saturation. The loop freezes
+    (no state update) on steps whose strobe falls past the block — those
+    steps re-fire at the start of the next block.
+
+    freq is clipped to +-max_dev*sps and the per-strobe advance to
+    [0.5, 1.5]*sps, so the scan's static trip count is a true upper bound.
+    """
+    nbuf = x.shape[-1]
+    n = nbuf - sps
+    kcap = gardner_free_cap(n, sps, max_dev)
+    limit = F32(nbuf - 2)            # last interp-safe strobe position
+    fmax = F32(max_dev * sps)
+
+    def step(carry, _):
+        pos, freq, prev = carry
+        y = _interp(x, pos)
+        ymid = _interp(x, pos - (sps + freq) / 2.0)
+        e = jnp.real((y - prev) * jnp.conj(ymid))
+        valid = pos <= limit
+        freq2 = jnp.where(valid, jnp.clip(freq - ki * e, -fmax, fmax), freq)
+        adv = jnp.clip(sps + freq2 - kp * e, 0.5 * sps, 1.5 * sps)
+        pos2 = jnp.where(valid, pos + adv, pos)
+        prev2 = jnp.where(valid, y, prev)
+        return (pos2, freq2, prev2), (y, valid)
+
+    (pos, freq, prev), (sym, valid) = jax.lax.scan(
+        step, (state.pos, state.freq, state.prev), None, length=kcap)
+    sym = jnp.moveaxis(sym, 0, -1)
+    valid = jnp.moveaxis(valid, 0, -1)
+    # re-base for the next block's buffer (its tail re-covers [n, n+sps))
+    return GardnerFreeState(pos=pos - n, freq=freq, prev=prev), (sym, valid)
+
+
 class CostasState(NamedTuple):
     phase: jax.Array  # [...] radians
     freq: jax.Array   # [...] radians/symbol
@@ -95,7 +170,8 @@ def costas_init(channel_shape: tuple = ()) -> CostasState:
 
 
 def costas_scan(state: CostasState, sym: jax.Array, order: int,
-                kp: float = 0.1, ki: float = 0.01, offset: float = 0.0
+                kp: float = 0.1, ki: float = 0.01, offset: float = 0.0,
+                valid: jax.Array | None = None
                 ) -> tuple[CostasState, jax.Array]:
     """Decision-directed carrier tracking over symbol-rate samples.
 
@@ -105,19 +181,25 @@ def costas_scan(state: CostasState, sym: jax.Array, order: int,
     `offset` is the constellation offset (0.5 for diagonal QPSK): without
     the derotation an offset constellation's M-th power sits at angle pi,
     where the detector sign is ambiguous and the loop chatters. Returns
-    derotated symbols.
+    derotated symbols. `valid` ([..., K] bool, from gardner_free_scan)
+    freezes the loop on masked strobes so capacity padding never perturbs
+    the tracked phase.
     """
     rot = jnp.exp(jnp.asarray(-1j * TWO_PI * offset)).astype(CF32)
 
-    def step(carry, s):
+    def step(carry, sv):
         ph, fr = carry
+        s, v = sv
         y = s * jnp.exp(-1j * ph).astype(CF32)
         e = jnp.angle((y ** order) * rot) / order
-        fr2 = fr + ki * e
-        ph2 = ph + kp * e + fr2
+        fr2 = jnp.where(v, fr + ki * e, fr)
+        ph2 = jnp.where(v, ph + kp * e + fr2, ph)
         return (ph2, fr2), y
 
     sym_t = jnp.moveaxis(sym, -1, 0)
-    (ph, fr), out = jax.lax.scan(step, (state.phase, state.freq), sym_t)
+    v_t = (jnp.ones(sym_t.shape, bool) if valid is None
+           else jnp.moveaxis(valid, -1, 0))
+    (ph, fr), out = jax.lax.scan(step, (state.phase, state.freq),
+                                 (sym_t, v_t))
     return CostasState(phase=jnp.mod(ph, F32(TWO_PI)), freq=fr), \
         jnp.moveaxis(out, 0, -1)

@@ -10,11 +10,18 @@ chains.sync_loop (Gardner TED + 2nd-order loop; M-power Costas), which
 track the instantaneous offset at symbol granularity — the scan runs at
 1/sps the sample rate, the cheapest recurrence that still tracks.
 
-Scope note: the Gardner loop tracks *bounded* timing wander (its tau wraps
-mod sps only at block boundaries). A sustained ppm offset large enough to
-slip whole symbols within one block would change the output symbol COUNT —
-incompatible with static shapes under jit; bound the per-block drift to
-< sps/2 samples by choosing block lengths accordingly.
+Two timing modes:
+
+- `psk_track_apply` / `fsk_track_apply` (bounded wander): fixed
+  N/(decim*sps) symbols per block — the right call for oscillator wander
+  that never accumulates a whole symbol.
+- `psk_track_ragged_apply` / `fsk_track_ragged_apply` (skip/stuff,
+  UNBOUNDED sustained ppm offsets): the Gardner strobe free-runs at
+  sps + freq samples/strobe, so a fast clock emits more symbols and a
+  slow one fewer. Static shapes under jit are preserved by emitting into
+  a fixed CAPACITY (gardner_free_cap) with a per-strobe validity mask —
+  the TPU-native ragged-output pattern. `compact_ragged` squeezes the
+  masked stream on the host at the sink.
 
 Used by the CLI's --tracking flag and tests/e2e/test_tracking.py (drifting
 -clock fixture where feedforward degrades and tracking holds SER 0).
@@ -30,8 +37,8 @@ import jax.numpy as jnp
 from srcdsp_tpu.chains.fsk import FskParams, discriminate
 from srcdsp_tpu.chains.psk import PskParams, constellation_offset, psk_slice
 from srcdsp_tpu.chains.sync_loop import (
-    CostasState, GardnerState, costas_init, costas_scan, gardner_init,
-    gardner_scan,
+    CostasState, GardnerFreeState, GardnerState, costas_init, costas_scan,
+    gardner_free_init, gardner_free_scan, gardner_init, gardner_scan,
 )
 from srcdsp_tpu.ops.fir import FirState, fir_apply, fir_init
 from srcdsp_tpu.ops.nco import NcoState, nco_apply, nco_init
@@ -128,3 +135,105 @@ def fsk_track_apply(params: FskParams, state: FskTrackState, x: jax.Array,
     return FskTrackState(nco=nco_s, fir=fir_s, disc_last=disc_last,
                          tail=xin[..., xin.shape[-1] - params.sps:],
                          gardner=g_s), (bits, soft)
+
+
+class PskTrackRaggedState(NamedTuple):
+    nco: NcoState
+    fir: FirState
+    tail: jax.Array        # [..., sps] carried post-filter samples
+    gardner: GardnerFreeState
+    costas: CostasState
+
+
+def psk_track_ragged_init(params: PskParams, channel_shape: tuple = (),
+                          tau0: float = 0.0) -> PskTrackRaggedState:
+    return PskTrackRaggedState(
+        nco=nco_init(channel_shape),
+        fir=fir_init(int(params.taps.shape[-1]), channel_shape),
+        tail=jnp.zeros((*channel_shape, params.sps), dtype=CF32),
+        gardner=gardner_free_init(channel_shape, tau0=tau0),
+        costas=costas_init(channel_shape),
+    )
+
+
+def psk_track_ragged_apply(params: PskParams, state: PskTrackRaggedState,
+                           x: jax.Array, kp: float = 0.2, ki: float = 0.02,
+                           max_dev: float = 0.05
+                           ) -> tuple[PskTrackRaggedState,
+                                      tuple[jax.Array, jax.Array, jax.Array]]:
+    """Skip/stuff PSK demod: tolerates unbounded sustained clock offsets.
+
+    x: [..., N], N % decim == 0. Returns (state, (idx, soft, valid)) with
+    CAPACITY gardner_free_cap(N/decim, sps, max_dev) symbols per block and
+    a validity mask — the true symbol count per block follows the actual
+    clock (skip/stuff), invalid lanes hold frozen values. Feed (idx, valid)
+    to compact_ragged at the sink.
+    """
+    off = constellation_offset(params.order)
+    nco_s, mixed = nco_apply(params.freq_word, state.nco, x)
+    fir_s, bb = fir_apply(params.taps, state.fir, mixed, decim=params.decim)
+    xin = jnp.concatenate([state.tail, bb], axis=-1)
+    g_s, (sym, valid) = gardner_free_scan(state.gardner, xin, params.sps,
+                                          kp=kp, ki=ki, max_dev=max_dev)
+    c_s, soft = costas_scan(state.costas, sym, params.order, offset=off,
+                            valid=valid)
+    idx = psk_slice(soft, params.order, off)
+    return PskTrackRaggedState(nco=nco_s, fir=fir_s,
+                               tail=xin[..., xin.shape[-1] - params.sps:],
+                               gardner=g_s, costas=c_s), (idx, soft, valid)
+
+
+class FskTrackRaggedState(NamedTuple):
+    nco: NcoState
+    fir: FirState
+    disc_last: jax.Array
+    tail: jax.Array
+    gardner: GardnerFreeState
+
+
+def fsk_track_ragged_init(params: FskParams, channel_shape: tuple = (),
+                          tau0: float = 0.0) -> FskTrackRaggedState:
+    return FskTrackRaggedState(
+        nco=nco_init(channel_shape),
+        fir=fir_init(int(params.taps.shape[-1]), channel_shape),
+        disc_last=jnp.zeros((*channel_shape, 1), dtype=CF32),
+        tail=jnp.zeros((*channel_shape, params.sps), dtype=CF32),
+        gardner=gardner_free_init(channel_shape, tau0=tau0),
+    )
+
+
+def fsk_track_ragged_apply(params: FskParams, state: FskTrackRaggedState,
+                           x: jax.Array, kp: float = 0.05, ki: float = 0.002,
+                           max_dev: float = 0.05
+                           ) -> tuple[FskTrackRaggedState,
+                                      tuple[jax.Array, jax.Array, jax.Array]]:
+    """Skip/stuff FSK demod (see psk_track_ragged_apply)."""
+    nco_s, mixed = nco_apply(params.freq_word, state.nco, x)
+    fir_s, bb = fir_apply(params.taps, state.fir, mixed, decim=params.decim)
+    disc_last, d = discriminate(state.disc_last, bb)
+    d = d * F32(1.0 / params.dev)
+    xin = jnp.concatenate([state.tail, d.astype(CF32)], axis=-1)
+    g_s, (sym, valid) = gardner_free_scan(state.gardner, xin, params.sps,
+                                          kp=kp, ki=ki, max_dev=max_dev)
+    soft = jnp.real(sym).astype(F32)
+    bits = (soft > 0).astype(jnp.int32)
+    return FskTrackRaggedState(nco=nco_s, fir=fir_s, disc_last=disc_last,
+                               tail=xin[..., xin.shape[-1] - params.sps:],
+                               gardner=g_s), (bits, soft, valid)
+
+
+def compact_ragged(vals, valid):
+    """Host-side sink: squeeze a masked capacity stream to the true symbols.
+
+    vals/valid: numpy-convertible [..., K] from one or more blocks
+    (concatenate blocks along the last axis first). 1-D returns an array;
+    with leading channel dims returns a list per channel (counts differ —
+    that is the point of skip/stuff)."""
+    import numpy as np
+    v = np.asarray(vals)
+    m = np.asarray(valid).astype(bool)
+    if v.ndim == 1:
+        return v[m]
+    flat_v = v.reshape(-1, v.shape[-1])
+    flat_m = m.reshape(-1, m.shape[-1])
+    return [fv[fm] for fv, fm in zip(flat_v, flat_m)]
