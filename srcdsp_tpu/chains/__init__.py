@@ -19,4 +19,11 @@ from srcdsp_tpu.chains.psk import (  # noqa: F401
 from srcdsp_tpu.chains.tracking import (  # noqa: F401
     FskTrackState, PskTrackState, fsk_track_apply, fsk_track_init,
     psk_track_apply, psk_track_init,
+    FskTrackRaggedState, PskTrackRaggedState, compact_ragged,
+    fsk_track_ragged_apply, fsk_track_ragged_init,
+    psk_track_ragged_apply, psk_track_ragged_init,
+)
+from srcdsp_tpu.chains.framesync import (  # noqa: F401
+    FrameSyncParams, FrameSyncState, frame_sync_apply, frame_sync_init,
+    make_frame_sync_params, peak_indices, peak_to_burst_start,
 )

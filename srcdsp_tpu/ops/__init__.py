@@ -15,6 +15,9 @@ from srcdsp_tpu.ops.iir import (  # noqa: F401
     IirParams, IirState, iir_init, iir_apply, iir_full, make_iir_params,
     make_sos_params, sos_init, sos_apply,
 )
+from srcdsp_tpu.ops.agc import (  # noqa: F401
+    AgcParams, AgcState, agc_init, agc_apply, agc_full, make_agc_params,
+)
 from srcdsp_tpu.ops.planes import (  # noqa: F401
     fused_mix_fir_decim_planes, phase_coef_matrix, plane_hist_len,
 )
