@@ -524,11 +524,18 @@ def run_soak(buffers: int = 32, n_per_buf: int = 1 << 23) -> dict:
 
 def run_accuracy() -> dict:
     """SNR delta vs the C++ oracle (BASELINE.json metric) on the config-1
-    chain, plus config-4 BER on a clean capture."""
+    chain, plus config-4 BER on a clean capture.
+
+    The config-1 plane chain runs on the default backend (the real chip
+    when present); the complex-dtype parts (config-4 chain, resampler) are
+    pinned to the CPU backend — the axon subset has no complex64, and the
+    accuracy statement is about the math, not the device."""
     import jax
     import numpy as np
     from srcdsp_tpu import oracle
     from srcdsp_tpu.configs import build_config1, build_config4
+
+    cpu = jax.devices("cpu")[0]
 
     built = build_config1(n=1 << 16)
     xr, xi = built.example
@@ -545,11 +552,12 @@ def run_accuracy() -> dict:
     err = ref - got
     snr = 10 * np.log10(np.mean(np.abs(ref) ** 2) / np.mean(np.abs(err) ** 2))
 
-    built4 = build_config4(nsym=512, channels=8)
-    st, xc = built4.example
-    bits = np.asarray(built4.meta["bits"])
-    _, (rx, _) = built4.step(st, xc)
-    rx = np.asarray(rx)
+    with jax.default_device(cpu):
+        built4 = build_config4(nsym=512, channels=8)
+        st, xc = built4.example
+        bits = np.asarray(built4.meta["bits"])
+        _, (rx, _) = built4.step(st, xc)
+        rx = np.asarray(rx)
     bers = []
     for ch in range(rx.shape[0]):
         best = 1.0
@@ -566,7 +574,9 @@ def run_accuracy() -> dict:
            ).astype(np.complex64)
     rt = lowpass(48, 0.3 / 4)
     import jax.numpy as jnp
-    got_r = np.asarray(resample_full(jnp.asarray(rt), jnp.asarray(xr2), 3, 4))
+    with jax.default_device(cpu):
+        got_r = np.asarray(resample_full(jnp.asarray(rt), jnp.asarray(xr2),
+                                         3, 4))
     ref_r = oracle.resample(xr2, rt, 3, 4)
     err_r = ref_r - got_r
     snr_r = 10 * np.log10(np.mean(np.abs(ref_r) ** 2)
