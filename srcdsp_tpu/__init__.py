@@ -25,6 +25,8 @@ from srcdsp_tpu import ops  # noqa: F401
 from srcdsp_tpu import chains  # noqa: F401
 from srcdsp_tpu import io  # noqa: F401
 from srcdsp_tpu import checkpoint  # noqa: F401
+from srcdsp_tpu import fec  # noqa: F401
+from srcdsp_tpu import gf2  # noqa: F401
 
 # heavier/optional subsystems stay import-on-demand:
 #   srcdsp_tpu.dist     (meshes, halos, all_to_all)
