@@ -27,3 +27,12 @@ from srcdsp_tpu.chains.framesync import (  # noqa: F401
     FrameSyncParams, FrameSyncState, frame_sync_apply, frame_sync_init,
     make_frame_sync_params, peak_indices, peak_to_burst_start,
 )
+from srcdsp_tpu.chains.qam import (  # noqa: F401
+    QamParams, QamState, make_qam_params, qam_apply, qam_constellation,
+    qam_demod_stream, qam_init, qam_modulate, qam_slice,
+    quad_diff_decode, quad_diff_encode,
+)
+from srcdsp_tpu.chains.ofdm import (  # noqa: F401
+    OfdmSpec, make_ofdm_spec, ofdm_demod, ofdm_fft, ofdm_modulate, ofdm_rx,
+    schmidl_cox_metric, schmidl_cox_preamble,
+)

@@ -1,0 +1,110 @@
+"""OFDM receive path tests (beyond-parity X7)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srcdsp_tpu.chains.ofdm import (
+    cfo_correct, cfo_estimate_cp, cfo_from_preamble_p, coarse_start,
+    ls_channel_estimate, make_ofdm_spec, ofdm_demod, ofdm_fft, ofdm_modulate,
+    ofdm_rx, schmidl_cox_metric, schmidl_cox_preamble, sym_len)
+from srcdsp_tpu.chains.qam import qam_constellation
+from srcdsp_tpu.testing.signals import complex_awgn
+
+
+def _pilot(spec, key):
+    """Known QPSK pilot points on all active bins."""
+    ang = jax.random.randint(key, (spec.active.size,), 0, 4).astype(jnp.float32)
+    return jnp.exp(1j * 2 * jnp.pi * (ang + 0.5) / 4).astype(jnp.complex64)
+
+
+def _frame(spec, key, nsym):
+    kd, kp = jax.random.split(key)
+    idx = jax.random.randint(kd, (nsym, spec.active.size), 0, spec.order)
+    pts = qam_constellation(spec.order)[idx]
+    pilot = _pilot(spec, kp)
+    tx = ofdm_modulate(spec, jnp.concatenate([pilot[None], pts], axis=0))
+    return idx, pilot, tx
+
+
+def test_modulate_fft_roundtrip():
+    spec = make_ofdm_spec(64, 16, 52, 16)
+    idx, pilot, tx = _frame(spec, jax.random.PRNGKey(0), 6)
+    f = ofdm_fft(spec, tx)
+    pts = qam_constellation(spec.order)[idx]
+    np.testing.assert_allclose(np.asarray(f[0]), np.asarray(pilot), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f[1:]), np.asarray(pts), atol=1e-5)
+
+
+def test_demod_flat_channel():
+    spec = make_ofdm_spec(64, 16, 52, 64)
+    idx, pilot, tx = _frame(spec, jax.random.PRNGKey(1), 10)
+    got, soft = ofdm_demod(spec, tx * (0.5 - 0.25j), pilot)  # complex gain
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(idx))
+
+
+def test_demod_multipath_channel():
+    spec = make_ofdm_spec(64, 16, 52, 16)
+    idx, pilot, tx = _frame(spec, jax.random.PRNGKey(2), 10)
+    h = jnp.asarray([1.0, 0.0, 0.4 - 0.2j, 0.0, -0.15j], jnp.complex64)
+    rx = jnp.convolve(tx, h)[: tx.shape[-1]]
+    got, _ = ofdm_demod(spec, rx, pilot)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(idx))
+
+
+def test_cfo_cp_estimator_closed_form():
+    spec = make_ofdm_spec(64, 16, 52, 16)
+    _, _, tx = _frame(spec, jax.random.PRNGKey(3), 12)
+    for eps_true in (0.11, -0.27):
+        rx = cfo_correct(tx, -eps_true, spec.nfft)  # inject +eps_true
+        eps = float(cfo_estimate_cp(rx, spec))
+        assert abs(eps - eps_true) < 5e-3
+
+
+def test_schmidl_cox_finds_preamble():
+    spec = make_ofdm_spec(64, 16, 52, 16)
+    pre = schmidl_cox_preamble(spec, jax.random.PRNGKey(4))
+    assert pre.shape[-1] == sym_len(spec)
+    # two identical halves in the FFT part
+    half = spec.nfft // 2
+    body = pre[spec.cp:]
+    np.testing.assert_allclose(np.asarray(body[:half]),
+                               np.asarray(body[half:]), atol=1e-6)
+    key = jax.random.PRNGKey(5)
+    noise = complex_awgn(key, (1000,), power=0.02)
+    off = 313
+    y = noise.at[off: off + sym_len(spec)].add(pre)
+    p, m = schmidl_cox_metric(y, spec.nfft)
+    start = int(coarse_start(m, spec.cp))
+    assert abs(start - off) <= 2
+
+
+def test_full_rx_chain():
+    """Garbage | preamble | pilot | data through multipath + CFO + noise."""
+    spec = make_ofdm_spec(64, 16, 52, 16)
+    key = jax.random.PRNGKey(6)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    idx, pilot, frame = _frame(spec, k1, 20)
+    pre = schmidl_cox_preamble(spec, k2)
+    sig = jnp.concatenate([jnp.zeros(277, jnp.complex64), pre, frame,
+                           jnp.zeros(64, jnp.complex64)])
+    h = jnp.asarray([1.0, 0.3 - 0.1j, 0.1j], jnp.complex64)
+    rx = jnp.convolve(sig, h)[: sig.shape[-1]]
+    rx = cfo_correct(rx, -0.19, spec.nfft)           # inject CFO +0.19
+    p_sig = float(jnp.mean(jnp.abs(rx[277:-64]) ** 2))
+    rx = rx + complex_awgn(k4, rx.shape, power=p_sig * 10 ** (-28 / 10))
+    got, soft, info = ofdm_rx(spec, rx, sym_len(spec), pilot)
+    assert abs(info["cfo"] - 0.19) < 0.02
+    assert abs(info["start"] - 277) <= 2
+    got = np.asarray(got)[: idx.shape[0]]
+    assert np.mean(got != np.asarray(idx)) == 0.0
+
+
+def test_rx_jit_pieces():
+    """The jit-friendly pieces (everything but the argmax driver) compile."""
+    spec = make_ofdm_spec(64, 16, 52, 16)
+    idx, pilot, tx = _frame(spec, jax.random.PRNGKey(7), 8)
+    f = jax.jit(lambda y: ofdm_demod(spec, y, pilot))
+    got, _ = f(tx)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(idx))
