@@ -32,6 +32,11 @@ from srcdsp_tpu.chains.qam import (  # noqa: F401
     qam_demod_stream, qam_init, qam_modulate, qam_slice,
     quad_diff_decode, quad_diff_encode,
 )
+from srcdsp_tpu.chains.analog import (  # noqa: F401
+    AmParams, AmState, FmParams, FmState, SsbParams, SsbState, am_apply,
+    am_init, am_modulate, fm_apply, fm_init, fm_modulate, make_am_params,
+    make_fm_params, make_ssb_params, ssb_apply, ssb_init, ssb_modulate,
+)
 from srcdsp_tpu.chains.ofdm import (  # noqa: F401
     OfdmSpec, make_ofdm_spec, ofdm_demod, ofdm_fft, ofdm_modulate, ofdm_rx,
     schmidl_cox_metric, schmidl_cox_preamble,

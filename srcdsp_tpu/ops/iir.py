@@ -44,6 +44,7 @@ CPU/standard-TPU tier (like ops.fftconv's jnp tier).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple, Sequence
 
 import jax
@@ -53,15 +54,21 @@ import numpy as np
 from srcdsp_tpu.types import CF32, F32
 
 
-class IirParams(NamedTuple):
-    """Precomputed block state-space matrices for one section."""
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class IirParams:
+    """Precomputed block state-space matrices for one section.
+
+    A registered dataclass (not a NamedTuple) so block/order stay STATIC
+    under jit — chains embed IirParams inside their own registered params
+    and pass them straight through `jax.jit` boundaries."""
 
     al: jax.Array    # [p, p]  A^L
     f: jax.Array     # [p, L]  state injection: s+ = al @ s + f @ x_block
     g: jax.Array     # [L, p]  output from entry state
     h: jax.Array     # [L, L]  lower-triangular Toeplitz (exact impulse resp)
-    block: int
-    order: int
+    block: int = dataclasses.field(metadata=dict(static=True))
+    order: int = dataclasses.field(metadata=dict(static=True))
 
 
 class IirState(NamedTuple):
