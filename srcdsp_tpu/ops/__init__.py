@@ -11,6 +11,10 @@ from srcdsp_tpu.ops.nco import NcoState, nco_init, nco_apply, nco_phasor  # noqa
 from srcdsp_tpu.ops.resample import ResampleState, resample_init, resample_apply  # noqa: F401
 from srcdsp_tpu.ops.fftconv import FftConvState, fftconv_init, fftconv_apply  # noqa: F401
 from srcdsp_tpu.ops.fft_planes import make_fft_planes  # noqa: F401
+from srcdsp_tpu.ops.cic import (  # noqa: F401
+    CicState, cic_compensator, cic_decim_apply, cic_decim_init, cic_gain,
+    cic_interp_apply, cic_interp_init,
+)
 from srcdsp_tpu.ops.iir import (  # noqa: F401
     IirParams, IirState, iir_init, iir_apply, iir_full, make_iir_params,
     make_sos_params, sos_init, sos_apply,
