@@ -15,6 +15,10 @@ from srcdsp_tpu.ops.cic import (  # noqa: F401
     CicState, cic_compensator, cic_decim_apply, cic_decim_init, cic_gain,
     cic_interp_apply, cic_interp_init,
 )
+from srcdsp_tpu.ops.spectrum import (  # noqa: F401
+    WelchState, frame_signal, spectrogram, welch, welch_stream_finalize,
+    welch_stream_init, welch_stream_update,
+)
 from srcdsp_tpu.ops.iir import (  # noqa: F401
     IirParams, IirState, iir_init, iir_apply, iir_full, make_iir_params,
     make_sos_params, sos_init, sos_apply,
