@@ -37,6 +37,9 @@ from srcdsp_tpu.chains.analog import (  # noqa: F401
     am_init, am_modulate, fm_apply, fm_init, fm_modulate, make_am_params,
     make_fm_params, make_ssb_params, ssb_apply, ssb_init, ssb_modulate,
 )
+from srcdsp_tpu.chains.equalizer import (  # noqa: F401
+    EqState, cma_equalize, eq_init, lms_equalize, psk_slicer,
+)
 from srcdsp_tpu.chains.ofdm import (  # noqa: F401
     OfdmSpec, make_ofdm_spec, ofdm_demod, ofdm_fft, ofdm_modulate, ofdm_rx,
     schmidl_cox_metric, schmidl_cox_preamble,

@@ -1,0 +1,157 @@
+"""Adaptive channel equalizers: block LMS (trained / decision-directed)
+and blind CMA (beyond-parity component).
+
+The reference family has no equalizer; any PSK/QAM link over a
+frequency-selective channel needs one. Per-sample LMS is a sequential
+scalar recurrence (TPU-hostile); the TPU-native form is BLOCK-adaptive
+filtering — the standard block-LMS algorithm, which is mathematically the
+same gradient descent with the gradient averaged over a block:
+
+- Each scan step processes B output samples as ONE [B, L] frame matrix:
+  y = X w (MXU matmul), error e per mode, gradient X^H e (second matmul),
+  w <- w + (mu/B) X^H e. The only sequential dependency left is the
+  once-per-block weight update carried through `lax.scan` — B times fewer
+  sequential steps than per-sample LMS, each of them MXU work.
+- Frames are built gather-free (shifted-slice concat, ops.spectrum
+  pattern); the fractionally-spaced variant (sps > 1 input samples per
+  output) folds the stride into the framing, not a separate decimator.
+
+Modes:
+- 'train':  e = d - y against known symbols (preamble-directed).
+- 'dd':     e = slice(y) - y decision-directed on the PSK constellation.
+- 'cma':    e = y (R2 - |y|^2), Godard's blind constant-modulus error;
+            converges without a reference at the cost of a phase
+            ambiguity (resolve downstream with differential coding or
+            one pilot — same policy as chains.qam).
+
+All three share one scan core; weights, carried input tail, and the
+running MSE are the scan state. Functions return (w, y, mse_per_block) so
+convergence is observable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srcdsp_tpu.types import CF32, F32
+
+__all__ = [
+    "EqState", "eq_init", "lms_equalize", "cma_equalize", "psk_slicer",
+    "make_eq_frames",
+]
+
+
+class EqState(NamedTuple):
+    w: jax.Array       # [L] complex taps
+    tail: jax.Array    # [L-1] carried input samples (sample rate)
+
+
+def eq_init(ntaps: int, center_spike: bool = True,
+            channel_shape: tuple = ()) -> EqState:
+    """center_spike=True -> w = delta at the center tap (the standard CMA
+    init; also a sane LMS start)."""
+    w = jnp.zeros((*channel_shape, ntaps), CF32)
+    if center_spike:
+        w = w.at[..., ntaps // 2].set(1.0 + 0.0j)
+    return EqState(w=w,
+                   tail=jnp.zeros((*channel_shape, ntaps - 1), CF32))
+
+
+def make_eq_frames(xin: jax.Array, ntaps: int, sps: int) -> jax.Array:
+    """[..., B*sps + L - 1] -> [..., B, L] rows x_n = [x[n*sps+L-1], ...,
+    x[n*sps]] reversed-window frames (so y = X @ w is the usual
+    w-dot-delay-line). Gather-free: L+sps-1 shifted slices."""
+    b = (xin.shape[-1] - (ntaps - 1)) // sps
+    cols = [xin[..., ntaps - 1 - k: ntaps - 1 - k + b * sps: sps][..., None]
+            for k in range(ntaps)]
+    return jnp.concatenate(cols, axis=-1)
+
+
+def psk_slicer(y: jax.Array, order: int, offset: float = 0.0) -> jax.Array:
+    """Nearest M-PSK point exp(j(offset + 2 pi k/M)) of each sample."""
+    ang = jnp.angle(y) - offset
+    step = 2.0 * np.pi / order
+    q = jnp.round(ang / step) * step + offset
+    return jnp.exp(1j * q).astype(CF32)
+
+
+def _scan_equalize(x: jax.Array, d: jax.Array | None, state: EqState,
+                   mu: float, block: int, sps: int, mode: str,
+                   order: int, r2: float, offset: float = 0.0):
+    ntaps = state.w.shape[-1]
+    s = x.shape[-1]
+    if s % (block * sps) != 0:
+        raise ValueError(f"signal length {s} must divide into blocks of "
+                         f"{block * sps} input samples")
+    nb = s // (block * sps)
+    lead = x.shape[:-1]
+    xb = jnp.moveaxis(x.reshape(*lead, nb, block * sps), -2, 0)
+    if d is not None:
+        db = jnp.moveaxis(d.reshape(*lead, nb, block), -2, 0)
+    else:
+        db = jnp.zeros((nb, *lead, 0), CF32)   # unused placeholder
+
+    def step(st, inputs):
+        xblk, dblk = inputs
+        xin = jnp.concatenate([st.tail, xblk], axis=-1)
+        frames = make_eq_frames(xin, ntaps, sps)          # [..., B, L]
+        y = jnp.einsum("...bl,...l->...b", frames, st.w)
+        if mode == "train":
+            e = dblk - y
+        elif mode == "dd":
+            e = psk_slicer(y, order, offset) - y
+        elif mode == "cma":
+            e = y * (F32(r2) - (jnp.real(y) ** 2 + jnp.imag(y) ** 2))
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        grad = jnp.einsum("...bl,...b->...l", jnp.conj(frames), e)
+        w2 = st.w + (mu / block) * grad
+        tail2 = xin[..., xin.shape[-1] - (ntaps - 1):]
+        mse = jnp.mean(jnp.abs(e) ** 2, axis=-1)
+        return EqState(w=w2.astype(CF32), tail=tail2), (y, mse)
+
+    st, (ys, mses) = jax.lax.scan(step, state, (xb, db))
+    y = jnp.moveaxis(ys, 0, -2).reshape(*lead, nb * block)
+    mse = jnp.moveaxis(mses, 0, -1) if lead else mses
+    return st, y, mse
+
+
+def lms_equalize(x: jax.Array, state: EqState, mu: float, block: int = 64,
+                 sps: int = 1, d: jax.Array | None = None, order: int = 4,
+                 delay: int | None = None, offset: float = 0.0
+                 ) -> tuple[EqState, jax.Array, jax.Array]:
+    """Block-LMS equalize. x: [..., B_total*sps] received samples.
+
+    With `d` (known symbols [..., B_total]): training mode; `delay` is the
+    equalizer's decision delay in SYMBOLS (default ntaps//(2*sps) — the
+    center-spike init's group delay at the symbol rate), applied to d
+    internally so y[n] trains toward d[n-delay]. Without `d`:
+    decision-directed on the `order`-PSK constellation at phase `offset`
+    (delay is irrelevant there). Returns (state, y [..., B_total], mse per
+    block); y is delayed by `delay`.
+
+    Multi-call streaming note: the internal d shift zero-fills the first
+    `delay` targets of EACH call; when splitting one capture across calls,
+    pre-shift d once on the whole capture and pass delay=0 (tested)."""
+    mode = "train" if d is not None else "dd"
+    if d is not None:
+        dly = state.w.shape[-1] // (2 * sps) if delay is None else int(delay)
+        if dly > 0:
+            lead = d.shape[:-1]
+            d = jnp.concatenate(
+                [jnp.zeros((*lead, dly), d.dtype), d[..., :-dly]], axis=-1)
+    return _scan_equalize(x, d, state, mu, block, sps, mode, order, 0.0,
+                          offset)
+
+
+def cma_equalize(x: jax.Array, state: EqState, mu: float, block: int = 64,
+                 sps: int = 1, r2: float = 1.0
+                 ) -> tuple[EqState, jax.Array, jax.Array]:
+    """Blind constant-modulus equalize (Godard p=2). r2 = E|s|^4 / E|s|^2
+    (1.0 for PSK). Output carries an unknown phase rotation."""
+    return _scan_equalize(x, None, state, mu, block, sps, "cma", 4, r2)
