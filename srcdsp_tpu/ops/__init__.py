@@ -19,6 +19,10 @@ from srcdsp_tpu.ops.spectrum import (  # noqa: F401
     WelchState, frame_signal, spectrogram, welch, welch_stream_finalize,
     welch_stream_init, welch_stream_update,
 )
+from srcdsp_tpu.ops.farrow import (  # noqa: F401
+    FarrowState, farrow_apply, farrow_capacity, farrow_init,
+    make_farrow_ratio,
+)
 from srcdsp_tpu.ops.iir import (  # noqa: F401
     IirParams, IirState, iir_init, iir_apply, iir_full, make_iir_params,
     make_sos_params, sos_init, sos_apply,
