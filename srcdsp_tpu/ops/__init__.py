@@ -23,6 +23,10 @@ from srcdsp_tpu.ops.farrow import (  # noqa: F401
     FarrowState, farrow_apply, farrow_capacity, farrow_init,
     make_farrow_ratio,
 )
+from srcdsp_tpu.ops.impairments import (  # noqa: F401
+    MomentState, cfo_fft_peak, cfo_kay, dc_offset, iq_imbalance_correct,
+    iq_imbalance_estimate, moments_init, moments_update, snr_m2m4,
+)
 from srcdsp_tpu.ops.iir import (  # noqa: F401
     IirParams, IirState, iir_init, iir_apply, iir_full, make_iir_params,
     make_sos_params, sos_init, sos_apply,
