@@ -5,7 +5,10 @@ through a demod chain and write the result. Equivalent here:
 
     python -m srcdsp_tpu.cli fsk  in.iq bits.out --center 0.11 --decim 4 --sps 8
     python -m srcdsp_tpu.cli psk  in.iq syms.out --center 0.17 --decim 2 --sps 4 --order 4
+    python -m srcdsp_tpu.cli qam  in.iq syms.out --center 0.13 --decim 2 --sps 4 --order 64
     python -m srcdsp_tpu.cli fir  in.iq out.iq   --taps 64 --cutoff 0.1 --decim 2
+    python -m srcdsp_tpu.cli fm   in.iq audio.f32 --center 0.11 --decim 4 --dev 0.08
+    python -m srcdsp_tpu.cli am   in.iq audio.f32 --center 0.21 --decim 4
     python -m srcdsp_tpu.cli channelize in.iq out --channels 64 [--demod psk]
 
 Streams in fixed blocks with carried state (bit-exact vs one-shot), writes
@@ -25,17 +28,19 @@ import sys
 import numpy as np
 
 
-def _stream(args, params, state, apply_fn, out_is_bits: bool,
+def _stream(args, params, state, apply_fn, out_fmt: str,
             out_per_block: int):
     """Stream infile through the chain, committing output incrementally.
 
-    out_per_block: output items per input block (symbols for demods,
-    samples for filters) — fixed, so a checkpoint at block B implies an
-    output offset of exactly B*out_per_block items. Each block's output is
-    appended as soon as it is computed; a crash therefore loses at most the
-    blocks since the last checkpoint, and a resumed run truncates to the
-    checkpointed offset and continues IN PLACE in the same outfile. The
-    checkpoint is deleted when the stream completes.
+    out_fmt: "u8" (symbol indices), "cf32" (interleaved complex) or "f32"
+    (real audio). out_per_block: output items per input block (symbols for
+    demods, samples for filters) — fixed, so a checkpoint at block B
+    implies an output offset of exactly B*out_per_block items. Each
+    block's output is appended as soon as it is computed; a crash
+    therefore loses at most the blocks since the last checkpoint, and a
+    resumed run truncates to the checkpointed offset and continues IN
+    PLACE in the same outfile. The checkpoint is deleted when the stream
+    completes.
     """
     import jax.numpy as jnp
 
@@ -47,7 +52,7 @@ def _stream(args, params, state, apply_fn, out_is_bits: bool,
         state, start_block = checkpoint.restore(args.ckpt, state)
         print(f"resumed from block {start_block}", file=sys.stderr)
 
-    item = 1 if out_is_bits else 8  # u8 symbol / interleaved f32 IQ sample
+    item = {"u8": 1, "f32": 4, "cf32": 8}[out_fmt]  # bytes per item
     offset = start_block * out_per_block * item
     mode = "r+b" if (start_block and os.path.exists(args.outfile)) else "wb"
     n_items = start_block * out_per_block
@@ -61,8 +66,10 @@ def _stream(args, params, state, apply_fn, out_is_bits: bool,
             state, out = apply_fn(params, state, jnp.asarray(xb))
             arr = np.asarray(out[0] if isinstance(out, tuple) else out
                              ).reshape(-1)
-            if out_is_bits:
+            if out_fmt == "u8":
                 f.write(arr.astype(np.uint8).tobytes())
+            elif out_fmt == "f32":
+                f.write(arr.astype(np.float32).tobytes())
             else:
                 raw = np.empty(2 * arr.shape[0], np.float32)
                 raw[0::2] = arr.real
@@ -75,7 +82,7 @@ def _stream(args, params, state, apply_fn, out_is_bits: bool,
     if i < start_block and start_block == 0:
         print("no full blocks to process", file=sys.stderr)
         return
-    if not out_is_bits:
+    if out_fmt == "cf32":
         from srcdsp_tpu.io.capture import CaptureMeta, _sidecar
         meta = CaptureMeta(fmt="cf32", num_samples=n_items)
         with open(_sidecar(args.outfile), "w") as f:
@@ -141,7 +148,8 @@ def _channelize(args) -> None:
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="srcdsp_tpu.cli", description=__doc__)
-    p.add_argument("chain", choices=["fsk", "psk", "fir", "channelize"])
+    p.add_argument("chain", choices=["fsk", "psk", "qam", "fir", "fm",
+                                     "am", "channelize"])
     p.add_argument("infile")
     p.add_argument("outfile")
     p.add_argument("--center", type=float, default=0.0,
@@ -166,7 +174,24 @@ def main(argv=None) -> None:
                    help="prototype taps per phase (channelize)")
     p.add_argument("--demod", choices=["none", "psk"], default="none",
                    help="per-channel demod after the bank (channelize)")
+    p.add_argument("--audio-decim", type=int, default=4,
+                   help="audio decimation after the discriminator/"
+                        "envelope (fm/am)")
+    p.add_argument("--deemph-tau", type=float, default=None,
+                   help="FM de-emphasis RC constant in AUDIO samples "
+                        "(e.g. 75e-6*fs_audio); omit to disable")
+    p.add_argument("--platform", choices=["auto", "cpu", "tpu"],
+                   default="auto",
+                   help="JAX backend. The CLI chains use the portable "
+                        "complex-dtype tier; under the axon restricted "
+                        "runtime pass --platform cpu (the sitecustomize "
+                        "env latch would otherwise pick a backend that "
+                        "cannot run them)")
     args = p.parse_args(argv)
+
+    if args.platform != "auto":
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     if args.order < 2 or args.order > 256 or args.order & (args.order - 1):
         p.error(f"--order must be a power of two in [2, 256], got {args.order}")
@@ -179,8 +204,19 @@ def main(argv=None) -> None:
         _channelize(args)
         return
 
-    # block must be a whole number of output symbols / decimated samples
-    q = args.decim * args.sps if args.chain in ("fsk", "psk") else args.decim
+    # block must be a whole number of output symbols / decimated samples;
+    # fm/am additionally need whole de-emphasis/DC-block IIR blocks (128)
+    # at their processing rate
+    if args.chain in ("fsk", "psk", "qam"):
+        q = args.decim * args.sps
+    elif args.chain == "fm":
+        q = args.decim * args.audio_decim
+        if args.deemph_tau is not None:
+            q *= 128
+    elif args.chain == "am":
+        q = args.decim * args.audio_decim * 128
+    else:
+        q = args.decim
     args.block -= args.block % q
 
     if args.chain == "fsk":
@@ -191,11 +227,11 @@ def main(argv=None) -> None:
             from srcdsp_tpu.chains.tracking import (
                 fsk_track_apply, fsk_track_init)
             _stream(args, params, fsk_track_init(params), fsk_track_apply,
-                    out_is_bits=True,
+                    out_fmt="u8",
                     out_per_block=args.block // (args.decim * args.sps))
         else:
             _stream(args, params, fsk_init(params), fsk_apply,
-                    out_is_bits=True,
+                    out_fmt="u8",
                     out_per_block=args.block // (args.decim * args.sps))
     elif args.chain == "psk":
         from srcdsp_tpu.chains.psk import make_psk_params, psk_apply, psk_init
@@ -205,12 +241,33 @@ def main(argv=None) -> None:
             from srcdsp_tpu.chains.tracking import (
                 psk_track_apply, psk_track_init)
             _stream(args, params, psk_track_init(params), psk_track_apply,
-                    out_is_bits=True,
+                    out_fmt="u8",
                     out_per_block=args.block // (args.decim * args.sps))
         else:
             _stream(args, params, psk_init(params), psk_apply,
-                    out_is_bits=True,
+                    out_fmt="u8",
                     out_per_block=args.block // (args.decim * args.sps))
+    elif args.chain == "qam":
+        from srcdsp_tpu.chains.qam import make_qam_params, qam_apply, qam_init
+        params = make_qam_params(args.center, decim=args.decim, sps=args.sps,
+                                 order=args.order)
+        _stream(args, params, qam_init(params), qam_apply, out_fmt="u8",
+                out_per_block=args.block // (args.decim * args.sps))
+    elif args.chain == "fm":
+        from srcdsp_tpu.chains.analog import fm_apply, fm_init, make_fm_params
+        params = make_fm_params(args.center, args.decim, dev=args.dev,
+                                audio_decim=args.audio_decim,
+                                num_taps=args.taps,
+                                deemph_tau=args.deemph_tau)
+        _stream(args, params, fm_init(params), fm_apply, out_fmt="f32",
+                out_per_block=args.block // (args.decim * args.audio_decim))
+    elif args.chain == "am":
+        from srcdsp_tpu.chains.analog import am_apply, am_init, make_am_params
+        params = make_am_params(args.center, args.decim,
+                                audio_decim=args.audio_decim,
+                                num_taps=args.taps)
+        _stream(args, params, am_init(params), am_apply, out_fmt="f32",
+                out_per_block=args.block // (args.decim * args.audio_decim))
     else:
         import jax.numpy as jnp
 
@@ -228,7 +285,7 @@ def main(argv=None) -> None:
             return (nco_s, fir_s), y
 
         _stream(args, None, (nco_init(), fir_init(args.taps)), apply_fn,
-                out_is_bits=False, out_per_block=args.block // args.decim)
+                out_fmt="cf32", out_per_block=args.block // args.decim)
 
 
 if __name__ == "__main__":

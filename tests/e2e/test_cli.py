@@ -195,3 +195,54 @@ def test_cli_fsk_tracking_flag(tmp_path):
         if n > 0:
             best = min(best, float(np.mean(b[bs:bs + n] != rx[rs:rs + n])))
     assert best < 0.01
+
+
+def test_cli_fm_audio(tmp_path):
+    """FM capture -> f32 audio file; the test tone survives the chain."""
+    from srcdsp_tpu.chains.analog import fm_modulate
+    import jax.numpy as jnp
+
+    n = 1 << 16
+    k = np.arange(n)
+    audio = np.sin(2 * np.pi * 0.004 * k).astype(np.float32)
+    x = np.asarray(fm_modulate(jnp.asarray(audio), dev=0.02, center=0.11))
+    cap = str(tmp_path / "fm.cf32")
+    write_capture(cap, x, CaptureMeta(fmt="cf32"))
+    out = str(tmp_path / "audio.f32")
+    cli_main(["fm", cap, out, "--center", "0.11", "--decim", "4",
+              "--dev", "0.08", "--audio-decim", "2", "--block", "16384"])
+    a = np.fromfile(out, np.float32)
+    assert a.size == n // 8
+    spec = np.abs(np.fft.rfft(a[256:] * np.hanning(a.size - 256)))
+    pk = np.argmax(spec) / (a.size - 256)
+    assert abs(pk - 0.004 * 8) < 1e-3
+
+
+def test_cli_qam_symbols(tmp_path):
+    """QAM capture -> u8 symbol indices matching the sent stream."""
+    import jax.numpy as jnp
+    from srcdsp_tpu.chains.qam import make_qam_params, qam_modulate
+    from srcdsp_tpu.ops.resample import resample_full
+    from srcdsp_tpu.testing.signals import tone as _tone
+
+    order, decim, sps, center = 16, 2, 4, 0.13
+    idx, sym = qam_modulate(jax.random.PRNGKey(3), 2048, order)
+    params = make_qam_params(center, decim=decim, sps=sps, order=order)
+    x = resample_full(params.taps, sym.astype(jnp.complex64),
+                      up=decim * sps, down=1)
+    x = np.asarray(x * _tone(x.shape[-1], center, phase0=0.05))
+    cap = str(tmp_path / "qam.cf32")
+    write_capture(cap, x, CaptureMeta(fmt="cf32"))
+    out = str(tmp_path / "syms.u8")
+    cli_main(["qam", cap, out, "--center", str(center), "--decim",
+              str(decim), "--sps", str(sps), "--order", str(order),
+              "--block", "4096"])
+    rx = np.fromfile(out, np.uint8)
+    b = np.asarray(idx)
+    best = 1.0
+    for lag in range(-16, 17):
+        bs, rs = 32 + max(lag, 0), 32 + max(-lag, 0)
+        n = min(len(b) - bs, len(rx) - rs)
+        if n > 0:
+            best = min(best, float(np.mean(b[bs:bs + n] != rx[rs:rs + n])))
+    assert best < 0.01, best
