@@ -27,6 +27,10 @@ from srcdsp_tpu.ops.impairments import (  # noqa: F401
     MomentState, cfo_fft_peak, cfo_kay, dc_offset, iq_imbalance_correct,
     iq_imbalance_estimate, moments_init, moments_update, snr_m2m4,
 )
+from srcdsp_tpu.ops.halfband import (  # noqa: F401
+    HalfbandState, cascade_apply, cascade_init, design_halfband,
+    halfband_decim, halfband_init,
+)
 from srcdsp_tpu.ops.iir import (  # noqa: F401
     IirParams, IirState, iir_init, iir_apply, iir_full, make_iir_params,
     make_sos_params, sos_init, sos_apply,
