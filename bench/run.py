@@ -334,6 +334,9 @@ def run_config3_onchip(iters: int = 10, channels: int = 16,
         # karatsuba: 3-matmul complex form for the lane-contracting stages —
         # A/B medians: f32 +6% wall / +10% device, bf16 within noise, SNR
         # unchanged (bench/results_round2.jsonl). Serving default.
+        # pipelined (auto-on here): dual-BlockSpec input staging double-
+        # buffers HBM loads behind the matmuls — +16% f32 / +21% bf16,
+        # outputs bit-identical (bench/results_round2.jsonl).
         k = make_fftconv_kernel(taps, fft_size, num_channels=channels,
                                 b_frames=b_frames, precision=prec,
                                 karatsuba=True)

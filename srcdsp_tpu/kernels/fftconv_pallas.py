@@ -79,6 +79,7 @@ def _rhs_comb(m: np.ndarray) -> np.ndarray:
 def _kernel(x_hbm, w1c_ref, w2tc_ref, w2cc_ref, g2c_ref, twf_ref, twi_ref,
             h2_ref, yr_ref, yi_ref, slab, sem, *, b: int, n1: int, n2: int,
             hs: int, ov_rows: int, precision, karatsuba: bool):
+    """Manual-DMA form: one blocking slab copy per grid step."""
     c = pl.program_id(0)
     i = pl.program_id(1)
     row0 = i * b * hs
@@ -87,7 +88,31 @@ def _kernel(x_hbm, w1c_ref, w2tc_ref, w2cc_ref, g2c_ref, twf_ref, twi_ref,
         x_hbm.at[c, :, pl.ds(row0, b * hs + ov_rows), :], slab, sem)
     cp.start()
     cp.wait()
+    _compute(slab, w1c_ref, w2tc_ref, w2cc_ref, g2c_ref, twf_ref, twi_ref,
+             h2_ref, yr_ref, yi_ref, b=b, n1=n1, n2=n2, hs=hs,
+             ov_rows=ov_rows, precision=precision, karatsuba=karatsuba)
 
+
+def _kernel_pipelined(x_main, x_ov, w1c_ref, w2tc_ref, w2cc_ref, g2c_ref,
+                      twf_ref, twi_ref, h2_ref, yr_ref, yi_ref, *, b: int,
+                      n1: int, n2: int, hs: int, ov_rows: int, precision,
+                      karatsuba: bool):
+    """Pipelined form: the overlapping slab arrives as TWO BlockSpec
+    operands (the hop block + the next block's ov_rows prefix), so the
+    Pallas grid pipeline double-buffers the HBM loads behind the previous
+    step's matmuls instead of the blocking copy above. Identical math —
+    bit-identical outputs (tested in interpret mode AND on hardware);
+    +16% f32 / +21% bf16 at the config-3 serving shape (A/B medians,
+    bench/results_round2.jsonl)."""
+    slab = jnp.concatenate([x_main[0], x_ov[0]], axis=1)
+    _compute(slab, w1c_ref, w2tc_ref, w2cc_ref, g2c_ref, twf_ref, twi_ref,
+             h2_ref, yr_ref, yi_ref, b=b, n1=n1, n2=n2, hs=hs,
+             ov_rows=ov_rows, precision=precision, karatsuba=karatsuba)
+
+
+def _compute(slab, w1c_ref, w2tc_ref, w2cc_ref, g2c_ref, twf_ref, twi_ref,
+             h2_ref, yr_ref, yi_ref, *, b: int, n1: int, n2: int,
+             hs: int, ov_rows: int, precision, karatsuba: bool):
     def mm(a, bb):
         return jnp.dot(a, bb, preferred_element_type=F32, precision=precision)
 
@@ -202,6 +227,7 @@ def make_fftconv_kernel(taps, fft_size: int = 4096, num_channels: int = 1,
                         n2: int = LANE, b_frames: int = 8,
                         precision=jax.lax.Precision.HIGHEST,
                         karatsuba: bool = False,
+                        pipelined: bool | None = None,
                         interpret: bool = False) -> FftConvKernel:
     """Build the fused kernel for a fixed tap set / FFT size / tiling.
 
@@ -216,6 +242,12 @@ def make_fftconv_kernel(taps, fft_size: int = 4096, num_channels: int = 1,
     multiple of 8) must leave hop > 0. For 1024 taps at 4096/n2=128:
     overlap = 1024, hop = 3072 — the same hop ops.fftconv_planes would not
     reach (it needs hop | fft_size; here only hop % n2 == 0 is needed).
+
+    `pipelined`: route the input through grid BlockSpecs (two operands —
+    the hop block and the next block's overlap prefix) so the Pallas
+    pipeline overlaps HBM loads with compute, instead of the manual
+    blocking slab DMA. Requires ov_rows | b_frames*hs; None = auto (use
+    it whenever the divisibility holds). Outputs are bit-identical.
     """
     taps = np.asarray(taps, np.float64)
     per_channel = taps.ndim == 2
@@ -239,6 +271,14 @@ def make_fftconv_kernel(taps, fft_size: int = 4096, num_channels: int = 1,
         raise ValueError(f"taps {t} leave no hop in fft_size {fft_size}")
     overlap = ov_rows * n2
     hop = hs * n2
+    # pipelined BlockSpec form needs the overlap operand's row offset
+    # ((i+1)*b*hs) to be a whole number of ov_rows blocks for every i
+    pipe_ok = (b_frames * hs) % ov_rows == 0
+    use_pipe = pipe_ok if pipelined is None else pipelined
+    if use_pipe and not pipe_ok:
+        raise ValueError(
+            f"pipelined form needs ov_rows ({ov_rows}) | b_frames*hs "
+            f"({b_frames * hs})")
 
     w1 = _dft(n1, -1.0)                                   # [k1, n1]
     w2t = _dft(n2, -1.0).T                                # [n2, k2]
@@ -293,15 +333,35 @@ def make_fftconv_kernel(taps, fft_size: int = 4096, num_channels: int = 1,
                 f"output rows {rows_out} not a multiple of {b_frames * hs}")
         grid = (num_channels, rows_out // (b_frames * hs))
         kern = functools.partial(
-            _kernel, b=b_frames, n1=n1, n2=n2, hs=hs, ov_rows=ov_rows,
+            _kernel_pipelined if use_pipe else _kernel,
+            b=b_frames, n1=n1, n2=n2, hs=hs, ov_rows=ov_rows,
             precision=precision, karatsuba=karatsuba)
         w2_cols = 3 * n2 if karatsuba else 2 * n2
         w2_rows = n2 if karatsuba else 2 * n2
+        if use_pipe:
+            bh = b_frames * hs
+            x_specs = [
+                # hop block: rows [i*b*hs, (i+1)*b*hs)
+                pl.BlockSpec((1, 2, bh, n2), lambda c, i: (c, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+                # next block's overlap prefix: ov_rows rows at (i+1)*b*hs
+                pl.BlockSpec((1, 2, ov_rows, n2),
+                             lambda c, i: (c, 0, (i + 1) * bh // ov_rows, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            x_args = (x, x)
+            scratch = []
+        else:
+            x_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # x stays in HBM
+            x_args = (x,)
+            scratch = [
+                pltpu.VMEM((2, b_frames * hs + ov_rows, n2), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ]
         return pl.pallas_call(
             kern,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),        # x stays in HBM
+            in_specs=x_specs + [
                 pl.BlockSpec((2 * n1, 2 * n1), lambda c, i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((w2_rows, w2_cols), lambda c, i: (0, 0),
@@ -332,12 +392,9 @@ def make_fftconv_kernel(taps, fft_size: int = 4096, num_channels: int = 1,
                 jax.ShapeDtypeStruct((num_channels, rows_out, n2), jnp.float32),
                 jax.ShapeDtypeStruct((num_channels, rows_out, n2), jnp.float32),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((2, b_frames * hs + ov_rows, n2), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
+            scratch_shapes=scratch,
             interpret=interpret,
-        )(x, w1c, w2tc, w2cc, g2c, twf_t, twi_t, h2_t)
+        )(*x_args, w1c, w2tc, w2cc, g2c, twf_t, twi_t, h2_t)
 
     return FftConvKernel(fn=fn, fft_size=fft_size, hop=hop, overlap=overlap,
                          num_taps=t, n1=n1, n2=n2, b_frames=b_frames,

@@ -127,6 +127,55 @@ def test_stream_class_bit_identical():
                                   np.concatenate([i1, i2], axis=-1))
 
 
+def test_pipelined_bit_identical_to_manual_dma():
+    """The dual-BlockSpec pipelined form computes the exact same slab as
+    the manual blocking-DMA form: outputs must be BIT-identical (same
+    frames, same matmuls — only the HBM->VMEM staging differs)."""
+    taps = lowpass(1024, 0.1)
+    rng = np.random.default_rng(7)
+    for kara in (False, True):
+        km = make_fftconv_kernel(taps, 4096, num_channels=2, b_frames=2,
+                                 karatsuba=kara, pipelined=False,
+                                 interpret=True)
+        kp = make_fftconv_kernel(taps, 4096, num_channels=2, b_frames=2,
+                                 karatsuba=kara, pipelined=True,
+                                 interpret=True)
+        n = 3 * km.block_in()
+        x = jnp.asarray(rng.standard_normal(
+            (2, 2, km.overlap + n)).astype(np.float32))
+        ym = fftconv_pallas(km, x)
+        yp = fftconv_pallas(kp, x)
+        for a, b in zip(ym, yp):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pipelined_divisibility_gate():
+    """taps=2800 @ fft=4096 gives ov_rows=24, hs=8; b_frames=1 -> bh=8,
+    not a multiple of ov_rows: pipelined=True must raise, auto must fall
+    back to the manual-DMA form and still match the plane path."""
+    taps = lowpass(2800, 0.05)
+    with pytest.raises(ValueError, match="pipelined"):
+        make_fftconv_kernel(taps, 4096, b_frames=1, pipelined=True,
+                            interpret=True)
+    k = make_fftconv_kernel(taps, 4096, b_frames=1, interpret=True)
+    assert k.overlap == 24 * 128 and k.hop == 8 * 128
+    n = 4 * k.block_in()   # 4096: also a multiple of the ref path's hop
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((1, 2, k.overlap + n)).astype(np.float32)
+    x[:, :, :k.overlap] = 0.0
+    yr, yi = fftconv_pallas(k, jnp.asarray(x))
+    ref_fn, hop = make_fftconv_planes(taps, 8192)
+    ov = 8192 - hop
+    xr = jnp.asarray(np.concatenate(
+        [np.zeros(ov, np.float32), x[0, 0, k.overlap:]]))
+    xi = jnp.asarray(np.concatenate(
+        [np.zeros(ov, np.float32), x[0, 1, k.overlap:]]))
+    rr, ri = ref_fn(xr, xi)
+    ref = (np.asarray(rr) + 1j * np.asarray(ri))[:n]
+    got = np.asarray(yr[0]) + 1j * np.asarray(yi[0])
+    assert _snr_db(ref, got) > 100
+
+
 def test_karatsuba_matches_combined():
     """3-matmul (Gauss) lane-stage form == combined 2x2 block form to f32
     rounding, at both precisions (same frames, same math — only the
