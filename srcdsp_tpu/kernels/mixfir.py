@@ -67,9 +67,11 @@ def _kernel(word0_ref, dword_ref, x_hbm, hsub_ref, yr_ref, yi_ref,
             slab, sem, *, b_rows: int, out_tile: int, row_stride: int,
             blk_stride: int, span: int, bspan: int, slab_len: int,
             block_cols: int, precision, phasor: str = "factored"):
-    # row_stride / blk_stride: INPUT samples advanced per output row / per
-    # output column block (decimating FIR: OT*M and BC*M; L/M resampler:
-    # OT*M/L and BC*M/L).
+    """Manual-DMA form: one blocking slab copy per grid step.
+
+    row_stride / blk_stride: INPUT samples advanced per output row / per
+    output column block (decimating FIR: OT*M and BC*M; L/M resampler:
+    OT*M/L and BC*M/L)."""
     i = pl.program_id(0)
     g0 = i * b_rows * row_stride  # global sample index of slab start
 
@@ -77,7 +79,37 @@ def _kernel(word0_ref, dword_ref, x_hbm, hsub_ref, yr_ref, yi_ref,
         x_hbm.at[:, pl.ds(g0, slab_len)], slab, sem)
     cp.start()
     cp.wait()
+    _compute(slab, word0_ref[0, 0], dword_ref[0, 0], g0,
+             lambda j: hsub_ref[j], yr_ref, yi_ref,
+             b_rows=b_rows, out_tile=out_tile, row_stride=row_stride,
+             blk_stride=blk_stride, span=span, bspan=bspan,
+             block_cols=block_cols, precision=precision, phasor=phasor)
 
+
+def _kernel_pipelined(word0_ref, dword_ref, x_main, x_ov, hsub_ref,
+                      yr_ref, yi_ref, *, b_rows: int, out_tile: int,
+                      row_stride: int, blk_stride: int, span: int,
+                      bspan: int, block_cols: int, precision,
+                      phasor: str = "factored"):
+    """Pipelined form: the overlapping slab arrives as TWO BlockSpec
+    operands (the b_rows*row_stride hop block + the next block's `hist`
+    prefix), so the Pallas grid pipeline double-buffers the HBM loads
+    behind the previous step's matmuls instead of the blocking copy
+    above. Identical math — bit-identical outputs (tested)."""
+    i = pl.program_id(0)
+    g0 = i * b_rows * row_stride
+    slab = jnp.concatenate([x_main[:, :], x_ov[:, :]], axis=-1)
+    _compute(slab, word0_ref[0, 0], dword_ref[0, 0], g0,
+             lambda j: hsub_ref[j], yr_ref, yi_ref,
+             b_rows=b_rows, out_tile=out_tile, row_stride=row_stride,
+             blk_stride=blk_stride, span=span, bspan=bspan,
+             block_cols=block_cols, precision=precision, phasor=phasor)
+
+
+def _compute(slab, w0, dw, g0, hsub_at, yr_ref, yi_ref, *, b_rows: int,
+             out_tile: int, row_stride: int, blk_stride: int, span: int,
+             bspan: int, block_cols: int, precision,
+             phasor: str = "factored", mc_out: bool = False):
     # --- B overlapping windows from the raw slab (VMEM copies) ---
     xr = slab[0:1, :]
     xi = slab[1:2, :]
@@ -98,11 +130,10 @@ def _kernel(word0_ref, dword_ref, x_hbm, hsub_ref, yr_ref, yi_ref,
     # is launch-alignment-invariant (chunks advance by whole row blocks),
     # so chunked streaming stays bit-exact.
     if phasor == "factored":
-        colw = word0_ref[0, 0] + (jnp.int32(g0) +
-                                  jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
-                                  ) * dword_ref[0, 0]
+        colw = w0 + (jnp.int32(g0) +
+                     jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)) * dw
         roww = (jax.lax.broadcasted_iota(jnp.int32, (b_rows, 1), 0)
-                * (jnp.int32(row_stride) * dword_ref[0, 0]))
+                * (jnp.int32(row_stride) * dw))
         cang = colw.astype(F32) * F32(TWO_PI * _INV_SCALE)
         rang = roww.astype(F32) * F32(TWO_PI * _INV_SCALE)
         ccol = jnp.cos(cang)
@@ -114,7 +145,7 @@ def _kernel(word0_ref, dword_ref, x_hbm, hsub_ref, yr_ref, yi_ref,
     else:  # direct: full-matrix transcendentals
         row = jax.lax.broadcasted_iota(jnp.int32, (b_rows, span), 0) * row_stride
         col = jax.lax.broadcasted_iota(jnp.int32, (b_rows, span), 1)
-        ph = word0_ref[0, 0] + (jnp.int32(g0) + row + col) * dword_ref[0, 0]
+        ph = w0 + (jnp.int32(g0) + row + col) * dw
         ang = ph.astype(F32) * F32(TWO_PI * _INV_SCALE)
         c = jnp.cos(ang)
         s = jnp.sin(ang)
@@ -130,11 +161,17 @@ def _kernel(word0_ref, dword_ref, x_hbm, hsub_ref, yr_ref, yi_ref,
     for j in range(nb):
         xs = slice(j * blk_stride, j * blk_stride + bspan)
         ys = slice(j * block_cols, (j + 1) * block_cols)
-        hsub = hsub_ref[j]
-        yr_ref[:, ys] = jnp.dot(xwr[:, xs], hsub, preferred_element_type=F32,
-                                precision=precision)
-        yi_ref[:, ys] = jnp.dot(xwi[:, xs], hsub, preferred_element_type=F32,
-                                precision=precision)
+        hsub = hsub_at(j)
+        vr = jnp.dot(xwr[:, xs], hsub, preferred_element_type=F32,
+                     precision=precision)
+        vi = jnp.dot(xwi[:, xs], hsub, preferred_element_type=F32,
+                     precision=precision)
+        if mc_out:
+            yr_ref[0, :, ys] = vr
+            yi_ref[0, :, ys] = vi
+        else:
+            yr_ref[:, ys] = vr
+            yi_ref[:, ys] = vi
 
 
 @dataclasses.dataclass(frozen=True)
@@ -171,8 +208,16 @@ def make_mix_fir_kernel(taps, decim: int, out_tile: int = 512,
                         b_rows: int = 32, block_cols: int = 128,
                         precision=jax.lax.Precision.HIGHEST,
                         phasor: str = "factored",
+                        pipelined: bool | None = None,
                         interpret: bool = False) -> MixFirKernel:
-    """Build the fused kernel for a fixed tap set / decimation / tiling."""
+    """Build the fused kernel for a fixed tap set / decimation / tiling.
+
+    `pipelined`: route the input through grid BlockSpecs (the hop block +
+    the next block's `hist` prefix as separate operands) so the Pallas
+    pipeline double-buffers HBM loads behind the matmuls, instead of the
+    manual blocking slab DMA. Requires hist | b_rows*out_tile*decim;
+    None = auto (use it whenever the divisibility holds). Outputs are
+    bit-identical either way."""
     taps = np.asarray(taps, np.float32)
     if not interpret:
         # Mosaic block-shape constraint: last two output-block dims must be
@@ -190,28 +235,52 @@ def make_mix_fir_kernel(taps, decim: int, out_tile: int = 512,
     bspan = block_cols * decim + hist
     hsubs = jnp.asarray(banded_taps(taps, decim, out_tile, hist, block_cols))
     stride = out_tile * decim
-    slab_len_for = lambda: b_rows * stride + hist
+    bstride = b_rows * stride
+    pipe_ok = bstride % hist == 0
+    use_pipe = pipe_ok if pipelined is None else pipelined
+    if use_pipe and not pipe_ok:
+        raise ValueError(
+            f"pipelined form needs hist ({hist}) | b_rows*out_tile*decim "
+            f"({bstride})")
 
     def fn(word0, dword, x):
         n = x.shape[-1] - hist
-        block = b_rows * stride
-        if n % block != 0:
-            raise ValueError(f"N={n} not a multiple of kernel block {block}")
+        if n % bstride != 0:
+            raise ValueError(f"N={n} not a multiple of kernel block {bstride}")
         nt = n // (out_tile * decim)
         grid = nt // b_rows
-        slab_len = slab_len_for()
-        kern = functools.partial(
-            _kernel, b_rows=b_rows, out_tile=out_tile,
+        slab_len = bstride + hist
+        common = dict(
+            b_rows=b_rows, out_tile=out_tile,
             row_stride=out_tile * decim, blk_stride=block_cols * decim,
-            span=span, bspan=bspan, slab_len=slab_len,
+            span=span, bspan=bspan,
             block_cols=block_cols, precision=precision, phasor=phasor)
+        if use_pipe:
+            kern = functools.partial(_kernel_pipelined, **common)
+            x_specs = [
+                pl.BlockSpec((2, bstride), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, hist),
+                             lambda i: (0, (i + 1) * bstride // hist),
+                             memory_space=pltpu.VMEM),
+            ]
+            x_args = (x, x)
+            scratch = []
+        else:
+            kern = functools.partial(_kernel, slab_len=slab_len, **common)
+            x_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # x stays in HBM
+            x_args = (x,)
+            scratch = [
+                pltpu.VMEM((2, slab_len), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ]
         return pl.pallas_call(
             kern,
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # word0 [1,1]
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # dword [1,1]
-                pl.BlockSpec(memory_space=pl.ANY),       # x stays in HBM
+            ] + x_specs + [
                 pl.BlockSpec((nb, bspan, block_cols), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),   # banded taps
             ],
@@ -225,12 +294,9 @@ def make_mix_fir_kernel(taps, decim: int, out_tile: int = 512,
                 jax.ShapeDtypeStruct((nt, out_tile), jnp.float32),
                 jax.ShapeDtypeStruct((nt, out_tile), jnp.float32),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((2, slab_len), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
+            scratch_shapes=scratch,
             interpret=interpret,
-        )(word0, dword, x, hsubs)
+        )(word0, dword, *x_args, hsubs)
 
     return MixFirKernel(fn=fn, num_taps=t, decim=decim, out_tile=out_tile,
                         b_rows=b_rows, hist=hist)
@@ -255,60 +321,47 @@ def mix_fir_decim_pallas(kernel: MixFirKernel, word0: int, dword: int,
 
 
 def _kernel_mc(words0_ref, dwords_ref, x_hbm, hsub_ref, yr_ref, yi_ref,
-               slab, sem, *, b_rows: int, out_tile: int, decim: int,
-               hist: int, span: int, slab_len: int, block_cols: int,
-               precision):
+               slab, sem, *, b_rows: int, out_tile: int, row_stride: int,
+               blk_stride: int, span: int, bspan: int, slab_len: int,
+               block_cols: int, precision):
+    """Manual-DMA multi-channel form (also reused by the L/M resampler —
+    row_stride/blk_stride carry the input-advance rates)."""
     c = pl.program_id(0)
     i = pl.program_id(1)
-    g0 = i * b_rows * out_tile * decim
+    g0 = i * b_rows * row_stride
 
     cp = pltpu.make_async_copy(
         x_hbm.at[c, :, pl.ds(g0, slab_len)], slab, sem)
     cp.start()
     cp.wait()
+    _compute(slab, words0_ref[c, 0], dwords_ref[c, 0], g0,
+             lambda j: hsub_ref[0, j], yr_ref, yi_ref,
+             b_rows=b_rows, out_tile=out_tile, row_stride=row_stride,
+             blk_stride=blk_stride, span=span, bspan=bspan,
+             block_cols=block_cols, precision=precision, mc_out=True)
 
-    stride = out_tile * decim
-    xr = slab[0:1, :]
-    xi = slab[1:2, :]
-    xwr = jnp.concatenate(
-        [xr[:, b * stride: b * stride + span] for b in range(b_rows)], axis=0)
-    xwi = jnp.concatenate(
-        [xi[:, b * stride: b * stride + span] for b in range(b_rows)], axis=0)
-    # factored phasor (see _kernel): transcendentals on [1, span] + [B, 1]
-    colw = words0_ref[c, 0] + (jnp.int32(g0) +
-                               jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
-                               ) * dwords_ref[c, 0]
-    roww = (jax.lax.broadcasted_iota(jnp.int32, (b_rows, 1), 0)
-            * (jnp.int32(stride) * dwords_ref[c, 0]))
-    cang = colw.astype(F32) * F32(TWO_PI * _INV_SCALE)
-    rang = roww.astype(F32) * F32(TWO_PI * _INV_SCALE)
-    ccol = jnp.cos(cang)
-    scol = jnp.sin(cang)
-    crow = jnp.cos(rang)
-    srow = jnp.sin(rang)
-    cw = crow * ccol - srow * scol
-    sw = crow * scol + srow * ccol
-    mr = xwr * cw - xwi * sw
-    mi = xwr * sw + xwi * cw
-    xwr, xwi = mr, mi
-    nb = out_tile // block_cols
-    bspan = block_cols * decim + hist
-    for j in range(nb):
-        xs = slice(j * block_cols * decim, j * block_cols * decim + bspan)
-        ys = slice(j * block_cols, (j + 1) * block_cols)
-        hsub = hsub_ref[0, j]
-        yr_ref[0, :, ys] = jnp.dot(xwr[:, xs], hsub,
-                                   preferred_element_type=F32,
-                                   precision=precision)
-        yi_ref[0, :, ys] = jnp.dot(xwi[:, xs], hsub,
-                                   preferred_element_type=F32,
-                                   precision=precision)
+
+def _kernel_mc_pipelined(words0_ref, dwords_ref, x_main, x_ov, hsub_ref,
+                         yr_ref, yi_ref, *, b_rows: int, out_tile: int,
+                         row_stride: int, blk_stride: int, span: int,
+                         bspan: int, block_cols: int, precision):
+    """Pipelined multi-channel form (see _kernel_pipelined)."""
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    g0 = i * b_rows * row_stride
+    slab = jnp.concatenate([x_main[0], x_ov[0]], axis=-1)
+    _compute(slab, words0_ref[c, 0], dwords_ref[c, 0], g0,
+             lambda j: hsub_ref[0, j], yr_ref, yi_ref,
+             b_rows=b_rows, out_tile=out_tile, row_stride=row_stride,
+             blk_stride=blk_stride, span=span, bspan=bspan,
+             block_cols=block_cols, precision=precision, mc_out=True)
 
 
 def make_mix_fir_kernel_mc(taps, decim: int, num_channels: int,
                            out_tile: int = 512, b_rows: int = 8,
                            block_cols: int = 128,
                            precision=jax.lax.Precision.HIGHEST,
+                           pipelined: bool | None = None,
                            interpret: bool = False) -> MixFirKernel:
     """Multi-channel fused kernel: x [C, 2, HK+N] -> planes [C, NT, OT].
 
@@ -343,26 +396,51 @@ def make_mix_fir_kernel_mc(taps, decim: int, num_channels: int,
         hsubs = jnp.asarray(
             banded_taps(taps, decim, out_tile, hist, block_cols))[None]
     stride = out_tile * decim
-    slab_len = b_rows * stride + hist
+    bstride = b_rows * stride
+    slab_len = bstride + hist
+    pipe_ok = bstride % hist == 0
+    use_pipe = pipe_ok if pipelined is None else pipelined
+    if use_pipe and not pipe_ok:
+        raise ValueError(
+            f"pipelined form needs hist ({hist}) | b_rows*out_tile*decim "
+            f"({bstride})")
 
     def fn(words0, dwords, x):
         n = x.shape[-1] - hist
-        block = b_rows * stride
-        if n % block != 0:
-            raise ValueError(f"N={n} not a multiple of kernel block {block}")
+        if n % bstride != 0:
+            raise ValueError(f"N={n} not a multiple of kernel block {bstride}")
         nt = n // (out_tile * decim)
         grid = (num_channels, nt // b_rows)
-        kern = functools.partial(
-            _kernel_mc, b_rows=b_rows, out_tile=out_tile, decim=decim,
-            hist=hist, span=span, slab_len=slab_len, block_cols=block_cols,
-            precision=precision)
+        common = dict(
+            b_rows=b_rows, out_tile=out_tile, row_stride=stride,
+            blk_stride=block_cols * decim, span=span, bspan=bspan,
+            block_cols=block_cols, precision=precision)
+        if use_pipe:
+            kern = functools.partial(_kernel_mc_pipelined, **common)
+            x_specs = [
+                pl.BlockSpec((1, 2, bstride), lambda c, i: (c, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, hist),
+                             lambda c, i: (c, 0, (i + 1) * bstride // hist),
+                             memory_space=pltpu.VMEM),
+            ]
+            x_args = (x, x)
+            scratch = []
+        else:
+            kern = functools.partial(_kernel_mc, slab_len=slab_len, **common)
+            x_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # x [C, 2, L] HBM
+            x_args = (x,)
+            scratch = [
+                pltpu.VMEM((2, slab_len), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ]
         return pl.pallas_call(
             kern,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # words0 [C, 1]
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # dwords [C, 1]
-                pl.BlockSpec(memory_space=pl.ANY),       # x [C, 2, L] in HBM
+            ] + x_specs + [
                 # taps [Ct, NB, bspan, BC]: channel step c selects its block
                 # (index 0 when taps are shared, Ct == 1)
                 pl.BlockSpec(
@@ -381,12 +459,9 @@ def make_mix_fir_kernel_mc(taps, decim: int, num_channels: int,
                 jax.ShapeDtypeStruct((num_channels, nt, out_tile), jnp.float32),
                 jax.ShapeDtypeStruct((num_channels, nt, out_tile), jnp.float32),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((2, slab_len), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
+            scratch_shapes=scratch,
             interpret=interpret,
-        )(words0, dwords, x, hsubs)
+        )(words0, dwords, *x_args, hsubs)
 
     return MixFirKernel(fn=fn, num_taps=t, decim=decim, out_tile=out_tile,
                         b_rows=b_rows, hist=hist)

@@ -31,10 +31,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from srcdsp_tpu.kernels.mixfir import (
-    LANE, MixFirKernel, _kernel, _round_up,
+    LANE, MixFirKernel, _kernel, _kernel_mc, _kernel_mc_pipelined,
+    _kernel_pipelined, _round_up,
 )
-from srcdsp_tpu.ops.nco import TWO_PI, _INV_SCALE
-from srcdsp_tpu.types import F32
 
 
 def toeplitz_resample(taps: np.ndarray, up: int, down: int, out_tile: int,
@@ -91,6 +90,7 @@ def make_mix_resample_kernel(taps, up: int, down: int, out_tile: int = 512,
                              b_rows: int = 8, block_cols: int = 128,
                              precision=jax.lax.Precision.HIGHEST,
                              hist_round: int = LANE,
+                             pipelined: bool | None = None,
                              interpret: bool = False) -> MixFirKernel:
     """Fused mix + L/M resample: x [2, HX+NIN] -> planes [NT, OT].
 
@@ -123,27 +123,53 @@ def make_mix_resample_kernel(taps, up: int, down: int, out_tile: int = 512,
     hsubs = jnp.asarray(
         banded_resample_taps(taps, up, down, out_tile, hist, block_cols))
     nb = out_tile // block_cols
-    slab_len = b_rows * row_stride + hist
+    bstride = b_rows * row_stride
+    slab_len = bstride + hist
+    pipe_ok = bstride % hist == 0
+    use_pipe = pipe_ok if pipelined is None else pipelined
+    if use_pipe and not pipe_ok:
+        raise ValueError(
+            f"pipelined form needs hist ({hist}) | b_rows*row_stride "
+            f"({bstride})")
 
     def fn(word0, dword, x):
         nin = x.shape[-1] - hist
-        if nin % (b_rows * row_stride) != 0:
+        if nin % bstride != 0:
             raise ValueError(
-                f"NIN={nin} not a multiple of {b_rows * row_stride}")
-        grid = nin // (b_rows * row_stride)
+                f"NIN={nin} not a multiple of {bstride}")
+        grid = nin // bstride
         nt = grid * b_rows
-        kern = functools.partial(
-            _kernel, b_rows=b_rows, out_tile=out_tile,
+        common = dict(
+            b_rows=b_rows, out_tile=out_tile,
             row_stride=row_stride, blk_stride=blk_stride,
-            span=span, bspan=bspan, slab_len=slab_len,
+            span=span, bspan=bspan,
             block_cols=block_cols, precision=precision)
+        if use_pipe:
+            kern = functools.partial(_kernel_pipelined, **common)
+            x_specs = [
+                pl.BlockSpec((2, bstride), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, hist),
+                             lambda i: (0, (i + 1) * bstride // hist),
+                             memory_space=pltpu.VMEM),
+            ]
+            x_args = (x, x)
+            scratch = []
+        else:
+            kern = functools.partial(_kernel, slab_len=slab_len, **common)
+            x_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+            x_args = (x,)
+            scratch = [
+                pltpu.VMEM((2, slab_len), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ]
         return pl.pallas_call(
             kern,
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
+            ] + x_specs + [
                 pl.BlockSpec((nb, bspan, block_cols), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
@@ -157,12 +183,9 @@ def make_mix_resample_kernel(taps, up: int, down: int, out_tile: int = 512,
                 jax.ShapeDtypeStruct((nt, out_tile), jnp.float32),
                 jax.ShapeDtypeStruct((nt, out_tile), jnp.float32),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((2, slab_len), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
+            scratch_shapes=scratch,
             interpret=interpret,
-        )(word0, dword, x, hsubs)
+        )(word0, dword, *x_args, hsubs)
 
     return MixFirKernel(fn=fn, num_taps=t, decim=down, out_tile=out_tile,
                         b_rows=b_rows, hist=hist,
@@ -187,62 +210,12 @@ def mix_resample_pallas(kernel: MixFirKernel, word0: int, dword: int,
 # ---------------------------------------------------------------------------
 
 
-def _kernel_mc(words0_ref, dwords_ref, x_hbm, hsub_ref, yr_ref, yi_ref,
-               slab, sem, *, b_rows: int, out_tile: int, row_stride: int,
-               blk_stride: int, span: int, bspan: int, slab_len: int,
-               block_cols: int, precision):
-    # mixfir._kernel body with a channel grid axis; row_stride/blk_stride
-    # carry the L/M input-advance rates (OT*M/L, BC*M/L)
-    c = pl.program_id(0)
-    i = pl.program_id(1)
-    g0 = i * b_rows * row_stride
-
-    cp = pltpu.make_async_copy(
-        x_hbm.at[c, :, pl.ds(g0, slab_len)], slab, sem)
-    cp.start()
-    cp.wait()
-
-    xr = slab[0:1, :]
-    xi = slab[1:2, :]
-    xwr = jnp.concatenate(
-        [xr[:, b * row_stride: b * row_stride + span] for b in range(b_rows)],
-        axis=0)
-    xwi = jnp.concatenate(
-        [xi[:, b * row_stride: b * row_stride + span] for b in range(b_rows)],
-        axis=0)
-    colw = words0_ref[c, 0] + (jnp.int32(g0) +
-                               jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
-                               ) * dwords_ref[c, 0]
-    roww = (jax.lax.broadcasted_iota(jnp.int32, (b_rows, 1), 0)
-            * (jnp.int32(row_stride) * dwords_ref[c, 0]))
-    cang = colw.astype(F32) * F32(TWO_PI * _INV_SCALE)
-    rang = roww.astype(F32) * F32(TWO_PI * _INV_SCALE)
-    ccol = jnp.cos(cang)
-    scol = jnp.sin(cang)
-    crow = jnp.cos(rang)
-    srow = jnp.sin(rang)
-    cw = crow * ccol - srow * scol
-    sw = crow * scol + srow * ccol
-    mr = xwr * cw - xwi * sw
-    mi = xwr * sw + xwi * cw
-    nb = out_tile // block_cols
-    for j in range(nb):
-        xs = slice(j * blk_stride, j * blk_stride + bspan)
-        ys = slice(j * block_cols, (j + 1) * block_cols)
-        hsub = hsub_ref[j]
-        yr_ref[0, :, ys] = jnp.dot(mr[:, xs], hsub,
-                                   preferred_element_type=F32,
-                                   precision=precision)
-        yi_ref[0, :, ys] = jnp.dot(mi[:, xs], hsub,
-                                   preferred_element_type=F32,
-                                   precision=precision)
-
-
 def make_mix_resample_kernel_mc(taps, up: int, down: int, num_channels: int,
                                 out_tile: int = 512, b_rows: int = 8,
                                 block_cols: int = 128,
                                 precision=jax.lax.Precision.HIGHEST,
                                 hist_round: int = LANE,
+                                pipelined: bool | None = None,
                                 interpret: bool = False) -> MixFirKernel:
     """Multi-channel fused mix + L/M resample: x [C, 2, HX+NIN] ->
     planes [C, NT, OT]. Call via `mix_resample_pallas_mc`; per-channel NCO
@@ -262,31 +235,60 @@ def make_mix_resample_kernel_mc(taps, up: int, down: int, num_channels: int,
     blk_stride = (block_cols * down) // up
     span = row_stride + hist
     bspan = blk_stride + hist
+    # leading unit dim: mixfir's MC kernels index taps as hsub_ref[0, j]
+    # (shared taps -> every channel selects block 0)
     hsubs = jnp.asarray(
-        banded_resample_taps(taps, up, down, out_tile, hist, block_cols))
+        banded_resample_taps(taps, up, down, out_tile, hist, block_cols))[None]
     nb = out_tile // block_cols
-    slab_len = b_rows * row_stride + hist
+    bstride = b_rows * row_stride
+    slab_len = bstride + hist
+    pipe_ok = bstride % hist == 0
+    use_pipe = pipe_ok if pipelined is None else pipelined
+    if use_pipe and not pipe_ok:
+        raise ValueError(
+            f"pipelined form needs hist ({hist}) | b_rows*row_stride "
+            f"({bstride})")
 
     def fn(words0, dwords, x):
         nin = x.shape[-1] - hist
-        if nin % (b_rows * row_stride) != 0:
+        if nin % bstride != 0:
             raise ValueError(
-                f"NIN={nin} not a multiple of {b_rows * row_stride}")
-        grid = (num_channels, nin // (b_rows * row_stride))
+                f"NIN={nin} not a multiple of {bstride}")
+        grid = (num_channels, nin // bstride)
         nt = grid[1] * b_rows
-        kern = functools.partial(
-            _kernel_mc, b_rows=b_rows, out_tile=out_tile,
+        common = dict(
+            b_rows=b_rows, out_tile=out_tile,
             row_stride=row_stride, blk_stride=blk_stride,
-            span=span, bspan=bspan, slab_len=slab_len,
+            span=span, bspan=bspan,
             block_cols=block_cols, precision=precision)
+        if use_pipe:
+            kern = functools.partial(_kernel_mc_pipelined, **common)
+            x_specs = [
+                pl.BlockSpec((1, 2, bstride), lambda c, i: (c, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, hist),
+                             lambda c, i: (c, 0, (i + 1) * bstride // hist),
+                             memory_space=pltpu.VMEM),
+            ]
+            x_args = (x, x)
+            scratch = []
+        else:
+            kern = functools.partial(_kernel_mc, slab_len=slab_len, **common)
+            x_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+            x_args = (x,)
+            scratch = [
+                pltpu.VMEM((2, slab_len), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ]
         return pl.pallas_call(
             kern,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # words0 [C, 1]
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # dwords [C, 1]
-                pl.BlockSpec(memory_space=pl.ANY),       # x [C, 2, L] in HBM
-                pl.BlockSpec((nb, bspan, block_cols), lambda c, i: (0, 0, 0),
+            ] + x_specs + [
+                pl.BlockSpec((1, nb, bspan, block_cols),
+                             lambda c, i: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -299,12 +301,9 @@ def make_mix_resample_kernel_mc(taps, up: int, down: int, num_channels: int,
                 jax.ShapeDtypeStruct((num_channels, nt, out_tile), jnp.float32),
                 jax.ShapeDtypeStruct((num_channels, nt, out_tile), jnp.float32),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((2, slab_len), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
+            scratch_shapes=scratch,
             interpret=interpret,
-        )(words0, dwords, x, hsubs)
+        )(words0, dwords, *x_args, hsubs)
 
     return MixFirKernel(fn=fn, num_taps=t, decim=down, out_tile=out_tile,
                         b_rows=b_rows, hist=hist,

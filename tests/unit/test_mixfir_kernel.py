@@ -155,3 +155,42 @@ def test_rows_kernel_matches_classic():
     b = np.asarray(r1[0]) + 1j * np.asarray(i1[0])
     rel = np.linalg.norm(a - b) / np.linalg.norm(a)
     assert rel < 2e-6, f"rel {rel:.2e}"
+
+
+def test_pipelined_bit_identical_to_manual_dma():
+    """Dual-BlockSpec pipelined staging == manual blocking slab DMA,
+    bit-exact (same slab, same matmuls — only HBM->VMEM staging differs).
+    Covers single-channel and multi-channel forms."""
+    from srcdsp_tpu.kernels.mixfir import (
+        make_mix_fir_kernel_mc, mix_fir_decim_pallas_mc)
+
+    taps = lowpass(64, 0.2)
+    word = int(freq_to_word(0.0931))
+    rng = np.random.default_rng(11)
+
+    km = make_mix_fir_kernel(taps, 2, out_tile=128, b_rows=2,
+                             pipelined=False, interpret=True)
+    kp = make_mix_fir_kernel(taps, 2, out_tile=128, b_rows=2,
+                             pipelined=True, interpret=True)
+    n = 4 * km.block_in()
+    planes = jnp.asarray(
+        rng.standard_normal((2, km.hist + n)).astype(np.float32))
+    ym = mix_fir_decim_pallas(km, 12345, word, planes)
+    yp = mix_fir_decim_pallas(kp, 12345, word, planes)
+    for a, b in zip(ym, yp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    c = 3
+    km = make_mix_fir_kernel_mc(taps, 2, c, out_tile=128, b_rows=2,
+                                pipelined=False, interpret=True)
+    kp = make_mix_fir_kernel_mc(taps, 2, c, out_tile=128, b_rows=2,
+                                pipelined=True, interpret=True)
+    n = 2 * km.block_in()
+    planes = jnp.asarray(
+        rng.standard_normal((c, 2, km.hist + n)).astype(np.float32))
+    words = np.asarray([100, 200, 300], np.uint32)
+    dwords = np.asarray([word, word + 7, word - 5], np.uint32)
+    ym = mix_fir_decim_pallas_mc(km, words, dwords, planes)
+    yp = mix_fir_decim_pallas_mc(kp, words, dwords, planes)
+    for a, b in zip(ym, yp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
