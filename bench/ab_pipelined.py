@@ -112,10 +112,89 @@ def ab_config2(n_log2=25):
     }), flush=True)
 
 
+def ab_config4(n_log2=22, channels=10):
+    from srcdsp_tpu.kernels.fsk_fused import make_fsk_mc_kernel
+    from srcdsp_tpu.ops.nco import freq_to_word
+    from srcdsp_tpu.ops.window import lowpass
+
+    decim, sps = 4, 8
+    taps = lowpass(64, 0.03)
+    fm, hist = make_fsk_mc_kernel(taps, decim, channels, sps, out_tile=512,
+                                  b_rows=32, class_major=True,
+                                  pipelined=False)
+    fp, _ = make_fsk_mc_kernel(taps, decim, channels, sps, out_tile=512,
+                               b_rows=32, class_major=True, pipelined=True)
+    blk = 32 * 512 * decim
+    n = ((1 << n_log2) // blk) * blk
+    rng = np.random.default_rng(0)
+    planes = jax.device_put(jnp.asarray(
+        rng.standard_normal((channels, 2, hist + n)).astype(np.float32)))
+    words = np.asarray([int(freq_to_word(-0.05 - 0.01 * c)) % (1 << 32)
+                        for c in range(channels)], np.uint32)
+    words0 = np.asarray([(-hist * int(w)) % (1 << 32) for w in words],
+                        np.uint32)
+    w0 = jnp.asarray(words0.view(np.int32).reshape(-1, 1))
+    dw = jnp.asarray(words.view(np.int32).reshape(-1, 1))
+    jm = jax.jit(fm)
+    jp = jax.jit(fp)
+    ym = jm(w0, dw, planes)
+    jax.block_until_ready(ym)
+    print("manual compiled", flush=True)
+    yp = jp(w0, dw, planes)
+    jax.block_until_ready(yp)
+    print("pipelined compiled", flush=True)
+    for a, b in zip(ym, yp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    print("bit-identical on hardware", flush=True)
+    tm, tp = _median_ab(jm, jp, (w0, dw, planes))
+    print(json.dumps({
+        "config": "config4_kernel", "n_per_ch": n, "channels": channels,
+        "manual_agg_msps": round(channels * n / tm / 1e6, 1),
+        "pipelined_agg_msps": round(channels * n / tp / 1e6, 1),
+        "speedup": round(tm / tp, 3),
+    }), flush=True)
+
+
+def ab_config5(frames_log2=18, m=64, b_k=512):
+    from srcdsp_tpu.chains.channelizer import design_prototype
+    from srcdsp_tpu.kernels.bank_pallas import make_bank_psk_kernel
+
+    proto = design_prototype(m, taps_per_phase=8)
+    km, hist_cols = make_bank_psk_kernel(proto, m, sps=4, order=4, b_k=b_k,
+                                         class_major=True, pipelined=False)
+    kp, _ = make_bank_psk_kernel(proto, m, sps=4, order=4, b_k=b_k,
+                                 class_major=True, pipelined=True)
+    k = ((1 << frames_log2) // b_k) * b_k
+    rng = np.random.default_rng(0)
+    xp = jax.device_put(jnp.asarray(
+        rng.standard_normal((2, m, hist_cols + k)).astype(np.float32)))
+    jm = jax.jit(km)
+    jp = jax.jit(kp)
+    ym = jm(xp)
+    jax.block_until_ready(ym)
+    print("manual compiled", flush=True)
+    yp = jp(xp)
+    jax.block_until_ready(yp)
+    print("pipelined compiled", flush=True)
+    for a, b in zip(ym, yp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    print("bit-identical on hardware", flush=True)
+    tm, tp = _median_ab(jm, jp, (xp,))
+    n = k * m
+    print(json.dumps({
+        "config": "config5_kernel", "wideband_n": n,
+        "manual_msps": round(n / tm / 1e6, 1),
+        "pipelined_msps": round(n / tp / 1e6, 1),
+        "speedup": round(tm / tp, 3),
+    }), flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "config1"
     kw = {}
     if len(sys.argv) > 2:
-        kw["n_log2"] = int(sys.argv[2])
+        key = "frames_log2" if which == "config5" else "n_log2"
+        kw[key] = int(sys.argv[2])
     print("backend:", jax.default_backend(), flush=True)
-    {"config1": ab_config1, "config2": ab_config2}[which](**kw)
+    {"config1": ab_config1, "config2": ab_config2,
+     "config4": ab_config4, "config5": ab_config5}[which](**kw)

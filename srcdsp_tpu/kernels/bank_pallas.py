@@ -41,16 +41,7 @@ from srcdsp_tpu.types import F32
 STATS_LANES = 128  # stats output lane padding (2 + 2*sps columns used)
 
 
-def _bank_kernel(x_hbm, e_ref, y_ref, slab, ss, sem, *, b_k: int, m: int,
-                 p1: int, hist_cols: int, precision):
-    i = pl.program_id(0)
-    k0 = i * b_k   # oldest halo column of this step
-
-    cp = pltpu.make_async_copy(
-        x_hbm.at[:, :, pl.ds(k0, b_k + hist_cols)], slab, sem)
-    cp.start()
-    cp.wait()
-
+def _stage_ss(slab, ss, *, b_k: int, m: int, p1: int, hist_cols: int):
     # SS^T[(plane, r, c), k] = x_phase[plane, c, k - r]. The lane-shifted
     # slices carry different lane offsets, which Mosaic refuses to
     # concatenate directly — staging each through the ss scratch normalizes
@@ -60,6 +51,33 @@ def _bank_kernel(x_hbm, e_ref, y_ref, slab, ss, sem, *, b_k: int, m: int,
             start = hist_cols - r
             row0 = (plane * p1 + r) * m
             ss[row0: row0 + m, :] = slab[plane, :, start: start + b_k]
+
+
+def _bank_kernel(x_hbm, e_ref, y_ref, slab, ss, sem, *, b_k: int, m: int,
+                 p1: int, hist_cols: int, precision):
+    """Manual-DMA form: one blocking slab copy per grid step."""
+    i = pl.program_id(0)
+    k0 = i * b_k   # oldest halo column of this step
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[:, :, pl.ds(k0, b_k + hist_cols)], slab, sem)
+    cp.start()
+    cp.wait()
+
+    _stage_ss(slab[:, :, :], ss, b_k=b_k, m=m, p1=p1, hist_cols=hist_cols)
+    y_ref[:, :] = jnp.dot(e_ref[:, :], ss[:, :], preferred_element_type=F32,
+                          precision=precision)
+
+
+def _bank_kernel_pipelined(x_main, x_ov, e_ref, y_ref, ss, *, b_k: int,
+                           m: int, p1: int, hist_cols: int, precision):
+    """Pipelined form: the overlapping slab arrives as TWO BlockSpec
+    operands (the b_k hop block, whose front IS this step's halo, + the
+    next block's hist_cols prefix), so the Pallas grid pipeline
+    double-buffers the HBM loads behind the previous step's matmul.
+    Identical math — bit-identical (tested)."""
+    slab = jnp.concatenate([x_main[:, :, :], x_ov[:, :, :]], axis=-1)
+    _stage_ss(slab, ss, b_k=b_k, m=m, p1=p1, hist_cols=hist_cols)
     y_ref[:, :] = jnp.dot(e_ref[:, :], ss[:, :], preferred_element_type=F32,
                           precision=precision)
 
@@ -87,13 +105,30 @@ def _bank_psk_kernel(x_hbm, e_ref, perm_ref, y_ref, st_ref, slab, ss, sem,
     cp.start()
     cp.wait()
 
-    for plane in range(2):
-        for r in range(p1):
-            start = hist_cols - r
-            row0 = (plane * p1 + r) * m
-            ss[row0: row0 + m, :] = slab[plane, :, start: start + b_k]
+    _stage_ss(slab[:, :, :], ss, b_k=b_k, m=m, p1=p1, hist_cols=hist_cols)
     yv = jnp.dot(e_ref[:, :], ss[:, :], preferred_element_type=F32,
                  precision=precision)
+    _psk_epilogue(yv, perm_ref, y_ref, st_ref, i, b_k=b_k, m=m, sps=sps,
+                  order=order, class_major=class_major)
+
+
+def _bank_psk_kernel_pipelined(x_main, x_ov, e_ref, perm_ref, y_ref,
+                               st_ref, ss, *, b_k: int, m: int, p1: int,
+                               hist_cols: int, precision, sps: int,
+                               order: int, class_major: bool):
+    """Pipelined dual-BlockSpec form of _bank_psk_kernel (see
+    _bank_kernel_pipelined). Identical math — bit-identical (tested)."""
+    i = pl.program_id(0)
+    slab = jnp.concatenate([x_main[:, :, :], x_ov[:, :, :]], axis=-1)
+    _stage_ss(slab, ss, b_k=b_k, m=m, p1=p1, hist_cols=hist_cols)
+    yv = jnp.dot(e_ref[:, :], ss[:, :], preferred_element_type=F32,
+                 precision=precision)
+    _psk_epilogue(yv, perm_ref, y_ref, st_ref, i, b_k=b_k, m=m, sps=sps,
+                  order=order, class_major=class_major)
+
+
+def _psk_epilogue(yv, perm_ref, y_ref, st_ref, i, *, b_k: int, m: int,
+                  sps: int, order: int, class_major: bool):
     if not class_major:
         y_ref[:, :] = yv
 
@@ -139,6 +174,7 @@ def phase_major(x: jax.Array, m: int, hist: int) -> jax.Array:
 
 def make_bank_kernel(taps, num_channels: int, b_k: int = 256,
                      precision=jax.lax.Precision.HIGHEST,
+                     pipelined: bool | None = None,
                      interpret: bool = False):
     """Build the bank kernel. Returns (fn, hist_cols):
 
@@ -147,6 +183,12 @@ def make_bank_kernel(taps, num_channels: int, b_k: int = 256,
     tile (multiple of 128) — callers must prepend exactly `hist_cols`
     history COLUMNS (hist_cols*M samples; zeros at stream start), NOT P.
     Use `phase_major()` to build the input from flat padded planes.
+
+    `pipelined`: stage the input through grid BlockSpecs (the b_k hop
+    block + the next block's hist_cols prefix) so the pipeline
+    double-buffers HBM loads behind the matmuls, instead of the manual
+    blocking slab DMA. Requires hist_cols | b_k; None = auto.
+    Outputs are bit-identical either way.
     """
     m = num_channels
     er_np, ei_np = make_channelizer_mats(taps, m)
@@ -157,33 +199,53 @@ def make_bank_kernel(taps, num_channels: int, b_k: int = 256,
     er_s = er_np.reshape(p1 * m, m)
     ei_s = ei_np.reshape(p1 * m, m)
     e_comb_t = jnp.asarray(np.block([[er_s, ei_s], [-ei_s, er_s]]).T.copy())
+    pipe_ok = b_k % hist_cols == 0
+    use_pipe = pipe_ok if pipelined is None else pipelined
+    if use_pipe and not pipe_ok:
+        raise ValueError(
+            f"pipelined form needs hist_cols ({hist_cols}) | b_k ({b_k})")
 
     def fn(x):
         k = x.shape[-1] - hist_cols
         if k % b_k != 0:
             raise ValueError(f"K={k} not a multiple of b_k={b_k}")
         grid = k // b_k
-        kern = functools.partial(
-            _bank_kernel, b_k=b_k, m=m, p1=p1, hist_cols=hist_cols,
-            precision=precision)
+        common = dict(b_k=b_k, m=m, p1=p1, hist_cols=hist_cols,
+                      precision=precision)
+        if use_pipe:
+            kern = functools.partial(_bank_kernel_pipelined, **common)
+            x_specs = [
+                pl.BlockSpec((2, m, b_k), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, m, hist_cols),
+                             lambda i: (0, 0, (i + 1) * b_k // hist_cols),
+                             memory_space=pltpu.VMEM),
+            ]
+            x_args = (x, x)
+            slab_scratch = []
+        else:
+            kern = functools.partial(_bank_kernel, **common)
+            x_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+            x_args = (x,)
+            slab_scratch = [
+                pltpu.VMEM((2, m, b_k + hist_cols), jnp.float32),
+            ]
+        sem_scratch = [] if use_pipe else [pltpu.SemaphoreType.DMA]
         return pl.pallas_call(
             kern,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
+            in_specs=x_specs + [
                 pl.BlockSpec((2 * m, 2 * p1 * m), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((2 * m, b_k), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((2 * m, k), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((2, m, b_k + hist_cols), jnp.float32),
+            scratch_shapes=slab_scratch + [
                 pltpu.VMEM((2 * p1 * m, b_k), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
+            ] + sem_scratch,
             interpret=interpret,
-        )(x, e_comb_t)
+        )(*x_args, e_comb_t)
 
     return fn, hist_cols
 
@@ -231,6 +293,7 @@ def make_bank_psk_kernel(taps, num_channels: int, sps: int, order: int = 4,
                          b_k: int = 256,
                          precision=jax.lax.Precision.HIGHEST,
                          class_major: bool = False,
+                         pipelined: bool | None = None,
                          interpret: bool = False):
     """Bank kernel + fused PSK epilogue stats. Returns (fn, hist_cols):
 
@@ -260,21 +323,44 @@ def make_bank_psk_kernel(taps, num_channels: int, sps: int, order: int = 4,
     for k_ in range(b_k):
         pm[k_, (k_ % sps) * (b_k // sps) + k_ // sps] = 1.0
     perm = jnp.asarray(pm)
+    pipe_ok = b_k % hist_cols == 0
+    use_pipe = pipe_ok if pipelined is None else pipelined
+    if use_pipe and not pipe_ok:
+        raise ValueError(
+            f"pipelined form needs hist_cols ({hist_cols}) | b_k ({b_k})")
 
     def fn(x):
         k = x.shape[-1] - hist_cols
         if k % b_k != 0:
             raise ValueError(f"K={k} not a multiple of b_k={b_k}")
         grid = k // b_k
-        kern = functools.partial(
-            _bank_psk_kernel, b_k=b_k, m=m, p1=p1, hist_cols=hist_cols,
-            precision=precision, sps=sps, order=order,
-            class_major=class_major)
+        common = dict(b_k=b_k, m=m, p1=p1, hist_cols=hist_cols,
+                      precision=precision, sps=sps, order=order,
+                      class_major=class_major)
+        if use_pipe:
+            kern = functools.partial(_bank_psk_kernel_pipelined, **common)
+            x_specs = [
+                pl.BlockSpec((2, m, b_k), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, m, hist_cols),
+                             lambda i: (0, 0, (i + 1) * b_k // hist_cols),
+                             memory_space=pltpu.VMEM),
+            ]
+            x_args = (x, x)
+            scratch = [pltpu.VMEM((2 * p1 * m, b_k), jnp.float32)]
+        else:
+            kern = functools.partial(_bank_psk_kernel, **common)
+            x_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+            x_args = (x,)
+            scratch = [
+                pltpu.VMEM((2, m, b_k + hist_cols), jnp.float32),
+                pltpu.VMEM((2 * p1 * m, b_k), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ]
         return pl.pallas_call(
             kern,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
+            in_specs=x_specs + [
                 pl.BlockSpec((2 * m, 2 * p1 * m), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((b_k, b_k), lambda i: (0, 0),
@@ -290,12 +376,8 @@ def make_bank_psk_kernel(taps, num_channels: int, sps: int, order: int = 4,
                 jax.ShapeDtypeStruct((2 * m, k), jnp.float32),
                 jax.ShapeDtypeStruct((grid, m, STATS_LANES), jnp.float32),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((2, m, b_k + hist_cols), jnp.float32),
-                pltpu.VMEM((2 * p1 * m, b_k), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
+            scratch_shapes=scratch,
             interpret=interpret,
-        )(x, e_comb_t, perm)
+        )(*x_args, e_comb_t, perm)
 
     return fn, hist_cols

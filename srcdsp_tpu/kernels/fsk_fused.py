@@ -65,16 +65,48 @@ def _kernel(words0_ref, dwords_ref, x_hbm, hsub_ref, perm_ref, d_ref,
             b_rows: int, out_tile: int, decim: int, hist: int, span: int,
             slab_len: int, block_cols: int, sps: int, precision,
             class_major: bool):
+    """Manual-DMA form: one blocking slab copy per grid step."""
     c = pl.program_id(0)
     i = pl.program_id(1)
     stride = out_tile * decim
     g0 = i * b_rows * stride
-
     cp = pltpu.make_async_copy(
         x_hbm.at[c, :, pl.ds(g0, slab_len)], slab, sem)
     cp.start()
     cp.wait()
+    _compute(slab[:, :], words0_ref, dwords_ref, hsub_ref, perm_ref,
+             d_ref, st_ref, yrbuf, yibuf, pcol, carry, c, i,
+             b_rows=b_rows, out_tile=out_tile, decim=decim, hist=hist,
+             span=span, block_cols=block_cols, sps=sps,
+             precision=precision, class_major=class_major)
 
+
+def _kernel_pipelined(words0_ref, dwords_ref, x_main, x_ov, hsub_ref,
+                      perm_ref, d_ref, st_ref, yrbuf, yibuf, pcol, carry,
+                      *, b_rows: int, out_tile: int, decim: int, hist: int,
+                      span: int, block_cols: int, sps: int, precision,
+                      class_major: bool):
+    """Pipelined form: the overlapping slab arrives as TWO BlockSpec
+    operands (the per-step hop block + the next block's `hist` prefix),
+    so the Pallas grid pipeline double-buffers the HBM loads behind the
+    previous step's compute instead of the blocking copy above.
+    Identical math — bit-identical outputs (tested)."""
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    slab = jnp.concatenate([x_main[0], x_ov[0]], axis=-1)
+    _compute(slab, words0_ref, dwords_ref, hsub_ref, perm_ref,
+             d_ref, st_ref, yrbuf, yibuf, pcol, carry, c, i,
+             b_rows=b_rows, out_tile=out_tile, decim=decim, hist=hist,
+             span=span, block_cols=block_cols, sps=sps,
+             precision=precision, class_major=class_major)
+
+
+def _compute(slab, words0_ref, dwords_ref, hsub_ref, perm_ref, d_ref,
+             st_ref, yrbuf, yibuf, pcol, carry, c, i, *,
+             b_rows: int, out_tile: int, decim: int, hist: int, span: int,
+             block_cols: int, sps: int, precision, class_major: bool):
+    stride = out_tile * decim
+    g0 = i * b_rows * stride
     xr = slab[0:1, :]
     xi = slab[1:2, :]
     xwr = jnp.concatenate(
@@ -156,6 +188,7 @@ def make_fsk_mc_kernel(taps, decim: int, num_channels: int, sps: int,
                        block_cols: int = 128,
                        precision=jax.lax.Precision.HIGHEST,
                        class_major: bool = False,
+                       pipelined: bool | None = None,
                        interpret: bool = False):
     """Build the fused FSK front-end. Returns (fn, hist) with
     fn: (words0 i32[C,1], dwords i32[C,1], x [C, 2, HK+N])
@@ -164,7 +197,13 @@ def make_fsk_mc_kernel(taps, decim: int, num_channels: int, sps: int,
     class_major=True emits each row of d with its lanes permuted to
     offset-class-major order (lane o*(OT/sps)+s = sample s*sps+o), so the
     demod tail's symbol pick is a sum of contiguous lane blocks — pass the
-    same flag to fsk_demod_fused."""
+    same flag to fsk_demod_fused.
+
+    `pipelined`: stage the input through grid BlockSpecs (hop block +
+    next block's `hist` prefix) so the pipeline double-buffers HBM loads
+    behind compute, instead of the manual blocking slab DMA. Requires
+    hist | b_rows*out_tile*decim; None = auto (on when divisible).
+    Outputs are bit-identical either way."""
     taps = np.asarray(taps, np.float32)
     if out_tile % sps != 0:
         raise ValueError(f"out_tile {out_tile} % sps {sps} != 0")
@@ -183,25 +222,51 @@ def make_fsk_mc_kernel(taps, decim: int, num_channels: int, sps: int,
         pm[i_, (i_ % sps) * (out_tile // sps) + i_ // sps] = 1.0
     perm = jnp.asarray(pm)
     stride = out_tile * decim
-    slab_len = b_rows * stride + hist
+    bstride = b_rows * stride
+    slab_len = bstride + hist
+    pipe_ok = bstride % hist == 0
+    use_pipe = pipe_ok if pipelined is None else pipelined
+    if use_pipe and not pipe_ok:
+        raise ValueError(
+            f"pipelined form needs hist ({hist}) | b_rows*out_tile*decim "
+            f"({bstride})")
 
     def fn(words0, dwords, x):
         n = x.shape[-1] - hist
-        if n % (b_rows * stride) != 0:
-            raise ValueError(f"N={n} not a multiple of {b_rows * stride}")
+        if n % bstride != 0:
+            raise ValueError(f"N={n} not a multiple of {bstride}")
         nt = n // (out_tile * decim)
         grid = (num_channels, nt // b_rows)
-        kern = functools.partial(
-            _kernel, b_rows=b_rows, out_tile=out_tile, decim=decim,
-            hist=hist, span=span, slab_len=slab_len, block_cols=block_cols,
+        common = dict(
+            b_rows=b_rows, out_tile=out_tile, decim=decim,
+            hist=hist, span=span, block_cols=block_cols,
             sps=sps, precision=precision, class_major=class_major)
+        if use_pipe:
+            kern = functools.partial(_kernel_pipelined, **common)
+            x_specs = [
+                pl.BlockSpec((1, 2, bstride), lambda c, i: (c, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, hist),
+                             lambda c, i: (c, 0, (i + 1) * bstride // hist),
+                             memory_space=pltpu.VMEM),
+            ]
+            x_args = (x, x)
+            slab_scratch = []
+        else:
+            kern = functools.partial(_kernel, slab_len=slab_len, **common)
+            x_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+            x_args = (x,)
+            slab_scratch = [
+                pltpu.VMEM((2, slab_len), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ]
         return pl.pallas_call(
             kern,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
+            ] + x_specs + [
                 pl.BlockSpec((1, nb, bspan, block_cols),
                              lambda c, i: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -224,11 +289,9 @@ def make_fsk_mc_kernel(taps, decim: int, num_channels: int, sps: int,
                 pltpu.VMEM((b_rows, out_tile), jnp.float32),
                 pltpu.VMEM((2, b_rows, 1), jnp.float32),
                 pltpu.SMEM((2,), jnp.float32),
-                pltpu.VMEM((2, slab_len), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
+            ] + slab_scratch,
             interpret=interpret,
-        )(words0, dwords, x, hsubs, perm)
+        )(words0, dwords, *x_args, hsubs, perm)
 
     return fn, hist
 

@@ -105,3 +105,39 @@ def test_bank_os2_pallas_matches_os2_full():
     snr = 10 * np.log10(np.mean(np.abs(ref[:, :nk]) ** 2)
                         / (np.mean(np.abs(err) ** 2) + 1e-30))
     assert snr > 100, f"snr {snr:.1f}"
+
+
+def test_bank_pipelined_bit_identical_to_manual_dma():
+    """Dual-BlockSpec pipelined staging == manual blocking slab DMA for
+    the bank kernel and the bank+PSK-stats kernel, bit-exact."""
+    from srcdsp_tpu.kernels.bank_pallas import (
+        make_bank_kernel, make_bank_psk_kernel, phase_major)
+
+    m, b_k = 8, 128
+    k = 3 * b_k
+    proto = design_prototype(m, taps_per_phase=4)
+    rng = np.random.default_rng(7)
+    hist_cols = 128  # p1-1 rounded up to a lane tile (asserted below)
+    x = rng.standard_normal((2, (hist_cols + k) * m)).astype(np.float32)
+    x[:, :hist_cols * m] = 0.0
+    xp = phase_major(jnp.asarray(x), m, hist_cols)
+
+    outs = {}
+    for p in (False, True):
+        fn, hc = make_bank_kernel(proto, m, b_k=b_k, pipelined=p,
+                                  interpret=True)
+        assert hc == hist_cols
+        outs[p] = np.asarray(fn(xp))
+    np.testing.assert_array_equal(outs[False], outs[True])
+
+    for cm in (False, True):
+        outs = {}
+        for p in (False, True):
+            fn, hc = make_bank_psk_kernel(
+                proto, m, sps=4, order=4, b_k=b_k, class_major=cm,
+                pipelined=p, interpret=True)
+            assert hc == hist_cols
+            y, st = fn(xp)
+            outs[p] = (np.asarray(y), np.asarray(st))
+        np.testing.assert_array_equal(outs[False][0], outs[True][0])
+        np.testing.assert_array_equal(outs[False][1], outs[True][1])

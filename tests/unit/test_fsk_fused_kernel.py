@@ -97,3 +97,30 @@ def test_class_major_bits_match():
                                           class_major=cm)
         outs[cm] = np.asarray(bits)
     np.testing.assert_array_equal(outs[False], outs[True])
+
+
+def test_pipelined_bit_identical_to_manual_dma():
+    """Dual-BlockSpec pipelined staging == manual blocking slab DMA for
+    the fused FSK kernel, bit-exact on both outputs (d and stats) — the
+    SMEM discriminator carry must survive the staging change."""
+    nch, decim, sps = 2, 4, 8
+    taps = lowpass(64, 0.03)
+    word = int(freq_to_word(-0.11))
+    rng = np.random.default_rng(21)
+
+    outs = {}
+    for p in (False, True):
+        fn, hist = make_fsk_mc_kernel(taps, decim, nch, sps, out_tile=128,
+                                      b_rows=2, pipelined=p, interpret=True)
+        blk = 2 * 128 * decim
+        n = 4 * blk
+        planes = jnp.asarray(
+            rng.standard_normal((nch, 2, hist + n)).astype(np.float32))
+        words0 = jnp.asarray(np.asarray([100, 200], np.int32).reshape(-1, 1))
+        dwords = jnp.asarray(
+            np.asarray([word, word + 9], np.uint32).view(np.int32)
+            .reshape(-1, 1))
+        outs[p] = fn(words0, dwords, planes)
+        rng = np.random.default_rng(21)  # same input both passes
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
