@@ -41,3 +41,7 @@ from srcdsp_tpu.ops.agc import (  # noqa: F401
 from srcdsp_tpu.ops.planes import (  # noqa: F401
     fused_mix_fir_decim_planes, phase_coef_matrix, plane_hist_len,
 )
+from srcdsp_tpu.ops.design import (  # noqa: F401
+    bandpass, bandstop, equiripple, firls, freq_response, group_delay,
+    highpass, kaiser_lowpass, kaiser_num_taps,
+)
