@@ -44,3 +44,7 @@ from srcdsp_tpu.chains.ofdm import (  # noqa: F401
     OfdmSpec, make_ofdm_spec, ofdm_demod, ofdm_fft, ofdm_modulate, ofdm_rx,
     schmidl_cox_metric, schmidl_cox_preamble,
 )
+from srcdsp_tpu.chains.dsss import (  # noqa: F401
+    DsssParams, dsss_acquire, dsss_demod_bpsk, dsss_despread, dsss_spread,
+    make_dsss_params, pn_msequence,
+)

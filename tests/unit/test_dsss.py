@@ -1,0 +1,100 @@
+"""DSSS spread/acquire/despread (srcdsp_tpu.chains.dsss)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from srcdsp_tpu.chains.dsss import (
+    dsss_acquire, dsss_demod_bpsk, dsss_despread, dsss_spread,
+    make_dsss_params, pn_msequence,
+)
+
+
+def test_msequence_properties():
+    """Length-63 m-sequence: balance and the exact two-valued cyclic
+    autocorrelation R(0)=63, R(tau!=0)=-1."""
+    c = pn_msequence((6, 1), 6)
+    assert c.size == 63
+    assert c.sum() == -1.0              # 32 ones (-1) vs 31 zeros (+1)
+    for tau in range(63):
+        r = float(np.dot(c, np.roll(c, tau)))
+        assert r == (63.0 if tau == 0 else -1.0), tau
+
+
+def test_spread_despread_roundtrip_phase0():
+    p = make_dsss_params()
+    rng = np.random.default_rng(0)
+    sym = 1.0 - 2.0 * rng.integers(0, 2, 17).astype(np.float32)
+    x = dsss_spread(p, jnp.asarray(sym))
+    assert x.shape[-1] == 17 * 63
+    # pad one extra frame (despread capacity drops the last frame)
+    xp = jnp.concatenate([x, jnp.zeros(63)])
+    out = dsss_despread(p, xp, jnp.asarray(0))
+    np.testing.assert_allclose(np.asarray(out), sym, atol=1e-6)
+
+
+def test_acquire_matches_loop_twin():
+    """The all-shifts matmul metric equals the per-phase loop."""
+    p = make_dsss_params()
+    rng = np.random.default_rng(1)
+    sym = 1.0 - 2.0 * rng.integers(0, 2, 12).astype(np.float32)
+    x = np.asarray(dsss_spread(p, jnp.asarray(sym)))
+    d = 20
+    y = np.concatenate([np.zeros(d, np.float32), x])[: 10 * 63]
+
+    got = int(dsss_acquire(make_dsss_params(), jnp.asarray(y)))
+
+    chips = np.asarray(p.chips)
+    nf = y.size // 63 - 1
+    w = y[: nf * 63].reshape(nf, 63)
+    metric = np.zeros(63)
+    for ph in range(63):
+        row = np.roll(chips, -ph)
+        metric[ph] = np.abs(w @ row).sum()
+    assert got == int(np.argmax(metric))
+    assert got == (63 - d) % 63         # code index of chip y[0]
+
+
+def test_e2e_processing_gain():
+    """BPSK through an unknown delay, carrier phase, and -8 dB chip SNR:
+    acquisition finds the phase and demod is error-free (SF=63 gives
+    ~18 dB processing gain -> ~+10 dB symbol SNR)."""
+    p = make_dsss_params()
+    rng = np.random.default_rng(2)
+    nsym = 40
+    bits = rng.integers(0, 2, nsym).astype(np.int32)
+    bits[0] = 0                                       # +1 pilot
+    sym = (1.0 - 2.0 * bits).astype(np.float32)
+    x = np.asarray(dsss_spread(p, jnp.asarray(sym)))  # [nsym*63]
+
+    d = int(rng.integers(0, 63))
+    theta = 1.1
+    n = x.size + 2 * 63
+    y = np.zeros(n, np.complex64)
+    y[d: d + x.size] = x * np.exp(1j * theta)
+    snr_chip_db = -8.0
+    sigma = 10 ** (-snr_chip_db / 20) / np.sqrt(2)
+    y += sigma * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    y = y.astype(np.complex64)
+
+    acquire = jax.jit(lambda v: dsss_acquire(p, v))
+    phase = acquire(jnp.asarray(y))
+    assert int(phase) == (63 - d) % 63
+
+    bits_hat, soft = jax.jit(lambda v, ph: dsss_demod_bpsk(p, v, ph))(
+        jnp.asarray(y), phase)
+    got = np.asarray(bits_hat)[:nsym]
+    np.testing.assert_array_equal(got, bits)
+
+
+def test_complex_constellation_spread():
+    """QPSK symbols spread/despread exactly (complex path)."""
+    p = make_dsss_params()
+    rng = np.random.default_rng(3)
+    qpsk = np.exp(1j * (np.pi / 4 + np.pi / 2 *
+                        rng.integers(0, 4, 9))).astype(np.complex64)
+    x = dsss_spread(p, jnp.asarray(qpsk))
+    xp = jnp.concatenate([x, jnp.zeros(63, dtype=x.dtype)])
+    out = dsss_despread(p, xp, jnp.asarray(0))
+    np.testing.assert_allclose(np.asarray(out), qpsk, atol=1e-5)
