@@ -28,6 +28,7 @@ from srcdsp_tpu import checkpoint  # noqa: F401
 from srcdsp_tpu import fec  # noqa: F401
 from srcdsp_tpu import gf2  # noqa: F401
 from srcdsp_tpu import rs  # noqa: F401
+from srcdsp_tpu import metrics  # noqa: F401
 
 # heavier/optional subsystems stay import-on-demand:
 #   srcdsp_tpu.dist     (meshes, halos, all_to_all)
