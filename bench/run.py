@@ -610,11 +610,12 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
     _enable_compile_cache()
 
-    # onchip variants run FIRST: a failed complex-dtype attempt can wedge
-    # the tunnel backend for subsequent device_puts
+    # onchip variants (and accuracy, whose config-1 planes run on the
+    # chip) go FIRST: a failed complex-dtype attempt in config2..5 can
+    # wedge the tunnel backend for every subsequent device_put
     names = (["config1", "config2_onchip", "config3_onchip", "config4_onchip",
-              "config5_onchip", "fft", "config2", "config3", "config4",
-              "config5", "accuracy"]
+              "config5_onchip", "fft", "accuracy", "config2", "config3",
+              "config4", "config5"]
              if args.config == "all" else [args.config])
     for name in names:
         try:
