@@ -48,3 +48,7 @@ from srcdsp_tpu.chains.dsss import (  # noqa: F401
     DsssParams, dsss_acquire, dsss_demod_bpsk, dsss_despread, dsss_spread,
     make_dsss_params, pn_msequence,
 )
+from srcdsp_tpu.chains.dqpsk import (  # noqa: F401
+    DqpskState, dqpsk_apply, dqpsk_baseband, dqpsk_demod_stream,
+    dqpsk_init, dqpsk_slice, make_dqpsk_params,
+)
