@@ -148,8 +148,8 @@ def _channelize(args) -> None:
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="srcdsp_tpu.cli", description=__doc__)
-    p.add_argument("chain", choices=["fsk", "psk", "qam", "fir", "fm",
-                                     "am", "channelize"])
+    p.add_argument("chain", choices=["fsk", "psk", "dqpsk", "qam", "fir",
+                                     "fm", "am", "channelize"])
     p.add_argument("infile")
     p.add_argument("outfile")
     p.add_argument("--center", type=float, default=0.0,
@@ -207,7 +207,7 @@ def main(argv=None) -> None:
     # block must be a whole number of output symbols / decimated samples;
     # fm/am additionally need whole de-emphasis/DC-block IIR blocks (128)
     # at their processing rate
-    if args.chain in ("fsk", "psk", "qam"):
+    if args.chain in ("fsk", "psk", "dqpsk", "qam"):
         q = args.decim * args.sps
     elif args.chain == "fm":
         q = args.decim * args.audio_decim
@@ -247,6 +247,12 @@ def main(argv=None) -> None:
             _stream(args, params, psk_init(params), psk_apply,
                     out_fmt="u8",
                     out_per_block=args.block // (args.decim * args.sps))
+    elif args.chain == "dqpsk":
+        from srcdsp_tpu.chains.dqpsk import (
+            dqpsk_apply, dqpsk_init, make_dqpsk_params)
+        params = make_dqpsk_params(args.center, args.decim, args.sps)
+        _stream(args, params, dqpsk_init(params), dqpsk_apply, out_fmt="u8",
+                out_per_block=args.block // (args.decim * args.sps))
     elif args.chain == "qam":
         from srcdsp_tpu.chains.qam import make_qam_params, qam_apply, qam_init
         params = make_qam_params(args.center, decim=args.decim, sps=args.sps,

@@ -246,3 +246,25 @@ def test_cli_qam_symbols(tmp_path):
         if n > 0:
             best = min(best, float(np.mean(b[bs:bs + n] != rx[rs:rs + n])))
     assert best < 0.01, best
+
+
+def test_cli_dqpsk_roundtrip(tmp_path):
+    from srcdsp_tpu.chains.dqpsk import dqpsk_baseband
+    from srcdsp_tpu.metrics import align_sequences
+
+    decim, sps, center = 4, 8, 0.11
+    rng = np.random.default_rng(6)
+    dibits = rng.integers(0, 4, 1024)
+    bb = dqpsk_baseband(dibits, decim * sps)
+    x = (np.asarray(bb) * np.asarray(tone(bb.shape[-1], center))
+         ).astype(np.complex64)
+    cap = str(tmp_path / "cap.cf32")
+    write_capture(cap, x, CaptureMeta(fmt="cf32"))
+    out = str(tmp_path / "dibits.u8")
+    cli_main(["dqpsk", cap, out, "--center", str(center),
+              "--decim", str(decim), "--sps", str(sps), "--block", "8192"])
+    rx = np.fromfile(out, np.uint8)
+    _, a, b = align_sequences(dibits, rx, max_lag=32)
+    assert a.size > 900
+    # skip the differential reference + timing convergence head
+    assert np.mean(a[12:] != b[12:]) == 0.0
