@@ -43,6 +43,11 @@ class FskParams:
     decim: int = dataclasses.field(metadata=dict(static=True))
     sps: int = dataclasses.field(metadata=dict(static=True))
     dev: float = dataclasses.field(metadata=dict(static=True))
+    # Timing-accumulator memory (chains.sync forgetting factor). 0.5 acquires
+    # in ~2 blocks — right for strong timing tones (square-pulse FSK). Smooth
+    # CPM (GMSK BT<=0.5) has a weak d^2 tone: use ~0.9-1.0 so the estimate
+    # averages over many blocks instead of wandering and slipping symbols.
+    timing_forget: float = dataclasses.field(default=0.5, metadata=dict(static=True))
 
 
 class FskState(NamedTuple):
@@ -54,7 +59,8 @@ class FskState(NamedTuple):
 
 def make_fsk_params(center_freq: float, num_taps: int, cutoff: float,
                     decim: int, sps: int, dev: float,
-                    window: str = "hamming") -> FskParams:
+                    window: str = "hamming",
+                    timing_forget: float = 0.5) -> FskParams:
     """Host-side constructor: design taps, quantize the NCO word.
 
     center_freq: channel offset in cycles/sample at the *input* rate; the NCO
@@ -63,7 +69,7 @@ def make_fsk_params(center_freq: float, num_taps: int, cutoff: float,
     return FskParams(
         freq_word=jnp.asarray(freq_to_word(-center_freq)),
         taps=jnp.asarray(lowpass(num_taps, cutoff, window=window)),
-        decim=decim, sps=sps, dev=dev,
+        decim=decim, sps=sps, dev=dev, timing_forget=timing_forget,
     )
 
 
@@ -98,7 +104,8 @@ def fsk_apply(params: FskParams, state: FskState, x: jax.Array,
     nco_s, mixed = nco_apply(params.freq_word, state.nco, x)
     fir_s, bb = fir_apply(params.taps, state.fir, mixed, decim=params.decim)
     disc_last, d = discriminate(state.disc_last, bb)
-    acc, tau = timing_estimate(state.timing.acc, d * d, params.sps)
+    acc, tau = timing_estimate(state.timing.acc, d * d, params.sps,
+                               forget=params.timing_forget)
     t_last, soft = timing_sample(state.timing.last, d, tau, params.sps)
     bits = (soft > 0).astype(jnp.int32)
     new_state = FskState(

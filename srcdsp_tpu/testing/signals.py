@@ -67,3 +67,37 @@ def upsample_pulse(symbols: jnp.ndarray, sps: int, pulse: jnp.ndarray) -> jnp.nd
 def np_tone(n: int, freq: float, phase0: float = 0.0, amplitude: float = 1.0) -> np.ndarray:
     k = np.arange(n, dtype=np.float64)
     return (amplitude * np.exp(2j * np.pi * ((freq * k + phase0) % 1.0))).astype(np.complex64)
+
+
+def gmsk_baseband(bits, sps: int, bt: float | None = 0.3,
+                  span: int = 3) -> np.ndarray:
+    """GMSK/MSK baseband: Gaussian-filtered CPM with h = 1/2.
+
+    bits: [..., Nsym] of {0,1} -> [..., Nsym*sps] complex64, constant
+    envelope. Each bit steps the phase by +-pi/2 in total (+-0.25
+    cycles), spread over `span` bit periods by the Gaussian frequency
+    pulse with the given BT product (bt=None selects the rectangular
+    pulse = pure MSK, where the step completes within its own bit).
+    numpy host-side fixture, like the other generators here.
+    """
+    bits = np.asarray(bits)
+    nrz = 2.0 * bits.astype(np.float64) - 1.0
+    if bt is None:
+        p = np.ones(sps) / sps * 0.25            # MSK: rect pulse
+    else:
+        # Gaussian lowpass with -3 dB at bt (bit-period units), sampled
+        # at sps/bit, convolved with the rectangular bit pulse
+        tt = (np.arange(span * sps) - (span * sps - 1) / 2.0) / sps
+        sigma = np.sqrt(np.log(2.0)) / (2.0 * np.pi * bt)
+        g = np.exp(-0.5 * (tt / sigma) ** 2)
+        p = np.convolve(np.ones(sps), g)
+        p = p / p.sum() * 0.25                   # integrates to h/2 cycles
+    up = np.zeros((*nrz.shape[:-1], nrz.shape[-1] * sps))
+    up[..., ::sps] = nrz
+    freq = np.empty_like(up)                     # cycles/sample
+    pad = np.zeros((*up.shape[:-1], p.size - 1))
+    full = np.concatenate([up, pad], axis=-1)
+    for idx0 in np.ndindex(*up.shape[:-1]):
+        freq[idx0] = np.convolve(full[idx0], p)[: up.shape[-1]]  # causal
+    phase = np.cumsum(freq, axis=-1) - freq
+    return np.exp(2j * np.pi * phase).astype(np.complex64)
