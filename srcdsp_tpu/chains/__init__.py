@@ -52,3 +52,9 @@ from srcdsp_tpu.chains.dqpsk import (  # noqa: F401
     DqpskState, dqpsk_apply, dqpsk_baseband, dqpsk_demod_stream,
     dqpsk_init, dqpsk_slice, make_dqpsk_params,
 )
+from srcdsp_tpu.chains.tx import (  # noqa: F401
+    CpmTxParams, CpmTxState, LinearTxParams, LinearTxState,
+    bits_to_indices, cpm_tx_apply, cpm_tx_init, gaussian_freq_pulse,
+    linear_tx_apply, linear_tx_init, make_cpfsk_tx, make_gmsk_tx,
+    make_linear_tx, psk_map, qam_map,
+)

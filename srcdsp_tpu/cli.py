@@ -10,6 +10,7 @@ through a demod chain and write the result. Equivalent here:
     python -m srcdsp_tpu.cli fm   in.iq audio.f32 --center 0.11 --decim 4 --dev 0.08
     python -m srcdsp_tpu.cli am   in.iq audio.f32 --center 0.21 --decim 4
     python -m srcdsp_tpu.cli channelize in.iq out --channels 64 [--demod psk]
+    python -m srcdsp_tpu.cli mod  syms.u8 out.iq --mod qam --order 16 --sps 8
 
 Streams in fixed blocks with carried state (bit-exact vs one-shot), writes
 output incrementally per block, checkpoints every --ckpt-every blocks, and
@@ -146,10 +147,64 @@ def _channelize(args) -> None:
           file=sys.stderr)
 
 
+def _modulate(args) -> None:
+    """u8 bits/symbol-indices -> modulated IQ capture (cf32): the
+    transmit-side L4 driver over chains/tx.py. --mod psk|qam consume
+    symbol indices (< --order); fsk|gmsk consume bits {0,1}."""
+    import jax.numpy as jnp
+
+    from srcdsp_tpu.chains import tx as txm
+    from srcdsp_tpu.io.capture import CaptureMeta, _sidecar
+    from srcdsp_tpu.ops.window import root_raised_cosine
+
+    data = np.fromfile(args.infile, dtype=np.uint8)
+    sps = args.sps
+    if args.mod in ("psk", "qam"):
+        if data.size and int(data.max()) >= args.order:
+            raise SystemExit(f"symbol index {int(data.max())} out of range "
+                             f"for order {args.order}")
+        taps = root_raised_cosine(sps, 8, beta=0.35)   # rx chains' matched pulse
+        params = txm.make_linear_tx(args.center, taps, sps)
+        state = txm.linear_tx_init(params)
+
+        def step(s, blk):
+            idx = jnp.asarray(blk.astype(np.int32))
+            sym = (txm.psk_map(idx, args.order) if args.mod == "psk"
+                   else txm.qam_map(idx, args.order))
+            return txm.linear_tx_apply(params, s, sym)
+    else:
+        if data.size and int(data.max()) > 1:
+            raise SystemExit(f"{args.mod} expects bits, got value "
+                             f"{int(data.max())}")
+        params = (txm.make_cpfsk_tx(args.center, sps, args.dev)
+                  if args.mod == "fsk"
+                  else txm.make_gmsk_tx(args.center, sps, bt=args.bt))
+        state = txm.cpm_tx_init(params)
+
+        def step(s, blk):
+            return txm.cpm_tx_apply(params, s, jnp.asarray(blk.astype(np.int32)))
+
+    sym_block = max(1, args.block // sps)
+    n_items = 0
+    with open(args.outfile, "wb") as f:
+        for lo in range(0, data.size, sym_block):
+            state, y = step(state, data[lo:lo + sym_block])
+            arr = np.asarray(y).reshape(-1)
+            raw = np.empty(2 * arr.shape[0], np.float32)
+            raw[0::2] = arr.real
+            raw[1::2] = arr.imag
+            f.write(raw.tobytes())
+            n_items += arr.shape[0]
+    with open(_sidecar(args.outfile), "w") as f:
+        f.write(CaptureMeta(fmt="cf32", num_samples=n_items).to_json())
+    print(f"modulated {data.size} {args.mod} symbols -> {n_items} samples "
+          f"{args.outfile}", file=sys.stderr)
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="srcdsp_tpu.cli", description=__doc__)
     p.add_argument("chain", choices=["fsk", "psk", "dqpsk", "qam", "fir",
-                                     "fm", "am", "channelize"])
+                                     "fm", "am", "channelize", "mod"])
     p.add_argument("infile")
     p.add_argument("outfile")
     p.add_argument("--center", type=float, default=0.0,
@@ -180,6 +235,15 @@ def main(argv=None) -> None:
     p.add_argument("--deemph-tau", type=float, default=None,
                    help="FM de-emphasis RC constant in AUDIO samples "
                         "(e.g. 75e-6*fs_audio); omit to disable")
+    p.add_argument("--timing-forget", type=float, default=0.5,
+                   help="O&M timing accumulator memory (fsk): ~0.95 for "
+                        "smooth CPM (GMSK/MSK) whose d^2 timing tone is "
+                        "weak; default 0.5 for square-pulse FSK")
+    p.add_argument("--mod", choices=["psk", "qam", "fsk", "gmsk"],
+                   default="psk",
+                   help="modulation for the `mod` chain (tx driver)")
+    p.add_argument("--bt", type=float, default=0.3,
+                   help="GMSK Gaussian BT product (mod --mod gmsk)")
     p.add_argument("--platform", choices=["auto", "cpu", "tpu"],
                    default="auto",
                    help="JAX backend. The CLI chains use the portable "
@@ -195,6 +259,10 @@ def main(argv=None) -> None:
 
     if args.order < 2 or args.order > 256 or args.order & (args.order - 1):
         p.error(f"--order must be a power of two in [2, 256], got {args.order}")
+
+    if args.chain == "mod":
+        _modulate(args)
+        return
 
     if args.chain == "channelize":
         # block must be a whole number of bank frames (and of symbols when
@@ -222,7 +290,8 @@ def main(argv=None) -> None:
     if args.chain == "fsk":
         from srcdsp_tpu.chains.fsk import fsk_apply, fsk_init, make_fsk_params
         params = make_fsk_params(args.center, args.taps, args.cutoff,
-                                 args.decim, args.sps, args.dev)
+                                 args.decim, args.sps, args.dev,
+                                 timing_forget=args.timing_forget)
         if args.tracking:
             from srcdsp_tpu.chains.tracking import (
                 fsk_track_apply, fsk_track_init)

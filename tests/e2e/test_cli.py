@@ -268,3 +268,53 @@ def test_cli_dqpsk_roundtrip(tmp_path):
     assert a.size > 900
     # skip the differential reference + timing convergence head
     assert np.mean(a[12:] != b[12:]) == 0.0
+
+
+def test_cli_mod_psk_roundtrip(tmp_path):
+    """tx driver -> rx driver through files: SER 0 after diff decode."""
+    from srcdsp_tpu.chains.psk import diff_decode, diff_encode
+    import jax.numpy as jnp
+
+    order, decim, sps, center = 4, 2, 4, 0.17
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, order, 768)
+    tx_idx = np.asarray(diff_encode(jnp.asarray(data), order)).astype(np.uint8)
+    symf = str(tmp_path / "syms.u8")
+    tx_idx.tofile(symf)
+    iq = str(tmp_path / "tx.cf32")
+    cli_main(["mod", symf, iq, "--mod", "psk", "--order", str(order),
+              "--sps", str(decim * sps), "--center", str(center),
+              "--block", "2048"])
+    out = str(tmp_path / "rx.u8")
+    cli_main(["psk", iq, out, "--center", str(center), "--decim", str(decim),
+              "--sps", str(sps), "--order", str(order), "--block", "4096"])
+    rx = np.fromfile(out, np.uint8)
+    d = np.asarray(diff_decode(jnp.asarray(rx.astype(np.int32)), order))
+    best = 1.0
+    for lag in range(0, 17):
+        n = min(len(data) - 20, len(d) - 20 - lag)
+        best = min(best, float(np.mean(data[20:20 + n] != d[20 + lag:20 + lag + n])))
+    assert best == 0.0
+
+
+def test_cli_mod_gmsk_roundtrip(tmp_path):
+    decim, sps, center = 4, 8, 0.11
+    rng = np.random.default_rng(1)
+    bits = rng.integers(0, 2, 1024).astype(np.uint8)
+    bitf = str(tmp_path / "bits.u8")
+    bits.tofile(bitf)
+    iq = str(tmp_path / "tx.cf32")
+    cli_main(["mod", bitf, iq, "--mod", "gmsk", "--sps", str(decim * sps),
+              "--center", str(center), "--block", "4096"])
+    out = str(tmp_path / "rx.u8")
+    cli_main(["fsk", iq, out, "--center", str(center), "--decim", str(decim),
+              "--sps", str(sps), "--dev", str(0.25 / sps), "--cutoff", "0.1",
+              "--timing-forget", "0.95", "--block", "8192"])
+    rx = np.fromfile(out, np.uint8)
+    best = 1.0
+    for lag in range(-8, 17):
+        bs, rs = 16 + max(lag, 0), 16 + max(-lag, 0)
+        n = min(len(bits) - bs, len(rx) - rs)
+        if n > 0:
+            best = min(best, float(np.mean(bits[bs:bs + n] != rx[rs:rs + n])))
+    assert best == 0.0
