@@ -45,3 +45,7 @@ from srcdsp_tpu.ops.design import (  # noqa: F401
     bandpass, bandstop, equiripple, firls, freq_response, group_delay,
     highpass, kaiser_lowpass, kaiser_num_taps,
 )
+from srcdsp_tpu.ops.decimplan import (  # noqa: F401
+    DecimPlan, decim_plan_apply, decim_plan_init, plan_decimation,
+    plan_response, single_stage_taps,
+)
