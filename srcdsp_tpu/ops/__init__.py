@@ -49,3 +49,6 @@ from srcdsp_tpu.ops.decimplan import (  # noqa: F401
     DecimPlan, decim_plan_apply, decim_plan_init, plan_decimation,
     plan_response, single_stage_taps,
 )
+from srcdsp_tpu.ops.cfar import (  # noqa: F401
+    ca_cfar, cfar_alpha, go_cfar_split,
+)

@@ -101,3 +101,17 @@ def gmsk_baseband(bits, sps: int, bt: float | None = 0.3,
         freq[idx0] = np.convolve(full[idx0], p)[: up.shape[-1]]  # causal
     phase = np.cumsum(freq, axis=-1) - freq
     return np.exp(2j * np.pi * phase).astype(np.complex64)
+
+
+def zadoff_chu(root: int, length: int) -> np.ndarray:
+    """Zadoff-Chu CAZAC sequence (LTE/NR sync-style preambles).
+
+    x[n] = exp(-j*pi*root*n*(n + N%2) / N). With gcd(root, N) == 1 the
+    sequence has constant modulus AND zero cyclic autocorrelation at every
+    nonzero lag — the ideal preamble for chains.framesync correlators.
+    """
+    if np.gcd(root, length) != 1:
+        raise ValueError(f"gcd(root={root}, N={length}) must be 1")
+    n = np.arange(length, dtype=np.float64)
+    ph = root * n * (n + (length % 2)) / length
+    return np.exp(-1j * np.pi * ph).astype(np.complex64)
