@@ -1,0 +1,79 @@
+"""Soft-decision demappers (beyond parity): bit LLRs from noisy symbols.
+
+The glue between the demod chains (which emit equalized complex symbols)
+and the soft decoders (fec.viterbi_decode, ldpc.ldpc_decode): per-bit
+log-likelihood ratios, positive favoring bit 0 (the convention shared by
+srcdsp_tpu.ldpc and srcdsp_tpu.fec).
+
+TPU-native form: exact max-log demapping as ONE [N, M] distance matrix
+(symbols x constellation points) followed by two masked min-reductions
+per bit — no per-bit loops, no gather; the constellation and its bit
+masks are trace-time constants. Works for ANY labeled constellation;
+psk/qam helpers bake the framework's conventions (chains.psk phase
+offset, chains.qam Gray labeling), so demap(map(bits)) is self-consistent
+with the tx mappers in chains/tx.py.
+
+    llr[n, b] = (min_{s: bit_b(s)=1} |y_n - c_s|^2
+                 - min_{s: bit_b(s)=0} |y_n - c_s|^2) / sigma2
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srcdsp_tpu.chains.psk import constellation_offset
+from srcdsp_tpu.chains.qam import qam_constellation
+from srcdsp_tpu.types import F32
+
+__all__ = ["maxlog_llr", "psk_llr", "qam_llr", "psk_points"]
+
+
+def psk_points(order: int) -> jnp.ndarray:
+    """[order] M-PSK constellation, index convention of chains.psk
+    (point m = exp(j*2*pi*(m+off)/M))."""
+    off = constellation_offset(order)
+    m = np.arange(order)
+    return jnp.asarray(np.exp(2j * np.pi * (m + off) / order)
+                       .astype(np.complex64))
+
+
+def maxlog_llr(y: jax.Array, points: jax.Array, sigma2,
+               labels: np.ndarray | None = None) -> jnp.ndarray:
+    """Max-log LLRs for an arbitrary labeled constellation.
+
+    y: [..., N] noisy symbols. points: [M] constellation. labels: [M]
+    integer label of each point (default: the point index). sigma2: noise
+    variance per complex symbol (scalar or broadcastable).
+    Returns [..., N, log2(M)] f32, bit 0 = MSB of the label.
+    """
+    m = points.shape[-1]
+    nbits = int(m).bit_length() - 1
+    if (1 << nbits) != m:
+        raise ValueError(f"constellation size {m} is not a power of two")
+    lab = np.arange(m) if labels is None else np.asarray(labels)
+    d2 = jnp.abs(y[..., None] - points) ** 2            # [..., N, M]
+    big = jnp.asarray(np.float32(3.4e38))
+    cols = []
+    for b in range(nbits):
+        bit = (lab >> (nbits - 1 - b)) & 1              # [M], MSB first
+        ones = jnp.asarray((bit == 1))
+        d1 = jnp.min(jnp.where(ones, d2, big), axis=-1)
+        d0 = jnp.min(jnp.where(ones, big, d2), axis=-1)
+        cols.append(d1 - d0)
+    llr = jnp.stack(cols, axis=-1)                      # [..., N, nbits]
+    return (llr / jnp.asarray(sigma2, F32)).astype(F32)
+
+
+def psk_llr(y: jax.Array, order: int, sigma2) -> jnp.ndarray:
+    """LLRs for M-PSK with binary index labels (pair with psk_map +
+    fec/ldpc; for differential or Gray PSK pass labels to maxlog_llr)."""
+    return maxlog_llr(y, psk_points(order), sigma2)
+
+
+def qam_llr(y: jax.Array, order: int, sigma2) -> jnp.ndarray:
+    """LLRs for square QAM. chains.qam's constellation is INDEXED by the
+    Gray symbol label, so index labels already realize Gray demapping
+    (adjacent points differ in one bit)."""
+    return maxlog_llr(y, qam_constellation(order), sigma2)
