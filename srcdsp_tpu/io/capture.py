@@ -2,8 +2,9 @@
 
 The reference reads/writes raw binary IQ sample files through fstream
 classes (SURVEY.md §1.1 L4). Format here is the same wire format —
-interleaved I,Q — in int16 ('ci16') or float32 ('cf32'), little-endian,
-with an optional JSON sidecar ('<file>.json') carrying sample rate, center
+interleaved I,Q — in int16 ('ci16'), float32 ('cf32'), offset-binary
+uint8 ('cu8', the rtl-sdr wire format: (b-127.5)/127.5), or signed int8
+('ci8', HackRF-style: b/127), little-endian, with an optional JSON sidecar ('<file>.json') carrying sample rate, center
 frequency, and scale; files without a sidecar default to ci16 full-scale.
 
 Host side is numpy memmap (zero-copy view of the capture); `device_blocks`
@@ -21,7 +22,39 @@ import numpy as np
 
 from srcdsp_tpu.types import DEFAULT_SCALE, np_complex64_to_int16, np_int16_to_complex64
 
-FORMATS = ("ci16", "cf32")
+FORMATS = ("ci16", "cf32", "cu8", "ci8")
+
+# wire dtype and bytes per complex sample
+_WIRE = {"ci16": (np.dtype("<i2"), 4), "cf32": (np.dtype("<f4"), 8),
+         "cu8": (np.dtype("u1"), 2), "ci8": (np.dtype("i1"), 2)}
+
+
+def _decode(raw: np.ndarray, meta: "CaptureMeta") -> np.ndarray:
+    """Interleaved wire samples -> complex64."""
+    if meta.fmt == "ci16":
+        return np_int16_to_complex64(np.asarray(raw), scale=meta.scale)
+    raw = np.asarray(raw)
+    if meta.fmt == "cf32":
+        f = raw
+    elif meta.fmt == "cu8":
+        f = (raw.astype(np.float32) - np.float32(127.5)) / np.float32(127.5)
+    else:                                            # ci8
+        f = raw.astype(np.float32) / np.float32(127.0)
+    return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+
+
+def _encode(x: np.ndarray, meta: "CaptureMeta") -> np.ndarray:
+    """complex64 -> interleaved wire samples (saturating for int formats)."""
+    if meta.fmt == "ci16":
+        return np_complex64_to_int16(x, scale=meta.scale)
+    f = np.empty(2 * x.shape[0], np.float32)
+    f[0::2] = x.real
+    f[1::2] = x.imag
+    if meta.fmt == "cf32":
+        return f
+    if meta.fmt == "cu8":
+        return np.clip(np.round(f * 127.5 + 127.5), 0, 255).astype(np.uint8)
+    return np.clip(np.round(f * 127.0), -128, 127).astype(np.int8)  # ci8
 
 
 @dataclasses.dataclass
@@ -51,12 +84,7 @@ def write_capture(path: str, x: np.ndarray, meta: CaptureMeta | None = None) -> 
         raise ValueError(f"unknown format {meta.fmt!r}")
     x = np.asarray(x, np.complex64).reshape(-1)
     meta.num_samples = x.shape[0]
-    if meta.fmt == "ci16":
-        raw = np_complex64_to_int16(x, scale=meta.scale)
-    else:
-        raw = np.empty(2 * x.shape[0], np.float32)
-        raw[0::2] = x.real
-        raw[1::2] = x.imag
+    raw = _encode(x, meta)
     raw.astype(raw.dtype.newbyteorder("<")).tofile(path)
     with open(_sidecar(path), "w") as f:
         f.write(meta.to_json())
@@ -75,16 +103,10 @@ def read_capture(path: str, mmap: bool = True) -> tuple[np.ndarray, CaptureMeta]
     """Read a capture to complex64. With mmap=True the raw file is memmapped
     (the int16->float conversion still materializes)."""
     meta = read_meta(path)
-    if meta.fmt == "ci16":
-        raw = (np.memmap(path, np.dtype("<i2"), mode="r") if mmap
-               else np.fromfile(path, np.dtype("<i2")))
-        x = np_int16_to_complex64(np.asarray(raw), scale=meta.scale)
-    else:
-        raw = (np.memmap(path, np.dtype("<f4"), mode="r") if mmap
-               else np.fromfile(path, np.dtype("<f4")))
-        raw = np.asarray(raw)
-        x = (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
-    return x, meta
+    dtype = _WIRE[meta.fmt][0]
+    raw = (np.memmap(path, dtype, mode="r") if mmap
+           else np.fromfile(path, dtype))
+    return _decode(raw, meta), meta
 
 
 def read_capture_blocks(path: str, block: int, start_block: int = 0):
@@ -95,17 +117,11 @@ def read_capture_blocks(path: str, block: int, start_block: int = 0):
     chains require full blocks.
     """
     meta = read_meta(path)
-    item = 4 if meta.fmt == "ci16" else 8
-    dtype = np.dtype("<i2") if meta.fmt == "ci16" else np.dtype("<f4")
-    raw = np.memmap(path, dtype, mode="r")
+    raw = np.memmap(path, _WIRE[meta.fmt][0], mode="r")
     per_block = 2 * block
     nb = raw.shape[0] // per_block
     for b in range(start_block, nb):
-        chunk = np.asarray(raw[b * per_block:(b + 1) * per_block])
-        if meta.fmt == "ci16":
-            yield np_int16_to_complex64(chunk, scale=meta.scale)
-        else:
-            yield (chunk[0::2] + 1j * chunk[1::2]).astype(np.complex64)
+        yield _decode(raw[b * per_block:(b + 1) * per_block], meta)
 
 
 def device_blocks(path: str, block: int, start_block: int = 0,

@@ -110,7 +110,51 @@ def tone_power_db(x, freq: float, fs: float = 1.0) -> float:
     return float(10.0 * np.log10(max(p_tone, 1e-30) / max(p_tot, 1e-30)))
 
 
+def xcorr(a, b, max_lag: int | None = None):
+    """Cross-correlation r[l] = sum_n a[n+l] * conj(b[n]) via FFT.
+
+    Returns (lags, r): positive lag means `a` contains `b` DELAYED by l
+    samples. max_lag trims the output window (default: full +-(N-1))."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    n = max(a.shape[-1], b.shape[-1])
+    nfft = 1 << int(np.ceil(np.log2(2 * n - 1)))
+    r = np.fft.ifft(np.fft.fft(a, nfft) * np.conj(np.fft.fft(b, nfft)))
+    lags = np.concatenate([np.arange(0, n), np.arange(-(n - 1), 0)])
+    r = np.concatenate([r[-(n - 1):], r[:n]])
+    lags = np.concatenate([lags[-(n - 1):], lags[:n]])
+    if max_lag is not None:
+        keep = np.abs(lags) <= max_lag
+        lags, r = lags[keep], r[keep]
+    return lags, r
+
+
+def delay_estimate(a, b, max_lag: int | None = None) -> float:
+    """Sub-sample delay of `b`'s waveform inside `a` (TDOA).
+
+    Coarse integer lag from the |xcorr| peak, then the fraction from the
+    cross-spectrum phase slope: for a pure delay tau,
+    angle(A(f) conj(B(f))) = -2*pi*f*tau — a |S|^2-weighted LS slope fit
+    is unbiased where parabolic |r| interpolation is not (broad
+    correlation peaks of band-limited signals pull it toward integers)."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    lags, r = xcorr(a, b, max_lag=max_lag)
+    k0 = int(lags[int(np.argmax(np.abs(r)))])
+    n = max(a.shape[-1], b.shape[-1])
+    nfft = 1 << int(np.ceil(np.log2(2 * n)))
+    s = np.fft.fft(a, nfft) * np.conj(np.fft.fft(b, nfft))
+    f = np.fft.fftfreq(nfft)
+    # remove the integer part so the residual phase never wraps
+    phi = np.angle(s * np.exp(2j * np.pi * f * k0))
+    w = np.abs(s) ** 2
+    denom = np.sum(w * f * f)
+    frac = 0.0 if denom == 0 else float(-np.sum(w * f * phi)
+                                        / (2.0 * np.pi * denom))
+    return k0 + float(np.clip(frac, -1.0, 1.0))
+
+
 __all__ = [
     "evm_rms", "evm_db", "mer_db", "evm_blind", "align_sequences",
-    "ber", "ser", "goertzel", "tone_power_db",
+    "ber", "ser", "goertzel", "tone_power_db", "xcorr", "delay_estimate",
 ]

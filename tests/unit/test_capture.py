@@ -80,3 +80,33 @@ def test_device_blocks_sharded(tmp_path, x):
     assert planes[0].shape == (2, 256) and planes[0].dtype == np.float32
     assert planes[0].sharding == sh
     np.testing.assert_array_equal(np.asarray(planes[0][0]), x[:256].real)
+
+
+def test_cu8_ci8_roundtrip(tmp_path):
+    """rtl-sdr (cu8 offset-binary) and HackRF (ci8) wire formats."""
+    from srcdsp_tpu.io.capture import (
+        CaptureMeta, read_capture, read_capture_blocks, write_capture)
+    rng = np.random.default_rng(0)
+    x = ((rng.standard_normal(1024) + 1j * rng.standard_normal(1024)) / 4
+         ).astype(np.complex64)
+    for fmt, step in (("cu8", 1 / 127.5), ("ci8", 1 / 127.0)):
+        p = str(tmp_path / f"cap.{fmt}")
+        write_capture(p, x, CaptureMeta(fmt=fmt))
+        import os
+        assert os.path.getsize(p) == 2 * 1024      # 2 bytes/sample
+        y, meta = read_capture(p)
+        assert meta.fmt == fmt
+        np.testing.assert_allclose(y, x, atol=step * 0.75)  # |c| err <= step/sqrt(2)
+        blocks = list(read_capture_blocks(p, 256))
+        np.testing.assert_array_equal(np.concatenate(blocks), y)
+
+
+def test_cu8_saturates(tmp_path):
+    from srcdsp_tpu.io.capture import CaptureMeta, read_capture, write_capture
+    x = np.asarray([2.0 + 2.0j, -2.0 - 2.0j, 0.0], np.complex64)
+    p = str(tmp_path / "sat.cu8")
+    write_capture(p, x, CaptureMeta(fmt="cu8"))
+    raw = np.fromfile(p, np.uint8)
+    np.testing.assert_array_equal(raw[:4], [255, 255, 0, 0])
+    y, _ = read_capture(p)
+    np.testing.assert_allclose(y[2], 0.0, atol=0.006)  # 127.5 offset straddles

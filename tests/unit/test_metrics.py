@@ -78,3 +78,38 @@ def test_goertzel_exact_tone():
 
     db = tone_power_db(x, f)
     assert abs(db) < 0.05             # pure tone: ~0 dB of total power
+
+
+def test_xcorr_integer_delay():
+    rng = np.random.default_rng(10)
+    b = (rng.standard_normal(512) + 1j * rng.standard_normal(512)
+         ).astype(np.complex64)
+    a = np.concatenate([np.zeros(37, np.complex64), b])[:512]
+    from srcdsp_tpu.metrics import delay_estimate, xcorr
+    lags, r = xcorr(a, b, max_lag=64)
+    assert lags[np.argmax(np.abs(r))] == 37
+    assert abs(delay_estimate(a, b, max_lag=64) - 37.0) < 0.1
+
+
+def test_delay_estimate_subsample():
+    """Fractional delay injected in the frequency domain is recovered to
+    a few hundredths of a sample (band-limited signal)."""
+    from srcdsp_tpu.metrics import delay_estimate
+    rng = np.random.default_rng(11)
+    m, n = 16384, 4096
+    spec = np.zeros(m, np.complex128)
+    band = slice(1, m // 8)                   # low-pass random signal
+    spec[band] = (rng.standard_normal(m // 8 - 1)
+                  + 1j * rng.standard_normal(m // 8 - 1))
+    y = np.fft.ifft(spec)
+    tau = 12.37
+    f = np.fft.fftfreq(m)
+    yd = np.fft.ifft(spec * np.exp(-2j * np.pi * f * tau))
+    # interior crops: a is a true LINEAR fractional delay of b (the
+    # circular wrap of the frequency-domain shift stays near the edges)
+    b = y[4000:4000 + n]
+    a = yd[4000:4000 + n]
+    a = a + 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    got = delay_estimate(a.astype(np.complex64), b.astype(np.complex64),
+                         max_lag=64)
+    assert abs(got - tau) < 0.05, got
