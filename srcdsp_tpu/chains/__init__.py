@@ -58,3 +58,6 @@ from srcdsp_tpu.chains.tx import (  # noqa: F401
     linear_tx_apply, linear_tx_init, make_cpfsk_tx, make_gmsk_tx,
     make_linear_tx, psk_map, qam_map,
 )
+from srcdsp_tpu.chains.blindscan import (  # noqa: F401
+    Detection, baud_estimate, classify_mpsk, scan,
+)
