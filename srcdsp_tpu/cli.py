@@ -11,6 +11,7 @@ through a demod chain and write the result. Equivalent here:
     python -m srcdsp_tpu.cli am   in.iq audio.f32 --center 0.21 --decim 4
     python -m srcdsp_tpu.cli channelize in.iq out --channels 64 [--demod psk]
     python -m srcdsp_tpu.cli mod  syms.u8 out.iq --mod qam --order 16 --sps 8
+    python -m srcdsp_tpu.cli scan in.iq dets.jsonl --analyze
 
 Streams in fixed blocks with carried state (bit-exact vs one-shot), writes
 output incrementally per block, checkpoints every --ckpt-every blocks, and
@@ -201,10 +202,55 @@ def _modulate(args) -> None:
           f"{args.outfile}", file=sys.stderr)
 
 
+def _scan(args) -> None:
+    """Blind survey driver: capture -> JSON lines, one per detected band
+    (center, bandwidth, SNR; with --analyze also baud + PSK order from
+    the band mixed to baseband)."""
+    import json
+
+    import numpy as np
+
+    from srcdsp_tpu.chains.blindscan import baud_estimate, classify_mpsk, scan
+    from srcdsp_tpu.io.capture import read_capture
+    from srcdsp_tpu.testing.signals import np_tone
+
+    x, meta = read_capture(args.infile)
+    n = min(len(x), args.block * 16)
+    x = np.asarray(x[:n])
+    dets = scan(x, nfft=args.scan_nfft)
+    out = open(args.outfile, "w") if args.outfile != "-" else sys.stdout
+    for d in dets:
+        rec = {"center": d.center, "bandwidth": d.bandwidth,
+               "snr_db": round(d.power_db, 1)}
+        if args.analyze:
+            from srcdsp_tpu.ops.fir import fir_full
+            from srcdsp_tpu.ops.window import lowpass
+            import jax.numpy as jnp
+
+            bb = x * np_tone(x.size, -d.center)
+            # isolate the band before analysis: other signals in the
+            # capture would otherwise feed the line tests
+            cut = float(min(0.45, max(0.75 * d.bandwidth, 0.01)))
+            bb = np.asarray(fir_full(jnp.asarray(lowpass(129, cut)),
+                                     jnp.asarray(bb.astype(np.complex64))))
+            baud, line_db = baud_estimate(bb, f_lo=max(1e-3,
+                                                       d.bandwidth / 16))
+            if line_db > 10.0:
+                rec["baud"] = baud
+            order, _ = classify_mpsk(bb[: 1 << 16])
+            if order:
+                rec["psk_order"] = order
+        out.write(json.dumps(rec) + "\n")
+    if out is not sys.stdout:
+        out.close()
+    print(f"{len(dets)} detections", file=sys.stderr)
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="srcdsp_tpu.cli", description=__doc__)
     p.add_argument("chain", choices=["fsk", "psk", "dqpsk", "qam", "fir",
-                                     "fm", "am", "channelize", "mod"])
+                                     "fm", "am", "channelize", "mod",
+                                     "scan"])
     p.add_argument("infile")
     p.add_argument("outfile")
     p.add_argument("--center", type=float, default=0.0,
@@ -235,6 +281,10 @@ def main(argv=None) -> None:
     p.add_argument("--deemph-tau", type=float, default=None,
                    help="FM de-emphasis RC constant in AUDIO samples "
                         "(e.g. 75e-6*fs_audio); omit to disable")
+    p.add_argument("--analyze", action="store_true",
+                   help="scan: also estimate baud + PSK order per band")
+    p.add_argument("--scan-nfft", type=int, default=4096,
+                   help="scan: Welch PSD size")
     p.add_argument("--timing-forget", type=float, default=0.5,
                    help="O&M timing accumulator memory (fsk): ~0.95 for "
                         "smooth CPM (GMSK/MSK) whose d^2 timing tone is "
@@ -262,6 +312,10 @@ def main(argv=None) -> None:
 
     if args.chain == "mod":
         _modulate(args)
+        return
+
+    if args.chain == "scan":
+        _scan(args)
         return
 
     if args.chain == "channelize":

@@ -318,3 +318,33 @@ def test_cli_mod_gmsk_roundtrip(tmp_path):
         if n > 0:
             best = min(best, float(np.mean(bits[bs:bs + n] != rx[rs:rs + n])))
     assert best == 0.0
+
+
+def test_cli_scan_survey(tmp_path):
+    """Blind survey: mod a QPSK burst + add a tone, scan finds both and
+    --analyze reports the right baud and order."""
+    import json
+    from srcdsp_tpu.testing.signals import np_tone
+
+    rng = np.random.default_rng(2)
+    syms = rng.integers(0, 4, 8192).astype(np.uint8)
+    symf = str(tmp_path / "s.u8")
+    syms.tofile(symf)
+    iq = str(tmp_path / "tx.cf32")
+    cli_main(["mod", symf, iq, "--mod", "psk", "--order", "4",
+              "--sps", "8", "--center", "0.12"])
+    x, _ = read_capture(iq)
+    x = np.asarray(x) + 0.4 * np_tone(len(x), -0.3) \
+        + 0.01 * (rng.standard_normal(len(x))
+                  + 1j * rng.standard_normal(len(x))).astype(np.complex64)
+    cap = str(tmp_path / "mix.cf32")
+    write_capture(cap, x.astype(np.complex64), CaptureMeta(fmt="cf32"))
+    out = str(tmp_path / "dets.jsonl")
+    cli_main(["scan", cap, out, "--analyze"])
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) >= 2
+    cents = sorted(r["center"] for r in recs[:2])
+    np.testing.assert_allclose(cents, [-0.3, 0.12], atol=0.01)
+    qpsk = min(recs, key=lambda r: abs(r["center"] - 0.12))
+    assert abs(qpsk.get("baud", 0) - 1 / 8) < 2e-3, qpsk
+    assert qpsk.get("psk_order") == 4, qpsk
