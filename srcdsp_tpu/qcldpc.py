@@ -1,0 +1,149 @@
+"""Quasi-cyclic LDPC + layered min-sum (beyond parity; builds on ldpc.py).
+
+Production LDPC (802.11n/ac, 5G NR, DVB-S2) is quasi-cyclic: H is an
+[Mb, Nb] protograph of Z x Z circulant blocks (shift s, or -1 for a zero
+block). Two things fall out of that structure, both implemented here:
+
+- **Construction** (`make_qc_base`, `qc_expand`, `make_qc_ldpc`): expand
+  any base matrix of shifts into the dense H that ldpc.py's engine
+  consumes (user-supplied standard tables plug straight in), or draw a
+  deterministic girth-conditioned base matrix: shifts are rejected unless
+  every 2x2 submatrix satisfies s11 - s12 + s22 - s21 != 0 (mod Z) — the
+  exact algebraic condition for the expanded graph to be 4-cycle-free.
+
+- **Layered decoding** (`ldpc_decode_layered`): within one block-row, the
+  Z expanded rows touch DISJOINT columns (each circulant has one 1 per
+  row/column), so a block-row is a conflict-free layer. Processing layers
+  sequentially with immediate posterior updates (serial schedule)
+  converges in roughly HALF the iterations of ldpc.py's flooding
+  schedule — the classic layered-BP result, verified in the tests on the
+  same channel draws. Each layer update is the same dense masked
+  sign/two-min reduction as ldpc.py, on a [Z, N] slice; the layer loop is
+  a `lax.scan` over stacked layer slices (static shapes, no gather).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srcdsp_tpu.ldpc import LdpcCode, make_ldpc_code
+from srcdsp_tpu.types import F32
+
+__all__ = ["make_qc_base", "qc_expand", "make_qc_ldpc",
+           "ldpc_decode_layered"]
+
+
+def make_qc_base(mb: int, nb: int, z: int, seed: int = 0) -> np.ndarray:
+    """Deterministic girth-conditioned base matrix [mb, nb] of shifts.
+
+    Fully dense protograph (every block a circulant; column weight mb).
+    Shifts are drawn and re-drawn until every 2x2 submatrix satisfies
+    the no-4-cycle condition; mb*nb must be modest (standard protographs
+    are, e.g. 4x24). Raises if z is too small to satisfy the condition.
+    """
+    rng = np.random.default_rng(seed)
+    base = np.zeros((mb, nb), np.int64)
+    for j in range(nb):
+        for i in range(mb):
+            for _attempt in range(200):
+                s = int(rng.integers(z))
+                ok = True
+                for i2 in range(i):
+                    for j2 in range(j):
+                        d = (base[i, j2] - base[i2, j2] + base[i2, j]
+                             - s) % z
+                        if d == 0:
+                            ok = False
+                            break
+                    if not ok:
+                        break
+                if ok:
+                    base[i, j] = s
+                    break
+            else:
+                raise ValueError(f"no 4-cycle-free shift found at ({i},{j}) "
+                                 f"— increase z (got {z})")
+    return base
+
+
+def qc_expand(base: np.ndarray, z: int) -> np.ndarray:
+    """Expand a shift protograph into dense H [mb*z, nb*z] uint8.
+    base[i, j] = shift (0..z-1) or -1 for the all-zero block."""
+    base = np.asarray(base, np.int64)
+    mb, nb = base.shape
+    h = np.zeros((mb * z, nb * z), np.uint8)
+    eye = np.eye(z, dtype=np.uint8)
+    for i in range(mb):
+        for j in range(nb):
+            s = base[i, j]
+            if s < 0:
+                continue
+            # row r of the block has its 1 at column (r + s) mod z
+            h[i * z:(i + 1) * z, j * z:(j + 1) * z] = np.roll(eye, int(s),
+                                                              axis=1)
+    return h
+
+
+def make_qc_ldpc(base: np.ndarray, z: int) -> LdpcCode:
+    """Expanded QC code through ldpc.py's generator derivation. The
+    LdpcCode is byte-compatible with ldpc_decode AND ldpc_decode_layered
+    (which additionally exploits the block-row layer structure via z)."""
+    return make_ldpc_code(qc_expand(base, z))
+
+
+def ldpc_decode_layered(code: LdpcCode, llr: jax.Array, z: int,
+                        iters: int = 12, alpha: float = 0.8125):
+    """Layered normalized min-sum. llr: [..., N]; `z` = circulant size of
+    the code's construction (M % z == 0; each block-row is one layer).
+
+    Same return contract as ldpc.ldpc_decode: (bits, info, ok). Converges
+    in roughly half the flooding iterations because each layer sees the
+    posteriors already updated by the layers before it in the SAME
+    iteration (serial schedule).
+    """
+    h = code.h                                  # [M, N]
+    m = h.shape[0]
+    if m % z != 0:
+        raise ValueError(f"M={m} not divisible by layer size z={z}")
+    layers = m // z
+    hl = h.reshape(layers, z, h.shape[1])       # [L, Z, N]
+    batch = llr.shape[:-1]
+    post0 = llr.astype(F32)
+    msg0 = jnp.zeros((layers, *batch, z, h.shape[1]), F32)
+
+    def layer_update(carry, inputs):
+        post, = carry
+        msg_l, h_l = inputs                     # [..., Z, N], [Z, N]
+        v2c = (post[..., None, :] - msg_l) * h_l
+        mag = jnp.where(h_l > 0, jnp.abs(v2c), jnp.inf)
+        sgn = jnp.where(v2c < 0, F32(-1.0), F32(1.0))
+        row_sgn = jnp.prod(jnp.where(h_l > 0, sgn, F32(1.0)), axis=-1,
+                           keepdims=True)
+        min1 = jnp.min(mag, axis=-1, keepdims=True)
+        onehot = jax.nn.one_hot(jnp.argmin(mag, axis=-1), mag.shape[-1],
+                                dtype=F32)
+        min2 = jnp.min(jnp.where(onehot > 0, jnp.inf, mag), axis=-1,
+                       keepdims=True)
+        emag = jnp.where(onehot > 0, min2, min1)
+        emag = jnp.where(jnp.isfinite(emag), emag, F32(0.0))
+        c2v = F32(alpha) * row_sgn * sgn * emag * h_l
+        # within a layer the Z rows touch disjoint columns, so the
+        # immediate posterior update is conflict-free
+        post = post + jnp.sum(c2v - msg_l, axis=-2)
+        return (post,), c2v
+
+    def iteration(carry, _):
+        post, msg = carry
+        (post,), msg = jax.lax.scan(layer_update, (post,), (msg, hl))
+        return (post, msg), None
+
+    (post, _), _ = jax.lax.scan(iteration, (post0, msg0), None,
+                                length=iters)
+    bits = (post < 0).astype(jnp.int32)
+    syn = jnp.mod(bits.astype(F32) @ h.T.astype(F32), F32(2.0))
+    ok = jnp.all(syn == 0, axis=-1)
+    inv = jnp.argsort(code.col_perm)
+    info = jnp.take(bits, inv[code.n - code.k:], axis=-1)
+    return bits, info, ok
