@@ -41,7 +41,7 @@ from srcdsp_tpu.types import F32
 
 __all__ = [
     "LdpcCode", "make_regular_ldpc", "make_ldpc_code",
-    "ldpc_encode", "ldpc_decode",
+    "ldpc_encode", "ldpc_decode", "minsum_c2v",
 ]
 
 
@@ -204,14 +204,47 @@ def ldpc_encode(code: LdpcCode, u: jax.Array) -> jax.Array:
     return out.astype(jnp.int32)
 
 
+def minsum_c2v(h: jax.Array, v2c: jax.Array, alpha: float) -> jax.Array:
+    """Normalized min-sum check-node update on dense masked messages.
+
+    v2c: [..., M, N] variable->check messages (zeros off the support of
+    h). The per-edge magnitude is min1 everywhere except the minimum edge,
+    which gets min2 — realized by an EQUALITY select instead of argmin +
+    one_hot: when the row minimum is unique, `mag == min1` marks exactly
+    the argmin edge; when duplicated, excluding any one copy still leaves
+    another, so min2 := min1 — handled by the duplicate count. Equality
+    on f32 is exact here (min1 is a copy of a mag value). This form uses
+    only elementwise ops + axis reductions (no argmin/one_hot/gather), so
+    it also lowers on restricted backends.
+    """
+    big = F32(3.4e38)
+    mag = jnp.where(h > 0, jnp.abs(v2c), big)
+    sgn = jnp.where(v2c < 0, F32(-1.0), F32(1.0))
+    row_sgn = jnp.prod(jnp.where(h > 0, sgn, F32(1.0)), axis=-1,
+                       keepdims=True)
+    min1 = jnp.min(mag, axis=-1, keepdims=True)
+    is_min = (mag == min1).astype(F32)
+    dup = jnp.sum(is_min, axis=-1, keepdims=True) > 1.5
+    min_excl = jnp.min(jnp.where(is_min > 0, big, mag), axis=-1,
+                       keepdims=True)
+    min2 = jnp.where(dup, min1, min_excl)
+    emag = jnp.where(is_min > 0, min2, min1)
+    emag = jnp.where(emag >= big, F32(0.0), emag)
+    return F32(alpha) * row_sgn * sgn * emag * h
+
+
 def ldpc_decode(code: LdpcCode, llr: jax.Array, iters: int = 25,
-                alpha: float = 0.8125):
+                alpha: float = 0.8125, unroll: bool = False):
     """Normalized min-sum decode. llr: [..., N] with llr>0 favoring bit 0
     (the standard 2r/sigma^2 convention for BPSK 0->+1, 1->-1).
 
     Returns (bits [..., N] int32, info [..., K] int32, ok [...] bool) where
     ok means every parity check is satisfied after `iters` iterations.
-    Fixed iteration count + convergence flag (static shapes; no early exit).
+    Fixed iteration count + convergence flag (static shapes; no early
+    exit). unroll=True replaces the lax.scan with a trace-time Python loop
+    — the whole decode then uses only elementwise/reduce/matmul ops and
+    runs on restricted backends (e.g. the axon on-chip subset, which has
+    no scan).
     """
     h = code.h                       # [M, N]
     batch = llr.shape[:-1]
@@ -219,26 +252,17 @@ def ldpc_decode(code: LdpcCode, llr: jax.Array, iters: int = 25,
 
     def body(msg_cv, _):
         # variable -> check: extrinsic LLR per edge
-        tot = lf[..., None, :] + jnp.sum(msg_cv, axis=-2, keepdims=True) - 0.0
+        tot = lf[..., None, :] + jnp.sum(msg_cv, axis=-2, keepdims=True)
         v2c = (tot - msg_cv) * h     # [..., M, N] zeros off support
-        # check -> variable: sign product x (second-)minimum magnitude
-        mag = jnp.where(h > 0, jnp.abs(v2c), jnp.inf)
-        sgn = jnp.where(v2c < 0, F32(-1.0), F32(1.0))
-        row_sgn = jnp.prod(jnp.where(h > 0, sgn, F32(1.0)), axis=-1,
-                           keepdims=True)
-        min1 = jnp.min(mag, axis=-1, keepdims=True)
-        amin = jnp.argmin(mag, axis=-1)
-        onehot = jax.nn.one_hot(amin, mag.shape[-1], dtype=F32)
-        min2 = jnp.min(jnp.where(onehot > 0, jnp.inf, mag), axis=-1,
-                       keepdims=True)
-        # per-edge magnitude: min2 at the argmin edge, min1 elsewhere
-        emag = jnp.where(onehot > 0, min2, min1)
-        emag = jnp.where(jnp.isfinite(emag), emag, F32(0.0))
-        c2v = F32(alpha) * row_sgn * sgn * emag * h
-        return c2v, None
+        return minsum_c2v(h, v2c, alpha), None
 
     msg0 = jnp.zeros((*batch, *h.shape), dtype=F32)
-    msg, _ = jax.lax.scan(body, msg0, None, length=iters)
+    if unroll:
+        msg = msg0
+        for _ in range(iters):
+            msg, _ = body(msg, None)
+    else:
+        msg, _ = jax.lax.scan(body, msg0, None, length=iters)
     post = lf + jnp.sum(msg, axis=-2)
     bits = (post < 0).astype(jnp.int32)
     syn = jnp.mod(bits.astype(F32) @ h.T.astype(F32), F32(2.0))

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from srcdsp_tpu.ldpc import LdpcCode, make_ldpc_code
+from srcdsp_tpu.ldpc import LdpcCode, make_ldpc_code, minsum_c2v
 from srcdsp_tpu.types import F32
 
 __all__ = ["make_qc_base", "qc_expand", "make_qc_ldpc",
@@ -117,18 +117,7 @@ def ldpc_decode_layered(code: LdpcCode, llr: jax.Array, z: int,
         post, = carry
         msg_l, h_l = inputs                     # [..., Z, N], [Z, N]
         v2c = (post[..., None, :] - msg_l) * h_l
-        mag = jnp.where(h_l > 0, jnp.abs(v2c), jnp.inf)
-        sgn = jnp.where(v2c < 0, F32(-1.0), F32(1.0))
-        row_sgn = jnp.prod(jnp.where(h_l > 0, sgn, F32(1.0)), axis=-1,
-                           keepdims=True)
-        min1 = jnp.min(mag, axis=-1, keepdims=True)
-        onehot = jax.nn.one_hot(jnp.argmin(mag, axis=-1), mag.shape[-1],
-                                dtype=F32)
-        min2 = jnp.min(jnp.where(onehot > 0, jnp.inf, mag), axis=-1,
-                       keepdims=True)
-        emag = jnp.where(onehot > 0, min2, min1)
-        emag = jnp.where(jnp.isfinite(emag), emag, F32(0.0))
-        c2v = F32(alpha) * row_sgn * sgn * emag * h_l
+        c2v = minsum_c2v(h_l, v2c, alpha)
         # within a layer the Z rows touch disjoint columns, so the
         # immediate posterior update is conflict-free
         post = post + jnp.sum(c2v - msg_l, axis=-2)
