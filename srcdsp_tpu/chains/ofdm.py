@@ -78,6 +78,55 @@ def ofdm_modulate(spec: OfdmSpec, points: jax.Array) -> jax.Array:
     return with_cp.reshape(-1).astype(CF32)
 
 
+def ofdm_modulate_windowed(spec: OfdmSpec, points: jax.Array,
+                           window: int) -> jax.Array:
+    """WOLA transmit shaping: like ofdm_modulate, but each symbol gets a
+    `window`-sample cyclic suffix and raised-cosine edge ramps, overlap-
+    added with its neighbors — the standard windowed-CP technique that
+    collapses the sinc skirts (out-of-band emission) without touching the
+    receiver: the rx FFT window still sees a pure cyclic extension as
+    long as window <= the rx timing-bias margin (cp//4 for ofdm_rx).
+
+    points: [S, n_active] -> [S*(N+CP) + window] samples.
+    """
+    if window <= 0:
+        return ofdm_modulate(spec, points)
+    if window > spec.cp // 4:
+        raise ValueError(f"window {window} exceeds the rx margin cp//4 = "
+                         f"{spec.cp // 4}")
+    s = points.shape[0]
+    grid = jnp.zeros((s, spec.nfft), CF32)
+    grid = grid.at[:, jnp.asarray(spec.active, I32)].set(points.astype(CF32))
+    td = jnp.fft.ifft(grid, axis=-1) * np.sqrt(spec.nfft)   # [S, N]
+    l = spec.nfft + spec.cp
+    # extended symbol: [CP | body | cyclic suffix(window)]
+    ext = jnp.concatenate([td[:, -spec.cp:], td, td[:, :window]], axis=-1)
+    ramp = 0.5 * (1 - jnp.cos(jnp.pi * (jnp.arange(window, dtype=F32) + 0.5)
+                              / window))
+    taper = jnp.concatenate([ramp, jnp.ones(l - window, F32),
+                             ramp[::-1]])                  # [L + window]
+    ext = ext * taper
+    # overlap-add at stride L: body portion concatenated, each symbol's
+    # window-sample tail added onto the next symbol's head
+    bodies = ext[:, :l].reshape(-1)                        # [S*L]
+    tails = ext[:, l:]                                     # [S, window]
+    tails_flat = jnp.pad(tails, ((0, 0), (0, l - window))).reshape(-1)
+    out = jnp.concatenate([bodies, jnp.zeros(window, CF32)])
+    shifted = jnp.concatenate([jnp.zeros(l, CF32), tails_flat])[: out.shape[0]]
+    return (out + shifted).astype(CF32)
+
+
+def ofdm_tx_frame(spec: OfdmSpec, points: jax.Array, pilot: jax.Array,
+                  preamble_key: jax.Array, window: int = 0) -> jax.Array:
+    """[S&C preamble | pilot | data] transmit frame, optionally WOLA-
+    windowed — the tx-side counterpart of ofdm_rx."""
+    sym = jnp.concatenate([pilot[None], points], axis=0)
+    body = (ofdm_modulate_windowed(spec, sym, window) if window
+            else ofdm_modulate(spec, sym))
+    pre = schmidl_cox_preamble(spec, preamble_key)
+    return jnp.concatenate([pre, body]).astype(CF32)
+
+
 def schmidl_cox_preamble(spec: OfdmSpec, key: jax.Array) -> jax.Array:
     """Two-identical-halves preamble symbol (even bins only), with CP."""
     act_even = spec.active[spec.active % 2 == 0]
