@@ -42,7 +42,7 @@ from srcdsp_tpu.types import CF32, F32
 
 __all__ = [
     "EqState", "eq_init", "lms_equalize", "cma_equalize", "psk_slicer",
-    "make_eq_frames",
+    "make_eq_frames", "RlsState", "rls_init", "rls_equalize",
 ]
 
 
@@ -155,3 +155,68 @@ def cma_equalize(x: jax.Array, state: EqState, mu: float, block: int = 64,
     """Blind constant-modulus equalize (Godard p=2). r2 = E|s|^4 / E|s|^2
     (1.0 for PSK). Output carries an unknown phase rotation."""
     return _scan_equalize(x, None, state, mu, block, sps, "cma", 4, r2)
+
+
+class RlsState(NamedTuple):
+    w: jax.Array       # [L] complex taps
+    p: jax.Array       # [L, L] inverse correlation matrix
+    tail: jax.Array    # [L-1] carried input samples
+
+
+def rls_init(ntaps: int, delta: float = 0.1,
+             center_spike: bool = True) -> RlsState:
+    """P0 = I/delta (small delta = weak prior = fast initial adaptation)."""
+    w = jnp.zeros((ntaps,), CF32)
+    if center_spike:
+        w = w.at[ntaps // 2].set(1.0 + 0.0j)
+    return RlsState(w=w, p=jnp.eye(ntaps, dtype=CF32) / F32(delta),
+                    tail=jnp.zeros((ntaps - 1,), CF32))
+
+
+def rls_equalize(x: jax.Array, state: RlsState, lam: float = 0.99,
+                 sps: int = 1, d: jax.Array | None = None, order: int = 4,
+                 delay: int | None = None, offset: float = 0.0
+                 ) -> tuple[RlsState, jax.Array, jax.Array]:
+    """Recursive least squares: the fast-converging counterpart of
+    lms_equalize (locks in ~2-5 L symbols where LMS needs hundreds — the
+    classic trade: O(L^2) state/work per symbol instead of O(L)).
+
+    Exponentially-weighted RLS on the regression y_n = u_n^T w minimizing
+    sum lam^(n-i) |d_i - y_i|^2. The per-symbol recurrence (w, P) runs
+    under `lax.scan`; every step is [L]/[L, L] mat-vec work — sequential
+    in n by nature, so use it for ACQUISITION on short preambles and hand
+    the converged taps to the block-LMS/DD machinery for the payload
+    (EqState(w=rls.w, tail=rls.tail)). Same conventions as lms_equalize:
+    training (`d`, delayed internally by `delay` symbols) or
+    decision-directed on the order-PSK constellation. Returns
+    (state, y, |e|^2 per symbol).
+    """
+    ntaps = state.w.shape[-1]
+    if d is not None:
+        dly = ntaps // (2 * sps) if delay is None else int(delay)
+        if dly > 0:
+            d = jnp.concatenate([jnp.zeros((dly,), d.dtype), d[..., :-dly]])
+    xin = jnp.concatenate([state.tail, x.astype(CF32)], axis=-1)
+    frames = make_eq_frames(xin, ntaps, sps)            # [B, L]
+    db = (d.astype(CF32) if d is not None
+          else jnp.zeros((frames.shape[0],), CF32))     # placeholder for DD
+
+    def step(st, inputs):
+        u, d_n = inputs
+        w, p = st
+        y = jnp.sum(u * w)
+        target = d_n if d is not None else psk_slicer(y, order, offset)
+        e = target - y
+        pu = p @ jnp.conj(u)                            # [L]
+        denom = F32(float(lam)) + jnp.real(jnp.sum(u * pu))
+        g = pu / denom.astype(CF32)
+        w2 = w + g * e
+        p2 = (p - jnp.outer(g, u @ p)) / F32(float(lam))
+        # keep P Hermitian against f32 drift
+        p2 = 0.5 * (p2 + jnp.conj(p2.T))
+        return (w2.astype(CF32), p2.astype(CF32)), (y, jnp.abs(e) ** 2)
+
+    (w, p), (ys, errs) = jax.lax.scan(step, (state.w, state.p),
+                                      (frames, db))
+    tail2 = xin[..., xin.shape[-1] - (ntaps - 1):]
+    return RlsState(w=w, p=p, tail=tail2), ys, errs

@@ -159,3 +159,64 @@ def test_multichannel_vmap():
     assert y.shape == (2, 2048)
     assert float(np.asarray(mse)[0, -1]) < 0.03
     assert float(np.asarray(mse)[1, -1]) < 0.03
+
+
+def test_rls_converges_faster_than_lms():
+    """Same multipath channel, same training symbols: RLS reaches low
+    residual within ~5L symbols; block-LMS at a stable mu is still far at
+    that point (the defining RLS trade)."""
+    from srcdsp_tpu.chains.equalizer import rls_equalize, rls_init
+
+    rng = np.random.default_rng(0)
+    nsym, L = 512, 11
+    idx = rng.integers(0, 4, nsym)
+    s = np.exp(1j * (2 * np.pi * (idx + 0.5) / 4)).astype(np.complex64)
+    h = np.asarray([0.25, 1.0, 0.35 - 0.2j, 0.15j], np.complex64)
+    x = np.convolve(s, h)[:nsym].astype(np.complex64)
+    x += 0.02 * (rng.standard_normal(nsym)
+                 + 1j * rng.standard_normal(nsym)).astype(np.complex64)
+
+    st, y, err = rls_equalize(jnp.asarray(x), rls_init(L), lam=0.995,
+                              d=jnp.asarray(s))
+    err = np.asarray(err)
+    settle = 5 * L
+    assert np.mean(err[settle:settle + 64]) < 0.01, \
+        np.mean(err[settle:settle + 64])
+
+    st_l = eq_init(L)
+    st_l, y_l, mse_l = lms_equalize(jnp.asarray(x), st_l, mu=0.05,
+                                    block=16, d=jnp.asarray(s))
+    lms_at_settle = float(np.asarray(mse_l)[settle // 16])
+    assert lms_at_settle > 5 * np.mean(err[settle:settle + 64]), \
+        (lms_at_settle, np.mean(err[settle:settle + 64]))
+
+    # converged taps open the eye: SER 0 on the tail after delay align
+    dly = L // 2
+    got = np.asarray(y)[settle:]
+    want = s[settle - dly: s.size - dly]
+    ang = np.round((np.angle(got / want[:got.size])) / (np.pi / 2))
+    errs = np.sum(ang.astype(int) % 4 != 0)
+    assert errs == 0, errs
+
+
+def test_rls_streaming_matches_oneshot():
+    from srcdsp_tpu.chains.equalizer import rls_equalize, rls_init
+
+    rng = np.random.default_rng(1)
+    nsym, L = 256, 7
+    s = np.exp(1j * 2 * np.pi * rng.integers(0, 4, nsym) / 4
+               ).astype(np.complex64)
+    x = np.convolve(s, [1.0, 0.4]).astype(np.complex64)[:nsym]
+    _, y1, e1 = rls_equalize(jnp.asarray(x), rls_init(L), d=jnp.asarray(s))
+    st = rls_init(L)
+    ys = []
+    for lo in (0, 128):
+        st, y, _ = rls_equalize(jnp.asarray(x[lo:lo + 128]), st,
+                                d=jnp.asarray(s[lo:lo + 128]), delay=0)
+        ys.append(np.asarray(y))
+    # delay=0 per call + manual pre-shift == oneshot default shift? use
+    # delay=0 both ways for the comparison
+    _, y0, _ = rls_equalize(jnp.asarray(x), rls_init(L), d=jnp.asarray(s),
+                            delay=0)
+    np.testing.assert_allclose(np.concatenate(ys), np.asarray(y0),
+                               atol=1e-4)
