@@ -133,7 +133,63 @@ def dsss_demod_bpsk(params: DsssParams, x: jax.Array, phase: jax.Array):
     return (soft < 0).astype(jnp.int32), soft
 
 
+def dsss_finger_search(params: DsssParams, x: jax.Array,
+                       frames: int | None = None) -> jax.Array:
+    """Per-code-phase noncoherent energy metric [SF] (the acquisition
+    matmul's intermediate): multipath shows up as several peaks — the
+    RAKE finger map. Returns the metric; pick fingers host-side or with
+    top_k."""
+    sf = params.sf
+    nf = x.shape[-1] // sf - 1
+    if frames is not None:
+        nf = min(nf, frames)
+    w = x[: nf * sf].reshape(nf, sf)
+    corr = w @ params.shifts.T.astype(w.dtype)
+    return jnp.sum(jnp.abs(corr), axis=0)
+
+
+def dsss_rake_demod(params: DsssParams, x: jax.Array, base_phase,
+                    delays, min_weight: float = 0.1):
+    """RAKE: despread each multipath finger and maximal-ratio combine.
+
+    base_phase: code phase of the EARLIEST finger (dsss_acquire /
+    argmax of dsss_finger_search). delays: static sequence of extra chip
+    delays, one per finger (0 = the base finger; from the finger-metric
+    peak offsets (phase_l - base) mod SF). Per finger, the complex gain
+    is estimated blind from the squared despread symbols (data-free, the
+    dsss_demod_bpsk trick), the per-finger pi ambiguity is pinned to the
+    +1 pilot at symbol 0, and fingers below min_weight of the strongest
+    are zeroed (noise-only fingers would add pure noise). Returns
+    (bits [nsym] i32, soft [nsym] f32 — the MRC combination).
+    """
+    syms = []
+    for d in delays:                       # static finger list
+        xd = jnp.roll(x, -int(d)) if int(d) else x
+        syms.append(dsss_despread(params, xd, base_phase))
+    soft = None
+    weights = []
+    parts = []
+    for sym in syms:
+        if jnp.iscomplexobj(sym):
+            g2 = jnp.mean(sym * sym)
+            a = jnp.sqrt(jnp.abs(g2) + 1e-30)
+            ang = jnp.angle(g2) / 2.0
+            comp = jnp.real(sym * jnp.exp(-1j * ang))
+        else:
+            comp = sym.astype(F32)
+            a = jnp.sqrt(jnp.abs(jnp.mean(comp * comp)) + 1e-30)
+        comp = comp * jnp.sign(comp[0])    # pilot pins the pi ambiguity
+        parts.append(comp)
+        weights.append(a)
+    wmax = jnp.max(jnp.stack(weights))
+    soft = sum(jnp.where(w > min_weight * wmax, w, F32(0.0)) * p
+               for w, p in zip(weights, parts))
+    soft = soft * jnp.sign(soft[0])
+    return (soft < 0).astype(jnp.int32), soft.astype(F32)
+
+
 __all__ = [
     "DsssParams", "make_dsss_params", "pn_msequence", "dsss_spread",
     "dsss_acquire", "dsss_despread", "dsss_demod_bpsk",
+    "dsss_finger_search", "dsss_rake_demod",
 ]

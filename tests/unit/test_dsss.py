@@ -98,3 +98,51 @@ def test_complex_constellation_spread():
     xp = jnp.concatenate([x, jnp.zeros(63, dtype=x.dtype)])
     out = dsss_despread(p, xp, jnp.asarray(0))
     np.testing.assert_allclose(np.asarray(out), qpsk, atol=1e-5)
+
+
+def test_rake_beats_single_finger_on_multipath():
+    """Two-path channel at low chip SNR: the single-finger demod carries
+    errors, the 2-finger RAKE (fingers found from the acquisition metric)
+    is error-free and improves the post-despread SNR."""
+    from srcdsp_tpu.chains.dsss import (
+        dsss_demod_bpsk, dsss_finger_search, dsss_rake_demod)
+
+    p = make_dsss_params((6, 1), 6)                 # SF = 63
+    rng = np.random.default_rng(0)
+    nsym = 400
+    bits = rng.integers(0, 2, nsym)
+    bits[0] = 0                                      # +1 pilot
+    tx = np.asarray(dsss_spread(p, jnp.asarray(1.0 - 2.0 * bits,
+                                               jnp.float32)))
+    d2 = 5
+    path2 = 0.8 * np.exp(1j * 1.1) * np.concatenate(
+        [np.zeros(d2), tx[:-d2]])
+    x = tx.astype(np.complex64) + path2
+    x += (4.0 * (rng.standard_normal(x.size)
+                 + 1j * rng.standard_normal(x.size))).astype(np.complex64)
+
+    xj = jnp.asarray(x.astype(np.complex64))
+    base = dsss_acquire(p, xj)
+    metric = np.asarray(dsss_finger_search(p, xj))
+    # the two fingers are the two biggest metric peaks, d2 chips apart
+    top2 = np.argsort(metric)[::-1][:2]
+    # a path delayed by d chips peaks at (base - d) mod SF: phase is the
+    # code index of chip x[0], which the delay pushes BACK d steps
+    rel = sorted((int(base) - int(t)) % p.sf for t in top2)
+    assert rel == [0, d2], (base, top2, rel)
+
+    b1, s1 = dsss_demod_bpsk(p, xj, base)
+    br, sr = dsss_rake_demod(p, xj, base, delays=rel)
+    b1, br = np.asarray(b1), np.asarray(br)
+    n = min(nsym, b1.size)
+    e1 = int((b1[:n] != bits[:n]).sum())
+    er = int((br[:n] != bits[:n]).sum())
+    assert e1 >= 3, "channel too clean: single finger had no errors"
+    assert er <= 1 and er < e1 / 3, (e1, er)      # MRC repairs the link
+    # MRC raises the decision-variable SNR
+    def dv_snr(s):
+        s = np.asarray(s)[:n] * (1.0 - 2.0 * bits[:n])
+        return float(np.mean(s) ** 2 / (np.var(s) + 1e-12))
+    # theoretical MRC gain 1+0.8^2 = 1.64x; finger-gain estimation
+    # noise eats some (measured 1.44x at this draw)
+    assert dv_snr(sr) > 1.3 * dv_snr(s1), (dv_snr(sr), dv_snr(s1))
