@@ -28,6 +28,11 @@ from srcdsp_tpu import checkpoint  # noqa: F401
 from srcdsp_tpu import fec  # noqa: F401
 from srcdsp_tpu import gf2  # noqa: F401
 from srcdsp_tpu import rs  # noqa: F401
+from srcdsp_tpu import ldpc  # noqa: F401
+from srcdsp_tpu import qcldpc  # noqa: F401
+from srcdsp_tpu import turbo  # noqa: F401
+from srcdsp_tpu import demap  # noqa: F401
+from srcdsp_tpu import array  # noqa: F401
 from srcdsp_tpu import metrics  # noqa: F401
 
 # heavier/optional subsystems stay import-on-demand:

@@ -31,7 +31,6 @@ convergence is observable.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple
 
 import jax
