@@ -12,6 +12,7 @@ through a demod chain and write the result. Equivalent here:
     python -m srcdsp_tpu.cli channelize in.iq out --channels 64 [--demod psk]
     python -m srcdsp_tpu.cli mod  syms.u8 out.iq --mod qam --order 16 --sps 8
     python -m srcdsp_tpu.cli scan in.iq dets.jsonl --analyze
+    python -m srcdsp_tpu.cli mux  chans wide.iq --channels 16
 
 Streams in fixed blocks with carried state (bit-exact vs one-shot), writes
 output incrementally per block, checkpoints every --ckpt-every blocks, and
@@ -148,6 +149,45 @@ def _channelize(args) -> None:
           file=sys.stderr)
 
 
+def _mux(args) -> None:
+    """Per-channel captures -> polyphase SYNTHESIS bank -> one wideband
+    capture: the transmit dual of `channelize`. infile is a prefix: reads
+    `<infile>.chNNN.cf32` for NNN in 0..channels-1 (the files `channelize`
+    writes), truncates to the shortest, streams block-wise with carried
+    state."""
+    import jax.numpy as jnp
+
+    from srcdsp_tpu.chains.channelizer import (
+        design_prototype, synthesize_apply, synthesizer_init)
+    from srcdsp_tpu.io.capture import CaptureMeta, read_capture, _sidecar
+
+    m = args.channels
+    chans = []
+    for c in range(m):
+        x, _ = read_capture(f"{args.infile}.ch{c:03d}.cf32")
+        chans.append(np.asarray(x))
+    k_total = min(len(x) for x in chans)
+    y = np.stack([x[:k_total] for x in chans])           # [M, K]
+    proto = design_prototype(m, taps_per_phase=args.taps_per_phase)
+    state = synthesizer_init(proto, m)
+    kb = max(1, args.block // m)
+    n_items = 0
+    with open(args.outfile, "wb") as f:
+        for lo in range(0, k_total, kb):
+            state, xb = synthesize_apply(proto, state,
+                                         jnp.asarray(y[:, lo:lo + kb]), m)
+            arr = np.asarray(xb)
+            raw = np.empty(2 * arr.shape[0], np.float32)
+            raw[0::2] = arr.real
+            raw[1::2] = arr.imag
+            f.write(raw.tobytes())
+            n_items += arr.shape[0]
+    with open(_sidecar(args.outfile), "w") as f:
+        f.write(CaptureMeta(fmt="cf32", num_samples=n_items).to_json())
+    print(f"muxed {m} channels x {k_total} -> {n_items} wideband samples "
+          f"{args.outfile}", file=sys.stderr)
+
+
 def _modulate(args) -> None:
     """u8 bits/symbol-indices -> modulated IQ capture (cf32): the
     transmit-side L4 driver over chains/tx.py. --mod psk|qam consume
@@ -250,7 +290,7 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="srcdsp_tpu.cli", description=__doc__)
     p.add_argument("chain", choices=["fsk", "psk", "dqpsk", "qam", "fir",
                                      "fm", "am", "channelize", "mod",
-                                     "scan"])
+                                     "scan", "mux"])
     p.add_argument("infile")
     p.add_argument("outfile")
     p.add_argument("--center", type=float, default=0.0,
@@ -316,6 +356,10 @@ def main(argv=None) -> None:
 
     if args.chain == "scan":
         _scan(args)
+        return
+
+    if args.chain == "mux":
+        _mux(args)
         return
 
     if args.chain == "channelize":

@@ -348,3 +348,34 @@ def test_cli_scan_survey(tmp_path):
     qpsk = min(recs, key=lambda r: abs(r["center"] - 0.12))
     assert abs(qpsk.get("baud", 0) - 1 / 8) < 2e-3, qpsk
     assert qpsk.get("psk_order") == 4, qpsk
+
+
+def test_cli_mux_places_channels(tmp_path):
+    """mux: per-channel narrowband captures land at their channel centers
+    in the wideband output with the right powers (the transmit-multiplex
+    use case; broadband NPR is the os2 bank's job, tested in
+    test_channelizer_os2)."""
+    from srcdsp_tpu.metrics import goertzel
+    from srcdsp_tpu.testing.signals import np_tone
+
+    m, k = 8, 4096
+    amps = {1: 1.0, 3: 0.5, 6: 0.25}
+    for c in range(m):
+        a = amps.get(c, 0.0)
+        x = (a * np_tone(k, 0.05) if a else np.zeros(k, np.complex64))
+        write_capture(str(tmp_path / f"in.ch{c:03d}.cf32"), x,
+                      CaptureMeta(fmt="cf32"))
+    out = str(tmp_path / "wide.cf32")
+    cli_main(["mux", str(tmp_path / "in"), out, "--channels", str(m),
+              "--block", "8192"])
+    y, meta = read_capture(out)
+    y = np.asarray(y)[2048:]              # past the filter transient
+    assert meta.num_samples == m * k
+    for c in range(m):
+        f = ((c + 0.05) / m + 0.5) % 1.0 - 0.5
+        p = np.abs(goertzel(y, f)) ** 2
+        a = amps.get(c, 0.0)
+        if a:
+            np.testing.assert_allclose(np.sqrt(p), a, rtol=0.05)
+        else:
+            assert p < 1e-4, (c, p)
