@@ -64,3 +64,6 @@ from srcdsp_tpu.chains.blindscan import (  # noqa: F401
 from srcdsp_tpu.chains.msk import (  # noqa: F401
     laurent_c0, msk_coherent_demod, pseudo_symbols,
 )
+from srcdsp_tpu.chains.scfde import (  # noqa: F401
+    ScfdeSpec, make_scfde_spec, scfde_rx, scfde_tx,
+)
