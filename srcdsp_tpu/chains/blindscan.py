@@ -68,7 +68,6 @@ def scan(x, nfft: int = 4096, thresh_db: float = 10.0, min_bins: int = 2,
         dil = np.convolve(d_s.astype(np.float64), kern, mode="same") > 0
         d_s = np.convolve((~dil).astype(np.float64), kern,
                           mode="same") == 0
-        d_s &= ~np.isinf(p_s)  # no-op; keeps dtype bool
     edges = np.flatnonzero(np.diff(np.concatenate([[0], d_s.astype(np.int8),
                                                    [0]])))
     out = []

@@ -110,3 +110,17 @@ def test_vmap_batch():
     bits, info, ok = f(llr)
     assert bool(jnp.all(ok))
     np.testing.assert_array_equal(np.asarray(info), u)
+
+
+def test_unroll_matches_scan():
+    """unroll=True (the restricted-backend form) is the same computation."""
+    code = _code(n=96, seed=7)
+    rng = np.random.default_rng(8)
+    u = rng.integers(0, 2, (2, code.k))
+    cw = np.asarray(ldpc_encode(code, jnp.asarray(u))).astype(np.float64)
+    llr = jnp.asarray(3.0 * (1 - 2 * cw) + 0.8 * rng.standard_normal(cw.shape),
+                      jnp.float32)
+    b1, i1, ok1 = ldpc_decode(code, llr, iters=7)
+    b2, i2, ok2 = ldpc_decode(code, llr, iters=7, unroll=True)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
