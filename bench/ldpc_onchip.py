@@ -1,0 +1,84 @@
+"""On-chip LDPC min-sum decode throughput (restricted axon backend).
+
+The equality-based check-node update (ldpc.minsum_c2v) uses only
+elementwise/reduce ops, and `ldpc_decode(..., unroll=True)` removes the
+lax.scan — the whole decode then lowers on the axon on-chip subset (2-D
+f32 elementwise + reductions + matmul). This script measures coded-bit
+throughput per chip and cross-checks the decode against the CPU path.
+
+    python bench/ldpc_onchip.py [--n 504] [--iters 10] [--trials 5]
+
+Batching note: the axon subset is 2-D-only, so one codeword's [M, N]
+message array is the natural on-chip unit; multi-codeword batches run as
+consecutive dispatches (throughput is dispatch-amortized like the other
+on-chip chains — see BASELINE.md "Call sizing").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=504)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--trials", type=int, default=5)
+    ap.add_argument("--platform", default=None,
+                    help="override backend (e.g. cpu for a dry run)")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from srcdsp_tpu.ldpc import ldpc_decode, ldpc_encode, make_ldpc_code, \
+        make_regular_ldpc
+
+    code = make_ldpc_code(make_regular_ldpc(args.n, 3, 6, seed=0))
+    rng = np.random.default_rng(0)
+    u = rng.integers(0, 2, code.k)
+    cw = np.asarray(ldpc_encode(code, jnp.asarray(u[None])))[0]
+    sigma = 0.55
+    y = (1.0 - 2.0 * cw) + sigma * rng.standard_normal(cw.size)
+    llr = jnp.asarray(2.0 / sigma ** 2 * y, jnp.float32)
+
+    dec = jax.jit(lambda l: ldpc_decode(code, l, iters=args.iters,
+                                        unroll=True))
+    bits, info, ok = dec(llr)
+    bits.block_until_ready()
+    # correctness cross-check vs the CPU scan path
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        b2, i2, ok2 = ldpc_decode(jax.device_put(code, cpu),
+                                  jax.device_put(llr, cpu),
+                                  iters=args.iters)
+    match = bool(np.array_equal(np.asarray(bits), np.asarray(b2)))
+
+    times = []
+    for _ in range(args.trials):
+        t0 = time.perf_counter()
+        r = dec(llr)
+        r[0].block_until_ready()
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    print(json.dumps({
+        "metric": f"ldpc_n{args.n}_it{args.iters}_decode",
+        "coded_bits_per_s": code.n / med,
+        "ms_per_codeword": med * 1e3,
+        "ok": bool(np.asarray(ok)), "matches_cpu": match,
+        "backend": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()
