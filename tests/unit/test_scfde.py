@@ -82,3 +82,37 @@ def test_mmse_beats_zf_at_spectral_null():
     e_m = np.mean(np.asarray(qam_slice(eq_m, 16)) != np.asarray(idx))
     e_z = np.mean(np.asarray(qam_slice(eq_z, 16)) != np.asarray(idx))
     assert e_m < e_z, (e_m, e_z)
+
+
+def test_full_acquisition_with_framesync():
+    """Unsynchronized capture: the Zadoff-Chu pilot (a CAZAC = ideal
+    correlator preamble) is found by chains.framesync, and the frame
+    equalizes from the detected start — the acquisition composition the
+    module docstring prescribes."""
+    from srcdsp_tpu.chains.framesync import (
+        frame_sync_apply, frame_sync_init, make_frame_sync_params,
+        peak_indices)
+
+    spec = make_scfde_spec(256, 32)
+    idx, tx = _frame(jax.random.PRNGKey(6), spec, 6)
+    rng = np.random.default_rng(7)
+    sig = np.concatenate([
+        0.05 * (rng.standard_normal(777) + 1j * rng.standard_normal(777)),
+        np.asarray(tx),
+        0.05 * (rng.standard_normal(300) + 1j * rng.standard_normal(300)),
+    ]).astype(np.complex64)
+    sig = np.asarray(add_noise_snr(jax.random.PRNGKey(8),
+                                   jnp.asarray(sig), 22.0))
+    # correlate against the pilot block (without CP) to find its start
+    p = make_frame_sync_params(spec.pilot, threshold=0.5)
+    _, (score, mask, first) = frame_sync_apply(p, frame_sync_init(p),
+                                               jnp.asarray(sig))
+    hits = peak_indices([np.asarray(mask)], [np.asarray(first)])
+    assert len(hits) >= 1
+    pilot_start = hits[0] - (spec.pilot.shape[-1] - 1)
+    frame_start = pilot_start - spec.cp          # back up over the CP
+    assert abs(frame_start - 777) <= 1, frame_start
+    eq, _ = scfde_rx(spec, jnp.asarray(sig[frame_start:]), snr=10 ** 2.2)
+    got = np.asarray(qam_slice(eq[:6], 16))
+    ser = float(np.mean(got != np.asarray(idx)))
+    assert ser < 0.005, ser
