@@ -83,21 +83,9 @@ def dsss_acquire(params: DsssParams, x: jax.Array,
     x [N] real or complex (N >= 2*SF); uses `frames` symbol-length frames
     (default: all whole frames minus one, so every tested phase has full
     support). Returns the code phase p in [0, SF): the stream's frame
-    boundary sits p chips after index 0. One matmul against all shifts.
-    """
-    sf = params.sf
-    nf = x.shape[-1] // sf - 1
-    if frames is not None:
-        nf = min(nf, frames)
-    fr = x[: (nf + 1) * sf]
-    # windows starting at every offset would be [SF, nf, SF]; instead
-    # correlate whole frames against all SF cyclic shifts: frame k vs
-    # shift p equals the true correlation at phase p up to the symbol
-    # sign flips, which the noncoherent |.| sum absorbs.
-    w = fr[: nf * sf].reshape(nf, sf)
-    corr = w @ params.shifts.T.astype(w.dtype)       # [nf, SF]
-    metric = jnp.sum(jnp.abs(corr), axis=0)          # [SF]
-    return jnp.argmax(metric)
+    boundary sits p chips after index 0. One matmul against all shifts
+    (the argmax of `dsss_finger_search`'s metric)."""
+    return jnp.argmax(dsss_finger_search(params, x, frames))
 
 
 def dsss_despread(params: DsssParams, x: jax.Array,
@@ -135,10 +123,11 @@ def dsss_demod_bpsk(params: DsssParams, x: jax.Array, phase: jax.Array):
 
 def dsss_finger_search(params: DsssParams, x: jax.Array,
                        frames: int | None = None) -> jax.Array:
-    """Per-code-phase noncoherent energy metric [SF] (the acquisition
-    matmul's intermediate): multipath shows up as several peaks — the
-    RAKE finger map. Returns the metric; pick fingers host-side or with
-    top_k."""
+    """Per-code-phase noncoherent energy metric [SF]: multipath shows up
+    as several peaks — the RAKE finger map. Correlates whole symbol-length
+    frames against all SF cyclic shifts in one matmul (frame k vs shift p
+    equals the true correlation at phase p up to symbol sign flips, which
+    the noncoherent |.| sum absorbs)."""
     sf = params.sf
     nf = x.shape[-1] // sf - 1
     if frames is not None:
@@ -164,9 +153,17 @@ def dsss_rake_demod(params: DsssParams, x: jax.Array, base_phase,
     """
     syms = []
     for d in delays:                       # static finger list
-        xd = jnp.roll(x, -int(d)) if int(d) else x
+        # advance by d with ZERO fill (a roll would wrap the stream head
+        # into the tail and despread garbage into the last symbol)
+        d = int(d)
+        xd = (jnp.concatenate([x[..., d:],
+                               jnp.zeros((*x.shape[:-1], d), x.dtype)],
+                              axis=-1) if d else x)
         syms.append(dsss_despread(params, xd, base_phase))
-    soft = None
+    # the zero fill can shave the tail symbol when off + max(d) > SF:
+    # drop one more symbol so every finger's last kept symbol has full
+    # support on all paths
+    syms = [s_[..., :-1] for s_ in syms]
     weights = []
     parts = []
     for sym in syms:
@@ -184,7 +181,6 @@ def dsss_rake_demod(params: DsssParams, x: jax.Array, base_phase,
     wmax = jnp.max(jnp.stack(weights))
     soft = sum(jnp.where(w > min_weight * wmax, w, F32(0.0)) * p
                for w, p in zip(weights, parts))
-    soft = soft * jnp.sign(soft[0])
     return (soft < 0).astype(jnp.int32), soft.astype(F32)
 
 

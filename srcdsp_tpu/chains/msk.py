@@ -58,7 +58,7 @@ def laurent_c0(sps: int, bt: float | None = 0.3, span: int = 3,
     # z[n] ~= sum_k a_k c[n - k*sps]  ->  LS over windows
     rows = []
     rhs = []
-    for k in range(1, nsym - c_span):
+    for k in range(c_span - 1, nsym - c_span):   # kk = k - j stays >= 0
         seg = z[k * sps:(k + 1) * sps]             # one symbol of samples
         # contributions: pulses of symbols k-c_span+1 .. k overlap here
         m = np.zeros((sps, lc))

@@ -74,10 +74,8 @@ def _stream(args, params, state, apply_fn, out_fmt: str,
             elif out_fmt == "f32":
                 f.write(arr.astype(np.float32).tobytes())
             else:
-                raw = np.empty(2 * arr.shape[0], np.float32)
-                raw[0::2] = arr.real
-                raw[1::2] = arr.imag
-                f.write(raw.tobytes())
+                from srcdsp_tpu.io.capture import interleave_cf32
+                f.write(interleave_cf32(arr).tobytes())
             n_items += arr.shape[0]
             if args.ckpt and args.ckpt_every and (i + 1) % args.ckpt_every == 0:
                 f.flush()
@@ -129,10 +127,9 @@ def _channelize(args) -> None:
                 pst, (idx, _) = psk_apply(psk, pst, y)
                 out = np.asarray(idx).astype(np.uint8)      # [M, Nsym]
             else:
+                from srcdsp_tpu.io.capture import interleave_cf32
                 yc = np.asarray(y)                          # [M, K] c64
-                out = np.empty((m, 2 * yc.shape[-1]), np.float32)
-                out[:, 0::2] = yc.real
-                out[:, 1::2] = yc.imag
+                out = np.stack([interleave_cf32(row) for row in yc])
             for c, f in enumerate(files):
                 f.write(out[c].tobytes())
             n_items += out.shape[-1] // (1 if demod else 2)
@@ -153,38 +150,32 @@ def _mux(args) -> None:
     """Per-channel captures -> polyphase SYNTHESIS bank -> one wideband
     capture: the transmit dual of `channelize`. infile is a prefix: reads
     `<infile>.chNNN.cf32` for NNN in 0..channels-1 (the files `channelize`
-    writes), truncates to the shortest, streams block-wise with carried
-    state."""
+    writes), streams block-aligned across channels with carried state
+    (stops at the shortest channel's last whole block)."""
     import jax.numpy as jnp
 
     from srcdsp_tpu.chains.channelizer import (
         design_prototype, synthesize_apply, synthesizer_init)
-    from srcdsp_tpu.io.capture import CaptureMeta, read_capture, _sidecar
+    from srcdsp_tpu.io.capture import CaptureMeta, _sidecar
+
+    from srcdsp_tpu.io.capture import interleave_cf32, read_capture_blocks
 
     m = args.channels
-    chans = []
-    for c in range(m):
-        x, _ = read_capture(f"{args.infile}.ch{c:03d}.cf32")
-        chans.append(np.asarray(x))
-    k_total = min(len(x) for x in chans)
-    y = np.stack([x[:k_total] for x in chans])           # [M, K]
     proto = design_prototype(m, taps_per_phase=args.taps_per_phase)
     state = synthesizer_init(proto, m)
     kb = max(1, args.block // m)
+    gens = [read_capture_blocks(f"{args.infile}.ch{c:03d}.cf32", kb)
+            for c in range(m)]
     n_items = 0
     with open(args.outfile, "wb") as f:
-        for lo in range(0, k_total, kb):
-            state, xb = synthesize_apply(proto, state,
-                                         jnp.asarray(y[:, lo:lo + kb]), m)
-            arr = np.asarray(xb)
-            raw = np.empty(2 * arr.shape[0], np.float32)
-            raw[0::2] = arr.real
-            raw[1::2] = arr.imag
-            f.write(raw.tobytes())
-            n_items += arr.shape[0]
+        for blocks in zip(*gens):        # one block per channel, in step;
+            y = np.stack(blocks)         # stops at the shortest channel
+            state, xb = synthesize_apply(proto, state, jnp.asarray(y), m)
+            f.write(interleave_cf32(np.asarray(xb)).tobytes())
+            n_items += xb.shape[-1]
     with open(_sidecar(args.outfile), "w") as f:
         f.write(CaptureMeta(fmt="cf32", num_samples=n_items).to_json())
-    print(f"muxed {m} channels x {k_total} -> {n_items} wideband samples "
+    print(f"muxed {m} channels -> {n_items} wideband samples "
           f"{args.outfile}", file=sys.stderr)
 
 
@@ -231,10 +222,8 @@ def _modulate(args) -> None:
         for lo in range(0, data.size, sym_block):
             state, y = step(state, data[lo:lo + sym_block])
             arr = np.asarray(y).reshape(-1)
-            raw = np.empty(2 * arr.shape[0], np.float32)
-            raw[0::2] = arr.real
-            raw[1::2] = arr.imag
-            f.write(raw.tobytes())
+            from srcdsp_tpu.io.capture import interleave_cf32
+            f.write(interleave_cf32(arr).tobytes())
             n_items += arr.shape[0]
     with open(_sidecar(args.outfile), "w") as f:
         f.write(CaptureMeta(fmt="cf32", num_samples=n_items).to_json())

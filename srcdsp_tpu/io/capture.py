@@ -47,9 +47,7 @@ def _encode(x: np.ndarray, meta: "CaptureMeta") -> np.ndarray:
     """complex64 -> interleaved wire samples (saturating for int formats)."""
     if meta.fmt == "ci16":
         return np_complex64_to_int16(x, scale=meta.scale)
-    f = np.empty(2 * x.shape[0], np.float32)
-    f[0::2] = x.real
-    f[1::2] = x.imag
+    f = interleave_cf32(x)
     if meta.fmt == "cf32":
         return f
     if meta.fmt == "cu8":
@@ -71,6 +69,16 @@ class CaptureMeta:
     @classmethod
     def from_json(cls, s: str) -> "CaptureMeta":
         return cls(**json.loads(s))
+
+
+def interleave_cf32(x: np.ndarray) -> np.ndarray:
+    """complex64 -> interleaved I,Q float32 wire samples (the cf32 body;
+    shared by write_capture and the CLI drivers)."""
+    x = np.asarray(x).reshape(-1)
+    raw = np.empty(2 * x.shape[0], np.float32)
+    raw[0::2] = x.real
+    raw[1::2] = x.imag
+    return raw
 
 
 def _sidecar(path: str) -> str:

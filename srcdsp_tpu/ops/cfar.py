@@ -37,6 +37,9 @@ def _window_means(power: jax.Array, guard: int, train: int):
     """(lead_mean, lag_mean): means of the `train` cells on each side of
     every cell, skipping `guard` cells, via reflection pad + cumsum."""
     w = guard + train
+    if power.shape[-1] < w + 1:
+        raise ValueError(f"need at least guard+train+1 = {w + 1} cells, "
+                         f"got {power.shape[-1]}")
     p = jnp.concatenate([power[..., 1:w + 1][..., ::-1], power,
                          power[..., -w - 1:-1][..., ::-1]], axis=-1)
     c = jnp.cumsum(p.astype(F32), axis=-1)

@@ -85,13 +85,8 @@ def gmsk_baseband(bits, sps: int, bt: float | None = 0.3,
     if bt is None:
         p = np.ones(sps) / sps * 0.25            # MSK: rect pulse
     else:
-        # Gaussian lowpass with -3 dB at bt (bit-period units), sampled
-        # at sps/bit, convolved with the rectangular bit pulse
-        tt = (np.arange(span * sps) - (span * sps - 1) / 2.0) / sps
-        sigma = np.sqrt(np.log(2.0)) / (2.0 * np.pi * bt)
-        g = np.exp(-0.5 * (tt / sigma) ** 2)
-        p = np.convolve(np.ones(sps), g)
-        p = p / p.sum() * 0.25                   # integrates to h/2 cycles
+        from srcdsp_tpu.ops.window import gaussian_freq_pulse
+        p = gaussian_freq_pulse(sps, bt, span)   # integrates to h/2 cycles
     up = np.zeros((*nrz.shape[:-1], nrz.shape[-1] * sps))
     up[..., ::sps] = nrz
     freq = np.empty_like(up)                     # cycles/sample
