@@ -67,3 +67,6 @@ from srcdsp_tpu.chains.msk import (  # noqa: F401
 from srcdsp_tpu.chains.scfde import (  # noqa: F401
     ScfdeSpec, make_scfde_spec, scfde_rx, scfde_tx,
 )
+from srcdsp_tpu.chains.fhss import (  # noqa: F401
+    FhssParams, fhss_acquire, fhss_dehop, fhss_hop, make_fhss_params,
+)
