@@ -36,6 +36,8 @@ from srcdsp_tpu.chains.analog import (  # noqa: F401
     AmParams, AmState, FmParams, FmState, SsbParams, SsbState, am_apply,
     am_init, am_modulate, fm_apply, fm_init, fm_modulate, make_am_params,
     make_fm_params, make_ssb_params, ssb_apply, ssb_init, ssb_modulate,
+    StereoParams, StereoState, fm_stereo_apply, fm_stereo_init,
+    fm_stereo_mpx, make_fm_stereo_params,
 )
 from srcdsp_tpu.chains.equalizer import (  # noqa: F401
     EqState, cma_equalize, eq_init, lms_equalize, psk_slicer,

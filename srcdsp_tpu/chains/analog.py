@@ -298,3 +298,97 @@ def ssb_modulate(audio: np.ndarray, center: float, lower: bool = False
         analytic = np.conj(analytic)
     k = np.arange(n)
     return (analytic * np.exp(2j * np.pi * center * k)).astype(np.complex64)
+
+
+# ---------- FM stereo (MPX) ----------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StereoParams:
+    """FM stereo multiplex decoder (beyond parity): recovers L/R from the
+    composite MPX (the discriminator output BEFORE audio decimation):
+    mono (L+R)/2 at baseband, a pilot tone at f_p, and the (L-R)/2 DSB
+    subcarrier at 2 f_p.
+
+    The pilot is extracted by a one-sided (analytic) complex-tap bandpass
+    — the SSB machinery — so squaring its unit phasor regenerates the
+    38 kHz carrier with the right phase; the mono and demux paths run
+    through a pure-delay FIR matching the pilot filter's group delay so
+    the carrier phase stays aligned."""
+
+    pilot_taps: jax.Array      # [Tp] complex one-sided bandpass at +f_p
+    delay_taps: jax.Array      # [Tp] delta at the pilot filter's delay
+    audio_taps: jax.Array      # [Ta] real lowpass for mono / L-R
+    audio_decim: int = dataclasses.field(metadata=dict(static=True))
+
+
+class StereoState(NamedTuple):
+    pilot: FirState
+    delay: FirState
+    mono: FirState
+    lr: FirState
+
+
+def make_fm_stereo_params(f_pilot: float, audio_bw: float,
+                          audio_decim: int, pilot_ntaps: int = 257,
+                          audio_ntaps: int = 128) -> StereoParams:
+    """f_pilot / audio_bw in cycles/sample at the MPX rate. pilot_ntaps
+    should be odd (exact integer group delay)."""
+    if pilot_ntaps % 2 == 0:
+        raise ValueError("pilot_ntaps must be odd")
+    proto = lowpass(pilot_ntaps, f_pilot * 0.15)
+    n = np.arange(pilot_ntaps) - (pilot_ntaps - 1) / 2.0
+    pil = (proto * np.exp(2j * np.pi * f_pilot * n)).astype(np.complex64)
+    delta = np.zeros(pilot_ntaps, np.float32)
+    delta[(pilot_ntaps - 1) // 2] = 1.0
+    return StereoParams(
+        pilot_taps=jnp.asarray(pil),
+        delay_taps=jnp.asarray(delta),
+        audio_taps=jnp.asarray(lowpass(audio_ntaps, audio_bw)),
+        audio_decim=int(audio_decim))
+
+
+def fm_stereo_init(params: StereoParams, channel_shape: tuple = ()
+                   ) -> StereoState:
+    tp = int(params.pilot_taps.shape[-1])
+    ta = int(params.audio_taps.shape[-1])
+    return StereoState(pilot=fir_init(tp, channel_shape),
+                       delay=fir_init(tp, channel_shape),
+                       mono=fir_init(ta, channel_shape),
+                       lr=fir_init(ta, channel_shape))
+
+
+def fm_stereo_apply(params: StereoParams, state: StereoState,
+                    mpx: jax.Array) -> tuple[StereoState, jax.Array]:
+    """mpx: [..., N] real composite -> [..., 2, N/audio_decim] f32 (L, R).
+
+    carrier38 = (analytic pilot / |analytic pilot|)^2 — squaring the unit
+    phasor doubles its frequency AND phase, so the regenerated subcarrier
+    tracks the transmitter's pilot exactly (no PLL loop needed)."""
+    x = mpx.astype(CF32)
+    p_s, pil = fir_apply(params.pilot_taps, state.pilot, x)
+    d_s, xd = fir_apply(params.delay_taps, state.delay, x)
+    u = pil / (jnp.abs(pil) + F32(1e-12))
+    c38 = u * u                                      # e^{j 2 theta}
+    demux = 2.0 * jnp.real(xd * jnp.conj(c38))
+    m_s, mono = fir_apply(params.audio_taps, state.mono, jnp.real(xd),
+                          decim=params.audio_decim)
+    l_s, lr = fir_apply(params.audio_taps, state.lr, demux,
+                        decim=params.audio_decim)
+    mono = jnp.real(mono).astype(F32)
+    lr = jnp.real(lr).astype(F32)
+    out = jnp.stack([mono + lr, mono - lr], axis=-2)
+    return StereoState(pilot=p_s, delay=d_s, mono=m_s, lr=l_s), out
+
+
+def fm_stereo_mpx(left: np.ndarray, right: np.ndarray, f_pilot: float,
+                  pilot_level: float = 0.1) -> np.ndarray:
+    """Composite MPX fixture: (L+R)/2 + pilot + (L-R)/2 * cos(2*pi*2fp*n),
+    phase-coherent pilot/subcarrier (the broadcast convention)."""
+    left = np.asarray(left, np.float64)
+    right = np.asarray(right, np.float64)
+    n = np.arange(left.size)
+    return ((left + right) / 2.0
+            + pilot_level * np.cos(2 * np.pi * f_pilot * n)
+            + (left - right) / 2.0 * np.cos(2 * np.pi * 2 * f_pilot * n)
+            ).astype(np.float32)
