@@ -72,3 +72,6 @@ from srcdsp_tpu.chains.scfde import (  # noqa: F401
 from srcdsp_tpu.chains.fhss import (  # noqa: F401
     FhssParams, fhss_acquire, fhss_dehop, fhss_hop, make_fhss_params,
 )
+from srcdsp_tpu.chains.mlse import (  # noqa: F401
+    MlseTrellis, make_mlse, mlse_equalize,
+)
