@@ -41,8 +41,10 @@ class FhssParams(NamedTuple):
 def make_fhss_params(freqs, seq, hop_len: int) -> FhssParams:
     freqs = np.asarray(freqs, np.float64)
     seq = np.asarray(seq, np.int64)
-    if seq.max() >= freqs.size:
-        raise ValueError("sequence indexes beyond the frequency table")
+    if seq.size == 0:
+        raise ValueError("empty hop sequence")
+    if seq.min() < 0 or seq.max() >= freqs.size:
+        raise ValueError("sequence indexes outside the frequency table")
     return FhssParams(freqs=freqs, seq=seq, hop_len=int(hop_len))
 
 
@@ -56,26 +58,34 @@ def _hop_phasors(params: FhssParams, k: int, seq_phase: int, sign: float
     return jnp.asarray(np.exp(2j * np.pi * sign * f * n).astype(np.complex64))
 
 
+def _mix_hops(params: FhssParams, x: jax.Array, seq_phase: int,
+              sign: float) -> jnp.ndarray:
+    """Mix every hop segment with its tone, INCLUDING a ragged final
+    partial hop (padded to a whole segment and trimmed back, so the
+    output length always equals the input length)."""
+    l = params.hop_len
+    n = x.shape[-1]
+    k = -(-n // l)                                   # ceil: partial kept
+    pad = k * l - n
+    xp = (jnp.concatenate([x, jnp.zeros((*x.shape[:-1], pad), x.dtype)],
+                          axis=-1) if pad else x)
+    xb = xp.reshape(*x.shape[:-1], k, l)
+    y = xb * _hop_phasors(params, k, seq_phase, sign)
+    return y.reshape(*x.shape[:-1], k * l)[..., :n].astype(CF32)
+
+
 def fhss_hop(params: FhssParams, x: jax.Array, seq_phase: int = 0
              ) -> jnp.ndarray:
-    """Spread: x [K*L] baseband -> hopped. Segment k is mixed to
-    freqs[seq[(seq_phase+k) % P]]."""
-    l = params.hop_len
-    k = x.shape[-1] // l
-    xb = x[..., :k * l].reshape(*x.shape[:-1], k, l)
-    y = xb * _hop_phasors(params, k, seq_phase, +1.0)
-    return y.reshape(*x.shape[:-1], k * l).astype(CF32)
+    """Spread: x [N] baseband -> hopped (same length; a final partial
+    hop is mixed too). Segment k is mixed to freqs[seq[(seq_phase+k)%P]]."""
+    return _mix_hops(params, x, seq_phase, +1.0)
 
 
 def fhss_dehop(params: FhssParams, x: jax.Array, seq_phase: int = 0
                ) -> jnp.ndarray:
     """Despread with KNOWN hop timing: x starts exactly at a hop boundary
-    whose sequence position is seq_phase."""
-    l = params.hop_len
-    k = x.shape[-1] // l
-    xb = x[..., :k * l].reshape(*x.shape[:-1], k, l)
-    y = xb * _hop_phasors(params, k, seq_phase, -1.0)
-    return y.reshape(*x.shape[:-1], k * l).astype(CF32)
+    whose sequence position is seq_phase (same length out)."""
+    return _mix_hops(params, x, seq_phase, -1.0)
 
 
 def fhss_acquire(params: FhssParams, x: jax.Array, coarse: int = 8
@@ -95,6 +105,10 @@ def fhss_acquire(params: FhssParams, x: jax.Array, coarse: int = 8
     n = np.arange(l)
     tones = jnp.asarray(np.exp(-2j * np.pi * params.freqs[None, :]
                                * n[:, None]).astype(np.complex64))  # [L, H]
+    if x.shape[-1] < (p + 1) * l:
+        raise ValueError(f"capture too short for acquisition: need >= "
+                         f"{(p + 1) * l} samples (P+1 hops), got "
+                         f"{x.shape[-1]}")
     best = (-1.0, 0, 0)
     x = jnp.asarray(x)
     for c in range(coarse):

@@ -40,7 +40,6 @@ class MlseTrellis(NamedTuple):
     points: np.ndarray     # [M] constellation
     h: np.ndarray          # [L] channel
     expected: np.ndarray   # [S, M] complex: channel output for (state, m)
-    prev_state: np.ndarray # [S, M] i32: predecessor of s' given its OLDEST
     order: int
     mem: int               # L-1 symbols of memory
 
@@ -51,9 +50,12 @@ def make_mlse(h, order: int = 2, points=None) -> MlseTrellis:
     convention; pass `points` for QAM etc.)."""
     h = np.asarray(h, np.complex128)
     l = h.size
-    m = int(order)
-    pts = (np.asarray(points, np.complex128) if points is not None
-           else np.asarray(psk_points(m), np.complex128))
+    if points is not None:
+        pts = np.asarray(points, np.complex128)
+        m = pts.size                    # the constellation defines M
+    else:
+        m = int(order)
+        pts = np.asarray(psk_points(m), np.complex128)
     mem = l - 1
     s_count = m ** mem
     # state s encodes symbols (s_1..s_mem), newest first, base-M digits
@@ -64,18 +66,12 @@ def make_mlse(h, order: int = 2, points=None) -> MlseTrellis:
         past = sum(h[1 + i] * pts[digs[i]] for i in range(mem))
         for u in range(m):
             expected[s, u] = h[0] * pts[u] + past
-    # next(s, u) = u*M^(mem-1) + s // M  (drop the oldest digit)
-    prev = np.zeros((s_count, m), np.int64)
-    for s in range(s_count):
-        for u in range(m):
-            s2 = u * m ** (mem - 1) + s // m if mem > 0 else 0
-            # s2's predecessor along the edge whose dropped digit was
-            # s % M: record per (s2, dropped) for traceback
-            prev[s2, s % m] = s
+    # next(s, u) = u*M^(mem-1) + s // M (drop the oldest digit); the
+    # traceback recomputes predecessors with the same arithmetic, so no
+    # table is stored
     return MlseTrellis(points=pts.astype(np.complex64),
                        h=h.astype(np.complex64),
                        expected=expected.astype(np.complex64),
-                       prev_state=prev.astype(np.int32),
                        order=m, mem=mem)
 
 

@@ -22,15 +22,10 @@ from srcdsp_tpu.chains.tx import linear_tx_apply, linear_tx_init, \
 
 
 def _ser(data, rx, order, settle=20):
+    from srcdsp_tpu.metrics import ser
     d = np.asarray(diff_decode(jnp.asarray(rx), order))
-    b = np.asarray(data)
-    best = 1.0
-    for lag in range(0, 17):
-        n = min(b.size - settle, d.size - settle - lag)
-        if n > 0:
-            best = min(best, float(np.mean(
-                b[settle:settle + n] != d[settle + lag:settle + lag + n])))
-    return best
+    rate, _lag, _n = ser(np.asarray(data)[settle:], d[settle:], max_lag=16)
+    return rate
 
 
 def test_mvdr_beamformer_enables_demod():
