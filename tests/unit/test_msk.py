@@ -68,3 +68,43 @@ def test_noisy_near_theory():
         _, a, b = align_sequences(bits, np.asarray(bh), max_lag=8)
         ber = float(np.mean(a[4:-4] != b[4:-4]))
         assert 0.0 < ber < mult * th, (bt, ber, th)
+
+
+def test_gmsk_burst_acquisition_and_coherent_demod():
+    """Unsynchronized noisy capture: framesync correlates against the
+    modulated preamble waveform to find the burst start, then the
+    coherent Laurent receiver demodulates the payload — the acquisition
+    composition the module docstring prescribes."""
+    from srcdsp_tpu.chains.framesync import (
+        frame_sync_apply, frame_sync_init, make_frame_sync_params,
+        peak_indices)
+
+    sps, bt = 8, 0.3
+    rng = np.random.default_rng(9)
+    # APERIODIC preamble (a repeated pattern puts correlation sidelobes
+    # at every period and the first threshold crossing can win)
+    pre_bits = np.random.default_rng(42).integers(0, 2, 32)
+    payload = rng.integers(0, 2, 256)
+    burst = gmsk_baseband(np.concatenate([pre_bits, payload]), sps, bt=bt)
+    cap = np.concatenate([
+        np.zeros(613, np.complex64), np.asarray(burst),
+        np.zeros(200, np.complex64)])
+    cap = cap + (0.1 * (np.random.default_rng(10).standard_normal(cap.size)
+                 + 1j * np.random.default_rng(11).standard_normal(cap.size))
+                 ).astype(np.complex64)
+
+    pre_wave = gmsk_baseband(pre_bits, sps, bt=bt)
+    p = make_frame_sync_params(jnp.asarray(pre_wave), threshold=0.5)
+    _, (score, mask, first) = frame_sync_apply(p, frame_sync_init(p),
+                                               jnp.asarray(cap))
+    hits = peak_indices([np.asarray(mask)], [np.asarray(first)])
+    assert len(hits) >= 1
+    start = hits[0] - (pre_wave.shape[-1] - 1)
+    assert abs(start - 613) <= 1, start
+
+    c0 = laurent_c0(sps, bt=bt, c_span=4)
+    bh, _ = msk_coherent_demod(jnp.asarray(cap[start:]), sps, c0)
+    want = np.concatenate([pre_bits, payload])
+    _, a, b = align_sequences(want, np.asarray(bh), max_lag=8)
+    ber = float(np.mean(a[8:-8] != b[8:-8]))
+    assert ber == 0.0, ber
