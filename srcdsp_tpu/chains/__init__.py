@@ -40,7 +40,8 @@ from srcdsp_tpu.chains.analog import (  # noqa: F401
     fm_stereo_mpx, make_fm_stereo_params,
 )
 from srcdsp_tpu.chains.equalizer import (  # noqa: F401
-    EqState, cma_equalize, eq_init, lms_equalize, psk_slicer,
+    DfeState, EqState, RlsState, cma_equalize, dfe_equalize, dfe_init,
+    eq_init, lms_equalize, psk_slicer, rls_equalize, rls_init,
 )
 from srcdsp_tpu.chains.ofdm import (  # noqa: F401
     OfdmSpec, make_ofdm_spec, ofdm_demod, ofdm_fft, ofdm_modulate, ofdm_rx,

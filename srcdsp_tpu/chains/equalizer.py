@@ -42,6 +42,7 @@ from srcdsp_tpu.types import CF32, F32
 __all__ = [
     "EqState", "eq_init", "lms_equalize", "cma_equalize", "psk_slicer",
     "make_eq_frames", "RlsState", "rls_init", "rls_equalize",
+    "DfeState", "dfe_init", "dfe_equalize",
 ]
 
 
@@ -219,3 +220,62 @@ def rls_equalize(x: jax.Array, state: RlsState, lam: float = 0.99,
                                       (frames, db))
     tail2 = xin[..., xin.shape[-1] - (ntaps - 1):]
     return RlsState(w=w, p=p, tail=tail2), ys, errs
+
+
+class DfeState(NamedTuple):
+    ff: jax.Array      # [Lf] feedforward taps
+    fb: jax.Array      # [Lb] feedback taps (on past decisions)
+    tail: jax.Array    # [Lf-1] carried input samples
+    past: jax.Array    # [Lb] carried past decisions (newest first)
+
+
+def dfe_init(nff: int, nfb: int, center_spike: bool = True) -> DfeState:
+    ff = jnp.zeros((nff,), CF32)
+    if center_spike:
+        ff = ff.at[nff // 2].set(1.0 + 0.0j)
+    return DfeState(ff=ff, fb=jnp.zeros((nfb,), CF32),
+                    tail=jnp.zeros((nff - 1,), CF32),
+                    past=jnp.zeros((nfb,), CF32))
+
+
+def dfe_equalize(x: jax.Array, state: DfeState, mu: float, sps: int = 1,
+                 d: jax.Array | None = None, order: int = 4,
+                 delay: int | None = None, offset: float = 0.0
+                 ) -> tuple[DfeState, jax.Array, jax.Array]:
+    """Decision-feedback equalizer (LMS-adapted): y_n = ff^T u_n -
+    fb^T dec_{n-1..n-Lb}. The feedback path CANCELS postcursor ISI with
+    already-decided symbols instead of inverting the channel, so — unlike
+    the linear equalizers — it spends no noise enhancement on trailing
+    taps (the classic DFE advantage on channels with long postcursors).
+
+    The decision recurrence forces a per-symbol `lax.scan` (like RLS);
+    use block LMS/CMA for the throughput path and DFE where the channel
+    demands it. Same training conventions as lms_equalize (`d` delayed by
+    `delay` symbols; decision-directed on order-PSK without `d`).
+    Returns (state, y [Nsym], |e|^2 per symbol).
+    """
+    nff = state.ff.shape[-1]
+    if d is not None:
+        dly = nff // (2 * sps) if delay is None else int(delay)
+        if dly > 0:
+            d = jnp.concatenate([jnp.zeros((dly,), d.dtype), d[..., :-dly]])
+    xin = jnp.concatenate([state.tail, x.astype(CF32)], axis=-1)
+    frames = make_eq_frames(xin, nff, sps)              # [B, Lf]
+    db = (d.astype(CF32) if d is not None
+          else jnp.zeros((frames.shape[0],), CF32))
+
+    def step(st, inputs):
+        ff, fb, past = st
+        u, d_n = inputs
+        y = jnp.sum(u * ff) - jnp.sum(past * fb)
+        target = d_n if d is not None else psk_slicer(y, order, offset)
+        e = target - y
+        ff2 = ff + mu * e * jnp.conj(u)
+        fb2 = fb - mu * e * jnp.conj(past)
+        past2 = jnp.concatenate([target[None], past[:-1]])
+        return (ff2.astype(CF32), fb2.astype(CF32), past2.astype(CF32)),             (y, jnp.abs(e) ** 2)
+
+    (ff, fb, past), (ys, errs) = jax.lax.scan(
+        step, (state.ff, state.fb, state.past), (frames, db))
+    tail2 = xin[..., xin.shape[-1] - (nff - 1):]
+    return DfeState(ff=ff, fb=fb, tail=tail2, past=past), ys, errs

@@ -220,3 +220,37 @@ def test_rls_streaming_matches_oneshot():
                             delay=0)
     np.testing.assert_allclose(np.concatenate(ys), np.asarray(y0),
                                atol=1e-4)
+
+
+def test_dfe_cancels_long_postcursor():
+    """A channel with a heavy postcursor tail: a linear LMS equalizer of
+    the same total tap budget stays noisy (it must invert the channel),
+    the DFE cancels the tail with decisions and converges much lower."""
+    from srcdsp_tpu.chains.equalizer import dfe_equalize, dfe_init
+
+    rng = np.random.default_rng(7)
+    nsym = 4096
+    idx = rng.integers(0, 4, nsym)
+    s = np.exp(1j * (2 * np.pi * (idx + 0.5) / 4)).astype(np.complex64)
+    h = np.asarray([1.0, 0.0, 0.55, 0.0, 0.4, 0.0, 0.3], np.complex64)
+    x = np.convolve(s, h)[:nsym].astype(np.complex64)
+    x += 0.03 * (rng.standard_normal(nsym)
+                 + 1j * rng.standard_normal(nsym)).astype(np.complex64)
+
+    st, y, err = dfe_equalize(jnp.asarray(x), dfe_init(nff=9, nfb=8),
+                              mu=0.02, d=jnp.asarray(s))
+    tail_err = float(np.mean(np.asarray(err)[-512:]))
+
+    st_l = eq_init(17)                       # same total taps, linear
+    _, _, mse_l = lms_equalize(jnp.asarray(x), st_l, mu=0.02, block=16,
+                               d=jnp.asarray(s))
+    lin_err = float(np.asarray(mse_l)[-4:].mean())
+    assert tail_err < 0.02, tail_err
+    assert tail_err < 0.5 * lin_err, (tail_err, lin_err)
+
+    # and decisions are clean on the tail (delay = nff//2)
+    dly = 9 // 2
+    got = np.asarray(y)[-1024:]
+    want = s[-1024 - dly:-dly]
+    ang = np.round(np.angle(got / want) / (np.pi / 2)).astype(int) % 4
+    assert np.mean(ang != 0) == 0.0
