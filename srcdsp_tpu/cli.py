@@ -7,12 +7,13 @@ through a demod chain and write the result. Equivalent here:
     python -m srcdsp_tpu.cli psk  in.iq syms.out --center 0.17 --decim 2 --sps 4 --order 4
     python -m srcdsp_tpu.cli qam  in.iq syms.out --center 0.13 --decim 2 --sps 4 --order 64
     python -m srcdsp_tpu.cli fir  in.iq out.iq   --taps 64 --cutoff 0.1 --decim 2
-    python -m srcdsp_tpu.cli fm   in.iq audio.f32 --center 0.11 --decim 4 --dev 0.08
+    python -m srcdsp_tpu.cli fm   in.iq audio.f32 --center 0.11 --decim 4 --dev 0.08 [--stereo]
     python -m srcdsp_tpu.cli am   in.iq audio.f32 --center 0.21 --decim 4
     python -m srcdsp_tpu.cli channelize in.iq out --channels 64 [--demod psk]
     python -m srcdsp_tpu.cli mod  syms.u8 out.iq --mod qam --order 16 --sps 8
     python -m srcdsp_tpu.cli scan in.iq dets.jsonl --analyze
     python -m srcdsp_tpu.cli mux  chans wide.iq --channels 16
+    python -m srcdsp_tpu.cli resample in.iq out.iq --up 3 --down 4
 
 Streams in fixed blocks with carried state (bit-exact vs one-shot), writes
 output incrementally per block, checkpoints every --ckpt-every blocks, and
@@ -279,7 +280,7 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="srcdsp_tpu.cli", description=__doc__)
     p.add_argument("chain", choices=["fsk", "psk", "dqpsk", "qam", "fir",
                                      "fm", "am", "channelize", "mod",
-                                     "scan", "mux"])
+                                     "scan", "mux", "resample"])
     p.add_argument("infile")
     p.add_argument("outfile")
     p.add_argument("--center", type=float, default=0.0,
@@ -310,6 +311,15 @@ def main(argv=None) -> None:
     p.add_argument("--deemph-tau", type=float, default=None,
                    help="FM de-emphasis RC constant in AUDIO samples "
                         "(e.g. 75e-6*fs_audio); omit to disable")
+    p.add_argument("--stereo", action="store_true",
+                   help="fm: decode the stereo MPX (interleaved L,R out)")
+    p.add_argument("--pilot", type=float, default=19e3 / 240e3,
+                   help="fm --stereo: pilot frequency in cycles/sample at "
+                        "the post-decim (MPX) rate")
+    p.add_argument("--up", type=int, default=1,
+                   help="resample: interpolation factor L")
+    p.add_argument("--down", type=int, default=1,
+                   help="resample: decimation factor M")
     p.add_argument("--analyze", action="store_true",
                    help="scan: also estimate baud + PSK order per band")
     p.add_argument("--scan-nfft", type=int, default=4096,
@@ -415,6 +425,37 @@ def main(argv=None) -> None:
                                  order=args.order)
         _stream(args, params, qam_init(params), qam_apply, out_fmt="u8",
                 out_per_block=args.block // (args.decim * args.sps))
+    elif args.chain == "fm" and args.stereo:
+        # stereo: FM front end to the MPX, then the pilot-squaring stereo
+        # decoder; output is interleaved L,R f32 frames
+        import jax.numpy as jnp
+
+        from srcdsp_tpu.chains.analog import (
+            fm_stereo_apply, fm_stereo_init, make_fm_stereo_params)
+        from srcdsp_tpu.chains.fsk import discriminate
+        from srcdsp_tpu.ops.fir import fir_apply, fir_init
+        from srcdsp_tpu.ops.nco import freq_to_word, nco_apply, nco_init
+        from srcdsp_tpu.ops.window import lowpass
+
+        chan_taps = jnp.asarray(lowpass(args.taps, 0.4 / args.decim))
+        word = freq_to_word(-args.center)
+        sp = make_fm_stereo_params(args.pilot, audio_bw=args.pilot * 0.75,
+                                   audio_decim=args.audio_decim)
+
+        def apply_fn(params, state, xb):
+            nco_s, fir_s, last, st_s = state
+            nco_s, mixed = nco_apply(word, nco_s, xb)
+            fir_s, bb = fir_apply(chan_taps, fir_s, mixed, decim=args.decim)
+            last, d = discriminate(last, bb)
+            st_s, lr = fm_stereo_apply(sp, st_s, d * (1.0 / args.dev))
+            # interleave L,R per frame for the f32 writer
+            return (nco_s, fir_s, last, st_s), jnp.swapaxes(lr, -1, -2)
+
+        state0 = (nco_init(), fir_init(args.taps),
+                  jnp.zeros((1,), jnp.complex64), fm_stereo_init(sp))
+        _stream(args, None, state0, apply_fn, out_fmt="f32",
+                out_per_block=2 * (args.block
+                                   // (args.decim * args.audio_decim)))
     elif args.chain == "fm":
         from srcdsp_tpu.chains.analog import fm_apply, fm_init, make_fm_params
         params = make_fm_params(args.center, args.decim, dev=args.dev,
@@ -430,6 +471,22 @@ def main(argv=None) -> None:
                                 num_taps=args.taps)
         _stream(args, params, am_init(params), am_apply, out_fmt="f32",
                 out_per_block=args.block // (args.decim * args.audio_decim))
+    elif args.chain == "resample":
+        from srcdsp_tpu.ops.resample import resample_apply, resample_init
+        from srcdsp_tpu.ops.window import lowpass
+
+        up, down = args.up, args.down
+        # anti-alias/anti-image cutoff at the tighter of the two rates
+        cutoff = 0.5 / max(up, down) * 0.9
+        taps = lowpass(args.taps, cutoff) * up     # unit passband gain
+
+        def apply_fn(params, state, xb):
+            state, y = resample_apply(taps, state, xb, up=up, down=down)
+            return state, y
+
+        args.block -= args.block % max(down, 1)    # N*up % down == 0
+        _stream(args, None, resample_init(args.taps, up), apply_fn,
+                out_fmt="cf32", out_per_block=args.block * up // down)
     else:
         import jax.numpy as jnp
 

@@ -379,3 +379,53 @@ def test_cli_mux_places_channels(tmp_path):
             np.testing.assert_allclose(np.sqrt(p), a, rtol=0.05)
         else:
             assert p < 1e-4, (c, p)
+
+
+def test_cli_resample(tmp_path):
+    """3/4 rational resample through the file driver: a tone keeps its
+    amplitude and lands at the scaled frequency."""
+    from srcdsp_tpu.metrics import goertzel
+    from srcdsp_tpu.testing.signals import np_tone
+
+    x = np_tone(1 << 14, 0.05)
+    cap = str(tmp_path / "in.cf32")
+    write_capture(cap, x, CaptureMeta(fmt="cf32"))
+    out = str(tmp_path / "out.cf32")
+    cli_main(["resample", cap, out, "--up", "3", "--down", "4",
+              "--taps", "96", "--block", "4096"])
+    y, meta = read_capture(out)
+    assert meta.num_samples == (1 << 14) * 3 // 4
+    y = np.asarray(y)[512:]
+    p = np.abs(goertzel(y, 0.05 * 4 / 3))
+    np.testing.assert_allclose(p, 1.0, rtol=0.05)
+
+
+def test_cli_fm_stereo(tmp_path):
+    """FM broadcast with a stereo MPX program: --stereo separates L/R."""
+    from srcdsp_tpu.chains.analog import fm_modulate, fm_stereo_mpx
+    from srcdsp_tpu.metrics import tone_power_db
+
+    decim, audio_decim, center = 4, 4, 0.07
+    fp = 19.0 / 240.0                              # at the MPX (decim) rate
+    n = 1 << 17                                    # input-rate samples
+    k = np.arange(n)
+    # program generated at the INPUT rate (frequencies /decim), so the
+    # chain's decimator lands the pilot at fp in MPX cycles/sample
+    left = 0.7 * np.cos(2 * np.pi * 0.004 / decim * k)
+    right = 0.7 * np.cos(2 * np.pi * 0.0065 / decim * k)
+    mpx_in = fm_stereo_mpx(left, right, fp / decim)
+    dev_in = 0.02
+    iq = np.asarray(fm_modulate(np.asarray(mpx_in), dev=dev_in,
+                                center=center))
+    cap = str(tmp_path / "fm.cf32")
+    write_capture(cap, iq.astype(np.complex64), CaptureMeta(fmt="cf32"))
+    out = str(tmp_path / "st.f32")
+    cli_main(["fm", cap, out, "--stereo", "--center", str(center),
+              "--decim", str(decim), "--dev", str(dev_in * decim),
+              "--audio-decim", str(audio_decim), "--taps", "96",
+              "--block", "65536"])
+    lr = np.fromfile(out, np.float32).reshape(-1, 2)[256:]
+    l_ch, r_ch = lr[:, 0], lr[:, 1]
+    f1, f2 = 0.004 * audio_decim, 0.0065 * audio_decim
+    assert tone_power_db(l_ch, f1) - tone_power_db(l_ch, f2) > 15.0
+    assert tone_power_db(r_ch, f2) - tone_power_db(r_ch, f1) > 15.0
