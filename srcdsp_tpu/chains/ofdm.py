@@ -127,6 +127,41 @@ def ofdm_tx_frame(spec: OfdmSpec, points: jax.Array, pilot: jax.Array,
     return jnp.concatenate([pre, body]).astype(CF32)
 
 
+def papr_db(x: jax.Array) -> jnp.ndarray:
+    p = jnp.abs(x) ** 2
+    return 10.0 * jnp.log10(jnp.max(p) / jnp.mean(p))
+
+
+def papr_reduce(spec: OfdmSpec, x: jax.Array, clip_db: float = 4.0,
+                iters: int = 2) -> jnp.ndarray:
+    """Iterative clip-and-filter PAPR reduction for an OFDM time stream
+    produced by ofdm_modulate (whole CP-extended symbols).
+
+    Each pass soft-clips the envelope at clip_db above the mean power and
+    REFILTERS in the frequency domain by zeroing every inactive bin of
+    each symbol (clipping splatter lands out of band and on nulls; the
+    in-band distortion that remains is the EVM cost). The CP is rebuilt
+    from the filtered body so the output stays a valid cyclic-prefixed
+    stream. 2 iterations typically buy 3+ dB of PAPR at a few percent
+    EVM — the standard transmitter trade.
+    """
+    l = spec.nfft + spec.cp
+    s = x.shape[-1] // l
+    act = jnp.zeros((spec.nfft,), F32).at[jnp.asarray(spec.active, I32)
+                                          ].set(1.0)
+    y = x[: s * l].reshape(s, l)
+    for _ in range(iters):
+        p_mean = jnp.mean(jnp.abs(y) ** 2)
+        a_max = jnp.sqrt(p_mean * 10.0 ** (clip_db / 10.0))
+        mag = jnp.abs(y)
+        y = jnp.where(mag > a_max, y * (a_max / (mag + 1e-12)), y)
+        body = y[:, spec.cp:]
+        f = jnp.fft.fft(body, axis=-1) * act          # refilter to the band
+        body = jnp.fft.ifft(f, axis=-1)
+        y = jnp.concatenate([body[:, -spec.cp:], body], axis=-1)
+    return y.reshape(-1).astype(CF32)
+
+
 def schmidl_cox_preamble(spec: OfdmSpec, key: jax.Array) -> jax.Array:
     """Two-identical-halves preamble symbol (even bins only), with CP."""
     act_even = spec.active[spec.active % 2 == 0]

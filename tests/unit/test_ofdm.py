@@ -144,3 +144,34 @@ def test_windowed_tx_demodulates_clean_and_cuts_oob():
     assert abs(info["cfo"] - 0.08) < 0.02
     np.testing.assert_array_equal(np.asarray(got)[: idx.shape[0]],
                                   np.asarray(idx))
+
+
+def test_papr_reduction_keeps_link():
+    """Clip-and-filter: >= 2.5 dB PAPR cut, splatter refiltered to the
+    active band, and the standard receiver still demodulates SER 0."""
+    from srcdsp_tpu.chains.ofdm import papr_db, papr_reduce
+
+    spec = make_ofdm_spec(128, 32, 96, 16)
+    idx, pilot, frame = _frame(spec, jax.random.PRNGKey(12), 48)
+    red = papr_reduce(spec, frame, clip_db=4.0, iters=2)
+    p0 = float(papr_db(frame))
+    p1 = float(papr_db(red))
+    assert p1 < p0 - 2.5, (p0, p1)
+    # still demodulates through the pilot-equalized receiver; the
+    # in-band clipping distortion costs a controlled sub-1% 16-QAM SER
+    # (the transmitter trade this knob exists for)
+    got, soft = ofdm_demod(spec, red, pilot)
+    ser = float(np.mean(np.asarray(got) != np.asarray(idx)))
+    assert ser < 0.01, ser
+    # a gentler clip is transparent
+    red5 = papr_reduce(spec, frame, clip_db=5.5, iters=2)
+    got5, _ = ofdm_demod(spec, red5, pilot)
+    np.testing.assert_array_equal(np.asarray(got5), np.asarray(idx))
+    assert float(papr_db(red5)) < p0 - 1.5
+    # out-of-band stays clean (the refilter removed the splatter)
+    sp = np.abs(np.fft.fft(np.asarray(red)))**2
+    f = np.fft.fftfreq(red.shape[-1])
+    edge = (96 / 2) / 128
+    oob = 10 * np.log10(np.mean(sp[np.abs(f) > edge * 1.3])
+                        / np.mean(sp[np.abs(f) <= edge]))
+    assert oob < -20.0, oob
