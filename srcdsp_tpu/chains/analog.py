@@ -392,3 +392,75 @@ def fm_stereo_mpx(left: np.ndarray, right: np.ndarray, f_pilot: float,
             + pilot_level * np.cos(2 * np.pi * f_pilot * n)
             + (left - right) / 2.0 * np.cos(2 * np.pi * 2 * f_pilot * n)
             ).astype(np.float32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FmStereoRxParams:
+    """Full broadcast-FM stereo receiver: the FM front end (NCO + channel
+    select + discriminator) feeding the MPX stereo decoder, with optional
+    per-channel de-emphasis — the chain the CLI's `fm --stereo` wires up."""
+
+    freq_word: jax.Array
+    chan_taps: jax.Array
+    stereo: StereoParams
+    deemph: IirParams | None
+    decim: int = dataclasses.field(metadata=dict(static=True))
+    dev: float = dataclasses.field(metadata=dict(static=True))
+
+
+class FmStereoRxState(NamedTuple):
+    nco: NcoState
+    chan: FirState
+    disc_last: jax.Array
+    stereo: StereoState
+    deemph: IirState | None     # stacked [2] channel axis when present
+
+
+def make_fm_stereo_rx(center_freq: float, decim: int, dev: float,
+                      pilot: float, audio_decim: int = 4,
+                      num_taps: int = 128, cutoff: float | None = None,
+                      deemph_tau: float | None = None,
+                      iir_block: int = 128) -> FmStereoRxParams:
+    """pilot in cycles/sample at the POST-decim (MPX) rate; dev at the
+    decimated rate (like make_fm_params); deemph_tau in samples at the
+    audio rate."""
+    cut = cutoff if cutoff is not None else 0.4 / decim
+    de = None
+    if deemph_tau is not None:
+        b, a = deemphasis_coeffs(deemph_tau)
+        de = make_iir_params(b, a, block=iir_block)
+    return FmStereoRxParams(
+        freq_word=jnp.asarray(freq_to_word(-center_freq)),
+        chan_taps=jnp.asarray(lowpass(num_taps, cut)),
+        stereo=make_fm_stereo_params(pilot, audio_bw=pilot * 0.75,
+                                     audio_decim=audio_decim),
+        deemph=de, decim=int(decim), dev=float(dev))
+
+
+def fm_stereo_rx_init(params: FmStereoRxParams, channel_shape: tuple = ()
+                      ) -> FmStereoRxState:
+    return FmStereoRxState(
+        nco=nco_init(channel_shape),
+        chan=fir_init(int(params.chan_taps.shape[-1]), channel_shape),
+        disc_last=jnp.zeros((*channel_shape, 1), CF32),
+        stereo=fm_stereo_init(params.stereo, channel_shape),
+        deemph=(iir_init(params.deemph, (*channel_shape, 2), dtype=F32)
+                if params.deemph is not None else None))
+
+
+def fm_stereo_rx_apply(params: FmStereoRxParams, state: FmStereoRxState,
+                       x: jax.Array) -> tuple[FmStereoRxState, jax.Array]:
+    """x: [..., N] complex IQ -> [..., 2, N/(decim*audio_decim)] f32 L/R."""
+    nco_s, mixed = nco_apply(params.freq_word, state.nco, x)
+    chan_s, bb = fir_apply(params.chan_taps, state.chan, mixed,
+                           decim=params.decim)
+    disc_last, d = discriminate(state.disc_last, bb)
+    st_s, lr = fm_stereo_apply(params.stereo, state.stereo,
+                               d * F32(1.0 / params.dev))
+    de_s = state.deemph
+    if params.deemph is not None:
+        de_s, lr = iir_apply(params.deemph, state.deemph, lr)
+        lr = jnp.real(lr).astype(F32)
+    return FmStereoRxState(nco=nco_s, chan=chan_s, disc_last=disc_last,
+                           stereo=st_s, deemph=de_s), lr

@@ -255,6 +255,9 @@ def dfe_equalize(x: jax.Array, state: DfeState, mu: float, sps: int = 1,
     Returns (state, y [Nsym], |e|^2 per symbol).
     """
     nff = state.ff.shape[-1]
+    if x.shape[-1] % sps != 0:
+        raise ValueError(f"input length {x.shape[-1]} not divisible by "
+                         f"sps {sps} (streaming would slip symbol timing)")
     if d is not None:
         dly = nff // (2 * sps) if delay is None else int(delay)
         if dly > 0:

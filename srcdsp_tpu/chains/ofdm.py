@@ -146,10 +146,16 @@ def papr_reduce(spec: OfdmSpec, x: jax.Array, clip_db: float = 4.0,
     EVM — the standard transmitter trade.
     """
     l = spec.nfft + spec.cp
+    if x.ndim != 1:
+        raise ValueError("papr_reduce takes one [S*(N+CP)] stream")
+    if x.shape[-1] % l != 0:
+        raise ValueError(f"length {x.shape[-1]} is not whole CP-extended "
+                         f"symbols of {l} (windowed/preamble frames must "
+                         f"be reduced per ofdm_modulate segment)")
     s = x.shape[-1] // l
     act = jnp.zeros((spec.nfft,), F32).at[jnp.asarray(spec.active, I32)
                                           ].set(1.0)
-    y = x[: s * l].reshape(s, l)
+    y = x.reshape(s, l)
     for _ in range(iters):
         p_mean = jnp.mean(jnp.abs(y) ** 2)
         a_max = jnp.sqrt(p_mean * 10.0 ** (clip_db / 10.0))

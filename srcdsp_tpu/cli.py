@@ -426,34 +426,25 @@ def main(argv=None) -> None:
         _stream(args, params, qam_init(params), qam_apply, out_fmt="u8",
                 out_per_block=args.block // (args.decim * args.sps))
     elif args.chain == "fm" and args.stereo:
-        # stereo: FM front end to the MPX, then the pilot-squaring stereo
-        # decoder; output is interleaved L,R f32 frames
+        # stereo: the chains.analog FM-stereo receiver; output is
+        # interleaved L,R f32 frames
         import jax.numpy as jnp
 
         from srcdsp_tpu.chains.analog import (
-            fm_stereo_apply, fm_stereo_init, make_fm_stereo_params)
-        from srcdsp_tpu.chains.fsk import discriminate
-        from srcdsp_tpu.ops.fir import fir_apply, fir_init
-        from srcdsp_tpu.ops.nco import freq_to_word, nco_apply, nco_init
-        from srcdsp_tpu.ops.window import lowpass
+            fm_stereo_rx_apply, fm_stereo_rx_init, make_fm_stereo_rx)
 
-        chan_taps = jnp.asarray(lowpass(args.taps, 0.4 / args.decim))
-        word = freq_to_word(-args.center)
-        sp = make_fm_stereo_params(args.pilot, audio_bw=args.pilot * 0.75,
-                                   audio_decim=args.audio_decim)
+        params = make_fm_stereo_rx(args.center, args.decim, dev=args.dev,
+                                   pilot=args.pilot,
+                                   audio_decim=args.audio_decim,
+                                   num_taps=args.taps,
+                                   deemph_tau=args.deemph_tau)
 
-        def apply_fn(params, state, xb):
-            nco_s, fir_s, last, st_s = state
-            nco_s, mixed = nco_apply(word, nco_s, xb)
-            fir_s, bb = fir_apply(chan_taps, fir_s, mixed, decim=args.decim)
-            last, d = discriminate(last, bb)
-            st_s, lr = fm_stereo_apply(sp, st_s, d * (1.0 / args.dev))
-            # interleave L,R per frame for the f32 writer
-            return (nco_s, fir_s, last, st_s), jnp.swapaxes(lr, -1, -2)
+        def apply_fn(p, state, xb):
+            state, lr = fm_stereo_rx_apply(p, state, xb)
+            return state, jnp.swapaxes(lr, -1, -2)   # frame-interleave L,R
 
-        state0 = (nco_init(), fir_init(args.taps),
-                  jnp.zeros((1,), jnp.complex64), fm_stereo_init(sp))
-        _stream(args, None, state0, apply_fn, out_fmt="f32",
+        _stream(args, params, fm_stereo_rx_init(params), apply_fn,
+                out_fmt="f32",
                 out_per_block=2 * (args.block
                                    // (args.decim * args.audio_decim)))
     elif args.chain == "fm":
@@ -476,6 +467,10 @@ def main(argv=None) -> None:
         from srcdsp_tpu.ops.window import lowpass
 
         up, down = args.up, args.down
+        if up < 1 or down < 1:
+            p.error(f"--up/--down must be >= 1, got {up}/{down}")
+        if args.block < down:
+            p.error(f"--block {args.block} smaller than --down {down}")
         # anti-alias/anti-image cutoff at the tighter of the two rates
         cutoff = 0.5 / max(up, down) * 0.9
         taps = lowpass(args.taps, cutoff) * up     # unit passband gain

@@ -77,7 +77,7 @@ def test_gmsk_burst_acquisition_and_coherent_demod():
     composition the module docstring prescribes."""
     from srcdsp_tpu.chains.framesync import (
         frame_sync_apply, frame_sync_init, make_frame_sync_params,
-        peak_indices)
+        peak_indices, peak_to_burst_start)
 
     sps, bt = 8, 0.3
     rng = np.random.default_rng(9)
@@ -99,7 +99,7 @@ def test_gmsk_burst_acquisition_and_coherent_demod():
                                                jnp.asarray(cap))
     hits = peak_indices([np.asarray(mask)], [np.asarray(first)])
     assert len(hits) >= 1
-    start = hits[0] - (pre_wave.shape[-1] - 1)
+    start = peak_to_burst_start(hits[0], pre_wave.shape[-1])
     assert abs(start - 613) <= 1, start
 
     c0 = laurent_c0(sps, bt=bt, c_span=4)
