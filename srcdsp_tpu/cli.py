@@ -14,6 +14,7 @@ through a demod chain and write the result. Equivalent here:
     python -m srcdsp_tpu.cli scan in.iq dets.jsonl --analyze
     python -m srcdsp_tpu.cli mux  chans wide.iq --channels 16
     python -m srcdsp_tpu.cli resample in.iq out.iq --up 3 --down 4
+    python -m srcdsp_tpu.cli gen  test.iq --gen chirp --snr 10 --fmt cu8
 
 Streams in fixed blocks with carried state (bit-exact vs one-shot), writes
 output incrementally per block, checkpoints every --ckpt-every blocks, and
@@ -232,6 +233,33 @@ def _modulate(args) -> None:
           f"{args.outfile}", file=sys.stderr)
 
 
+def _gen(args) -> None:
+    """Test-signal generator driver: tone | chirp | noise -> IQ capture
+    (the C7 generators in file form; pair with `mod` for digital
+    signals). --snr adds calibrated AWGN on top of the signal."""
+    from srcdsp_tpu.io.capture import CaptureMeta, write_capture
+    from srcdsp_tpu.testing.signals import chirp, np_tone
+
+    n = args.num_samples
+    rng = np.random.default_rng(args.seed)
+    if args.gen == "tone":
+        x = np_tone(n, args.center)
+    elif args.gen == "chirp":
+        x = chirp(n, args.f0, args.f1)
+    else:                                            # noise
+        x = ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+             / np.sqrt(2)).astype(np.complex64)
+    if args.snr is not None and args.gen != "noise":
+        p_sig = float(np.mean(np.abs(x) ** 2))
+        sigma = np.sqrt(p_sig * 10.0 ** (-args.snr / 10.0) / 2.0)
+        x = (x + sigma * (rng.standard_normal(n)
+                          + 1j * rng.standard_normal(n))
+             ).astype(np.complex64)
+    write_capture(args.outfile2, np.asarray(x), CaptureMeta(fmt=args.fmt))
+    print(f"generated {n} {args.gen} samples -> {args.outfile2}",
+          file=sys.stderr)
+
+
 def _scan(args) -> None:
     """Blind survey driver: capture -> JSON lines, one per detected band
     (center, bandwidth, SNR; with --analyze also baud + PSK order from
@@ -280,9 +308,11 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="srcdsp_tpu.cli", description=__doc__)
     p.add_argument("chain", choices=["fsk", "psk", "dqpsk", "qam", "fir",
                                      "fm", "am", "channelize", "mod",
-                                     "scan", "mux", "resample"])
+                                     "scan", "mux", "resample", "gen"])
     p.add_argument("infile")
-    p.add_argument("outfile")
+    p.add_argument("outfile", nargs="?", default=None,
+                   help="output path (optional for `gen`, whose single "
+                        "positional is the output)")
     p.add_argument("--center", type=float, default=0.0,
                    help="channel center, cycles/sample")
     p.add_argument("--decim", type=int, default=4)
@@ -311,6 +341,19 @@ def main(argv=None) -> None:
     p.add_argument("--deemph-tau", type=float, default=None,
                    help="FM de-emphasis RC constant in AUDIO samples "
                         "(e.g. 75e-6*fs_audio); omit to disable")
+    p.add_argument("--gen", choices=["tone", "chirp", "noise"],
+                   default="tone", help="gen: signal kind")
+    p.add_argument("--num-samples", type=int, default=1 << 20,
+                   help="gen: output length")
+    p.add_argument("--f0", type=float, default=-0.2,
+                   help="gen chirp: start frequency")
+    p.add_argument("--f1", type=float, default=0.2,
+                   help="gen chirp: end frequency")
+    p.add_argument("--snr", type=float, default=None,
+                   help="gen: add AWGN at this SNR (dB)")
+    p.add_argument("--fmt", choices=["cf32", "ci16", "cu8", "ci8"],
+                   default="cf32", help="gen: output capture format")
+    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--stereo", action="store_true",
                    help="fm: decode the stereo MPX (interleaved L,R out)")
     p.add_argument("--pilot", type=float, default=19e3 / 240e3,
@@ -348,6 +391,15 @@ def main(argv=None) -> None:
 
     if args.order < 2 or args.order > 256 or args.order & (args.order - 1):
         p.error(f"--order must be a power of two in [2, 256], got {args.order}")
+
+    if args.chain == "gen":
+        # gen takes only an output path; `gen out.iq` parses it as infile
+        args.outfile2 = args.outfile or args.infile
+        _gen(args)
+        return
+
+    if args.outfile is None:
+        p.error("outfile is required")
 
     if args.chain == "mod":
         _modulate(args)

@@ -110,3 +110,13 @@ def zadoff_chu(root: int, length: int) -> np.ndarray:
     n = np.arange(length, dtype=np.float64)
     ph = root * n * (n + (length % 2)) / length
     return np.exp(-1j * np.pi * ph).astype(np.complex64)
+
+
+def chirp(n: int, f0: float, f1: float, amplitude: float = 1.0) -> np.ndarray:
+    """Linear FM (LFM) chirp sweeping f0 -> f1 cycles/sample over n
+    samples (f64 host phase, exact). The classic pulse-compression
+    waveform: a matched filter (chains.framesync) compresses it by the
+    time-bandwidth product with ~-13 dB Doppler-free sidelobes."""
+    k = np.arange(n, dtype=np.float64)
+    ph = f0 * k + (f1 - f0) * k * k / (2.0 * n)
+    return (amplitude * np.exp(2j * np.pi * ph)).astype(np.complex64)

@@ -429,3 +429,20 @@ def test_cli_fm_stereo(tmp_path):
     f1, f2 = 0.004 * audio_decim, 0.0065 * audio_decim
     assert tone_power_db(l_ch, f1) - tone_power_db(l_ch, f2) > 15.0
     assert tone_power_db(r_ch, f2) - tone_power_db(r_ch, f1) > 15.0
+
+
+def test_cli_gen(tmp_path):
+    from srcdsp_tpu.metrics import tone_power_db
+
+    out = str(tmp_path / "t.cu8")
+    cli_main(["gen", out, "--gen", "tone", "--center", "0.11",
+              "--num-samples", "8192", "--snr", "20", "--fmt", "cu8"])
+    y, meta = read_capture(out)
+    assert meta.fmt == "cu8" and meta.num_samples == 8192
+    assert tone_power_db(np.asarray(y), 0.11) > -1.5   # tone dominates
+
+    out2 = str(tmp_path / "c.cf32")
+    cli_main(["gen", out2, "--gen", "chirp", "--f0", "-0.1", "--f1", "0.1",
+              "--num-samples", "4096"])
+    y2, _ = read_capture(out2)
+    np.testing.assert_allclose(np.abs(np.asarray(y2)), 1.0, atol=1e-5)

@@ -79,3 +79,38 @@ def test_zadoff_chu_framesync_preamble():
     idx = peak_indices([np.asarray(mask)], [np.asarray(first)])
     assert len(idx) >= 1
     assert abs((idx[0] - (len(pre) - 1)) - 1000) <= 1
+
+
+def test_chirp_pulse_compression():
+    """LFM chirp + matched filter (framesync): the correlation peak
+    compresses the pulse by ~the time-bandwidth product and CFAR detects
+    it at a chip SNR where the raw envelope shows nothing."""
+    from srcdsp_tpu.chains.framesync import (
+        frame_sync_apply, frame_sync_init, make_frame_sync_params,
+        peak_indices, peak_to_burst_start)
+    from srcdsp_tpu.testing.signals import chirp
+
+    n, bw = 1024, 0.4
+    p = chirp(n, -bw / 2, bw / 2)
+    rng = np.random.default_rng(0)
+    cap = (1.5 * (rng.standard_normal(8192) + 1j * rng.standard_normal(8192))
+           ).astype(np.complex64)                    # -6.5 dB per-sample SNR
+    cap[3000:3000 + n] += p
+    # raw envelope: the pulse is buried (under +1.2x the noise floor)
+    env = np.abs(cap) ** 2
+    assert (np.median(env[3000:3000 + n])
+            < 2.0 * np.median(env[:2000]))
+    # normalized matched-filter peak ~ sqrt(Es/(Es+En)) ~ 0.43 here
+    fs = make_frame_sync_params(jnp.asarray(p), threshold=0.3)
+    _, (score, mask, first) = frame_sync_apply(fs, frame_sync_init(fs),
+                                               jnp.asarray(cap))
+    hits = peak_indices([np.asarray(mask)], [np.asarray(first)])
+    assert len(hits) >= 1
+    start = peak_to_burst_start(hits[0], n)
+    assert abs(start - 3000) <= 1, start
+    # CFAR on the matched-filter power sees the compressed pulse
+    sc = np.asarray(score) ** 2
+    det, _ = ca_cfar(jnp.asarray(sc, jnp.float32), guard=4, train=32,
+                     pfa=1e-5)
+    det = np.asarray(det)
+    assert det[hits[0]]
