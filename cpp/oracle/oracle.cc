@@ -536,4 +536,41 @@ void orc_resample_stream(const float* x, long n, const float* taps, long t,
               2 * hist * sizeof(float));
 }
 
+
+// ---------------------------------------------------------------------
+// CPM transmitter twin (srcdsp_tpu/chains/tx.py cpm_tx_apply): the
+// frequency pulse is pre-quantized to int32 phase-increment words
+// [nspan*sps]; the per-sample word is an exact +-word shift-and-add over
+// the +-1 NRZ bits and the phase is a wrapping int32 cumsum. The WORD
+// pipeline here is bit-identical to the JAX path (two's-complement
+// arithmetic); only the final exp() differs at float rounding.
+void orc_cpm_tx(const unsigned char* bits, long nsym,
+                const int32_t* words, int nspan, int sps,
+                int32_t phase0, int32_t* phase_words_out,
+                float* out_re, float* out_im) {
+  std::vector<int> hist(nspan > 0 ? nspan - 1 : 0, 0);  // newest first
+  int32_t acc = phase0;
+  const double inv = std::pow(2.0, -32);
+  long n = nsym * sps;
+  for (long k = 0; k < nsym; ++k) {
+    int nrz = bits[k] ? 1 : -1;
+    for (int r = 0; r < sps; ++r) {
+      int64_t w = (int64_t)nrz * words[0 * sps + r];
+      for (int j = 1; j < nspan; ++j) {
+        w += (int64_t)hist[j - 1] * words[j * sps + r];
+      }
+      int32_t w32 = (int32_t)(uint32_t)w;      // wrap like int32
+      long i = k * sps + r;
+      phase_words_out[i] = acc;                // phase BEFORE the step
+      double ph = (double)acc * inv;           // turns
+      out_re[i] = (float)std::cos(2.0 * M_PI * ph);
+      out_im[i] = (float)std::sin(2.0 * M_PI * ph);
+      acc = (int32_t)(uint32_t)((uint32_t)acc + (uint32_t)w32);
+    }
+    for (int j = (int)hist.size() - 1; j > 0; --j) hist[j] = hist[j - 1];
+    if (!hist.empty()) hist[0] = nrz;
+  }
+  (void)n;
+}
+
 }  // extern "C"

@@ -338,3 +338,29 @@ def iir_stream(x: np.ndarray, b: np.ndarray, a: np.ndarray,
                           ctypes.c_long(p), _fp(z.view(np.float32)),
                           _fp(out.view(np.float32)))
     return out, z
+
+
+def cpm_tx(bits: np.ndarray, words: np.ndarray, sps: int,
+           phase0: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """CPM transmitter twin (chains/tx.py cpm_tx_apply): per-sample C++
+    loop over the SAME int32 phase-increment words. Returns
+    (baseband complex64 [nsym*sps], phase_words int32 [nsym*sps]); the
+    word stream is bit-identical to the JAX path (two's-complement
+    arithmetic), the waveform matches to float rounding.
+    """
+    bits = np.ascontiguousarray(bits, np.uint8)
+    words = np.ascontiguousarray(words, np.int32)
+    nspan = words.shape[0]
+    assert words.shape[1] == sps
+    n = bits.size * sps
+    ph = np.empty(n, np.int32)
+    re = np.empty(n, np.float32)
+    im = np.empty(n, np.float32)
+    _lib().orc_cpm_tx(bits.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                      ctypes.c_long(bits.size),
+                      words.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                      ctypes.c_int(nspan), ctypes.c_int(sps),
+                      ctypes.c_int32(phase0),
+                      ph.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                      _fp(re), _fp(im))
+    return (re + 1j * im).astype(np.complex64), ph
