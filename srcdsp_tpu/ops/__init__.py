@@ -52,3 +52,6 @@ from srcdsp_tpu.ops.decimplan import (  # noqa: F401
 from srcdsp_tpu.ops.cfar import (  # noqa: F401
     ca_cfar, cfar_alpha, go_cfar_split,
 )
+from srcdsp_tpu.ops.ddc import (  # noqa: F401
+    DdcParams, DdcState, ddc_apply, ddc_init, make_ddc,
+)
