@@ -31,6 +31,7 @@ from srcdsp_tpu import rs  # noqa: F401
 from srcdsp_tpu import ldpc  # noqa: F401
 from srcdsp_tpu import qcldpc  # noqa: F401
 from srcdsp_tpu import turbo  # noqa: F401
+from srcdsp_tpu import polar  # noqa: F401
 from srcdsp_tpu import demap  # noqa: F401
 from srcdsp_tpu import array  # noqa: F401
 from srcdsp_tpu import metrics  # noqa: F401

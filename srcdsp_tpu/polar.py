@@ -1,0 +1,133 @@
+"""Polar codes: butterfly encoding + successive-cancellation decoding
+(beyond parity; completes the modern-FEC triad next to ldpc.py/qcldpc.py
+and turbo.py — polar is the 5G control-channel code).
+
+TPU-native shape:
+
+- **Construction** is host-side (like every code here): channel
+  reliabilities by Arikan's Bhattacharyya recursion z -> {2z - z^2, z^2};
+  the K most reliable synthetic channels carry data, the rest are frozen
+  to 0.
+- **Encoding** is log2(N) butterfly stages of XOR — each stage one
+  reshape + one elementwise add mod 2 over the whole batch (the F^{(x)n}
+  transform; no matmul needed, the butterfly IS the fast form).
+- **SC decoding** is the textbook recursion UNROLLED AT TRACE TIME: the
+  recursion tree over halves is static (depth log2 N, 2N-1 nodes), so
+  Python recursion emits a fixed jnp graph — f-nodes (min-sum box-plus),
+  g-nodes (sign-adjusted sum), hard decisions masked by the frozen set
+  via `where`. No lax control flow, no gathers; batches vmap.
+
+SC is the O(N log N) baseline decoder (list decoding stacks on top of
+this recursion); at short block lengths it is competitive with the other
+decoders here and exact to the textbook algorithm (loop twin in the
+tests).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srcdsp_tpu.types import F32
+
+__all__ = ["PolarCode", "make_polar", "polar_encode", "polar_decode"]
+
+
+class PolarCode(NamedTuple):
+    n: int
+    k: int
+    frozen: np.ndarray     # [N] bool, True = frozen (bit index order)
+    data_pos: np.ndarray   # [K] i64 data positions (sorted)
+
+
+def make_polar(n: int, k: int, design_z: float = 0.5) -> PolarCode:
+    """Bhattacharyya-ranked construction: start from z and apply
+    z_left = 2z - z^2, z_right = z^2 down log2(N) levels; freeze the
+    N - K least reliable (largest z) bit channels."""
+    if n & (n - 1) or n < 2:
+        raise ValueError("N must be a power of two")
+    if not 0 < k < n:
+        raise ValueError("need 0 < K < N")
+    z = np.asarray([design_z], np.float64)
+    while z.size < n:
+        z = np.concatenate([2 * z - z * z, z * z])
+    # the concat recursion builds the branch path in REVERSED digit
+    # significance relative to the half-split decode recursion: map the
+    # reliabilities to decoder index order by bit reversal (verified
+    # against genie-aided Monte-Carlo per-index error rates)
+    bits = n.bit_length() - 1
+    br = np.zeros(n, np.int64)
+    for i in range(n):
+        v, r = i, 0
+        for _ in range(bits):
+            r = (r << 1) | (v & 1)
+            v >>= 1
+        br[i] = r
+    z = z[br]
+    order = np.argsort(z, kind="stable")          # most reliable first
+    data_pos = np.sort(order[:k])
+    frozen = np.ones(n, bool)
+    frozen[data_pos] = False
+    return PolarCode(n=int(n), k=int(k), frozen=frozen,
+                     data_pos=data_pos.astype(np.int64))
+
+
+def polar_encode(code: PolarCode, u_info: jax.Array) -> jnp.ndarray:
+    """u_info: [..., K] {0,1} -> codeword [..., N] via the butterfly
+    transform x = u B F^(x)log2(N) (bit-reversal absorbed into the
+    recursion convention used by the decoder)."""
+    batch = u_info.shape[:-1]
+    u = jnp.zeros((*batch, code.n), jnp.int32)
+    u = u.at[..., jnp.asarray(code.data_pos)].set(u_info.astype(jnp.int32))
+    n = code.n
+    x = u
+    half = 1
+    while half < n:
+        x = x.reshape(*batch, -1, 2, half)
+        left = jnp.bitwise_xor(x[..., 0, :], x[..., 1, :])
+        x = jnp.concatenate([left[..., None, :], x[..., 1:2, :]], axis=-2)
+        x = x.reshape(*batch, n)
+        half *= 2
+    return x
+
+
+def _f(a, b):
+    """min-sum box-plus: sign(a)sign(b)min(|a|,|b|)."""
+    return jnp.sign(a) * jnp.sign(b) * jnp.minimum(jnp.abs(a), jnp.abs(b))
+
+
+def _g(a, b, u):
+    """g-node: b + (1-2u) a for the already-decided left bits u."""
+    return b + (1.0 - 2.0 * u) * a
+
+
+def polar_decode(code: PolarCode, llr: jax.Array) -> tuple[jnp.ndarray,
+                                                           jnp.ndarray]:
+    """Successive cancellation. llr: [N] (positive favors bit 0).
+    Returns (info bits [K] i32, u_hat [N] i32 — all synthetic-channel
+    decisions incl. frozen zeros). vmap for batches.
+    """
+    frozen = jnp.asarray(code.frozen)
+
+    def sc(l, lo, size):
+        """Decode the subtree covering bit indices [lo, lo+size) from its
+        channel LLR vector l [size]. Returns (u decisions [size],
+        x partial-sum [size] of this subtree)."""
+        if size == 1:
+            u = jnp.where(frozen[lo], jnp.int32(0),
+                          (l[0] < 0).astype(jnp.int32))
+            return u[None], u[None]
+        half = size // 2
+        a, b = l[:half], l[half:]
+        u_l, x_l = sc(_f(a, b), lo, half)
+        u_r, x_r = sc(_g(a, b, x_l.astype(F32)), lo + half, half)
+        u = jnp.concatenate([u_l, u_r])
+        x = jnp.concatenate([jnp.bitwise_xor(x_l, x_r), x_r])
+        return u, x
+
+    u_hat, _ = sc(llr.astype(F32), 0, code.n)
+    info = jnp.take(u_hat, jnp.asarray(code.data_pos))
+    return info.astype(jnp.int32), u_hat.astype(jnp.int32)
