@@ -56,6 +56,7 @@ def main(argv=None):
         make_regular_ldpc
     from srcdsp_tpu.qcldpc import ldpc_decode_layered, make_qc_base, \
         make_qc_ldpc
+    from srcdsp_tpu.polar import make_polar, polar_decode, polar_encode
     from srcdsp_tpu.turbo import make_turbo, turbo_decode, turbo_encode
 
     out = open(args.out, "w") if args.out != "-" else sys.stdout
@@ -77,11 +78,13 @@ def main(argv=None):
     zq = 21
     qc = make_qc_ldpc(make_qc_base(3, 6, zq, seed=0), zq)
     tc = make_turbo(512, seed=0)
+    pc = make_polar(256, 128)
 
     vit = jax.jit(lambda s: viterbi_decode(cc, s))
     ldec = jax.jit(lambda l: ldpc_decode(ldpc, l, iters=30))
     qdec = jax.jit(lambda l: ldpc_decode_layered(qc, l, zq, iters=15))
     tdec = jax.jit(lambda a, b, c: turbo_decode(tc, a, b, c, iters=6))
+    pdec = jax.jit(jax.vmap(lambda l: polar_decode(pc, l)))
 
     for ebn0 in args.ebn0:
         t0 = time.time()
@@ -125,6 +128,17 @@ def main(argv=None):
         _, info, ok = qdec(jnp.asarray(llr, jnp.float32))
         info = np.asarray(info)
         emit({"scheme": f"qcldpc-{qc.n}-layered15", "ebn0_db": ebn0,
+              "ber": float((info != ub).mean()),
+              "bler": float((info != ub).any(axis=-1).mean()),
+              "bits": int(ub.size)})
+
+        # polar (256, 128) SC
+        ub = rng.integers(0, 2, (args.blocks, pc.k))
+        cw = np.asarray(polar_encode(pc, jnp.asarray(ub))).astype(np.float64)
+        llr = awgn_llr(cw, pc.k / pc.n, ebn0)
+        info, _ = pdec(jnp.asarray(llr, jnp.float32))
+        info = np.asarray(info)
+        emit({"scheme": "polar-256-r12-sc", "ebn0_db": ebn0,
               "ber": float((info != ub).mean()),
               "bler": float((info != ub).any(axis=-1).mean()),
               "bits": int(ub.size)})
