@@ -33,7 +33,8 @@ import numpy as np
 
 from srcdsp_tpu.types import F32
 
-__all__ = ["PolarCode", "make_polar", "polar_encode", "polar_decode"]
+__all__ = ["PolarCode", "make_polar", "polar_encode", "polar_decode",
+           "polar_decode_list"]
 
 
 class PolarCode(NamedTuple):
@@ -131,3 +132,69 @@ def polar_decode(code: PolarCode, llr: jax.Array) -> tuple[jnp.ndarray,
     u_hat, _ = sc(llr.astype(F32), 0, code.n)
     info = jnp.take(u_hat, jnp.asarray(code.data_pos))
     return info.astype(jnp.int32), u_hat.astype(jnp.int32)
+
+
+def polar_decode_list(code: PolarCode, llr: jax.Array, list_size: int = 8
+                      ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Successive-cancellation LIST decoding (the production polar
+    decoder; ~1 dB over plain SC at short blocks).
+
+    All L paths flow through the same trace-unrolled recursion as
+    batched [L, size] arrays. At each data leaf the paths fork to 2L
+    candidates with the min-sum path-metric penalty |l| for deciding
+    against the channel sign; the best L survive (one argsort — the only
+    "sequential" work). Path reordering is threaded FUNCTIONALLY: each
+    subtree returns a permutation mapping its output path order to its
+    entry order, and the parent remaps its cached channel LLRs and the
+    left partial sums before use — no memory banks, no dynamic state.
+
+    Returns (info [L, K] i32 — best path first, u_hat [L, N] i32,
+    pm [L] f32 path metrics ascending). Pick row 0, or CRC-check rows in
+    order for CRC-aided SCL. vmap over codewords.
+    """
+    lsz = int(list_size)
+    frozen = np.asarray(code.frozen)
+    big = jnp.asarray(np.float32(3.4e38))
+
+    def leaf(l, pm, lo):
+        """l: [L, 1] llr; pm: [L]. Returns (u [L,1], pm, perm [L])."""
+        lv = l[:, 0]
+        pen = jnp.abs(lv)                       # cost of opposing the sign
+        if frozen[lo]:
+            # frozen: u=0; paths whose llr prefers 1 pay the penalty
+            pm2 = pm + jnp.where(lv < 0, pen, 0.0)
+            u = jnp.zeros((lsz, 1), jnp.int32)
+            return u, pm2, jnp.arange(lsz)
+        # fork: candidate c = path p with u = c // L? use [2L] layout:
+        # first L = follow the sign (no penalty), second L = oppose
+        follow = (lv < 0).astype(jnp.int32)
+        pm_cand = jnp.concatenate([pm, pm + pen])          # [2L]
+        order = jnp.argsort(pm_cand)[:lsz]                 # best L
+        perm = jnp.mod(order, lsz)                         # source path
+        u_bit = jnp.where(order < lsz, follow[perm], 1 - follow[perm])
+        return u_bit[:, None].astype(jnp.int32), pm_cand[order], perm
+
+    def dec(l, pm, lo, size):
+        """l: [L, size], pm: [L] -> (u [L,size], x [L,size], pm, perm)."""
+        if size == 1:
+            u, pm2, perm = leaf(l, pm, lo)
+            return u, u, pm2, perm
+        half = size // 2
+        a, b = l[:, :half], l[:, half:]
+        u_l, x_l, pm, perm_l = dec(_f(a, b), pm, lo, half)
+        a2, b2 = a[perm_l], b[perm_l]          # remap cached LLRs
+        u_r, x_r, pm, perm_r = dec(_g(a2, b2, x_l.astype(F32)),
+                                   pm, lo + half, half)
+        u = jnp.concatenate([u_l[perm_r], u_r], axis=-1)
+        x = jnp.concatenate([jnp.bitwise_xor(x_l[perm_r], x_r), x_r],
+                            axis=-1)
+        perm = perm_l[perm_r]                  # compose output->entry
+        return u, x, pm, perm
+
+    l0 = jnp.broadcast_to(llr.astype(F32)[None, :], (lsz, code.n))
+    pm0 = jnp.full((lsz,), big, F32).at[0].set(0.0)   # start from one path
+    u_hat, _, pm, _ = dec(l0, pm0, 0, code.n)
+    order = jnp.argsort(pm)
+    u_hat = u_hat[order]
+    info = jnp.take(u_hat, jnp.asarray(code.data_pos), axis=-1)
+    return info.astype(jnp.int32), u_hat.astype(jnp.int32), pm[order]
