@@ -34,6 +34,7 @@ from srcdsp_tpu import turbo  # noqa: F401
 from srcdsp_tpu import polar  # noqa: F401
 from srcdsp_tpu import demap  # noqa: F401
 from srcdsp_tpu import array  # noqa: F401
+from srcdsp_tpu import mimo  # noqa: F401
 from srcdsp_tpu import metrics  # noqa: F401
 
 # heavier/optional subsystems stay import-on-demand:
