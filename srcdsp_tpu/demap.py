@@ -25,7 +25,7 @@ import numpy as np
 
 from srcdsp_tpu.chains.psk import constellation_offset
 from srcdsp_tpu.chains.qam import qam_constellation
-from srcdsp_tpu.types import F32
+from srcdsp_tpu.types import F32, F32_BIG
 
 __all__ = ["maxlog_llr", "psk_llr", "qam_llr", "psk_points"]
 
@@ -54,7 +54,7 @@ def maxlog_llr(y: jax.Array, points: jax.Array, sigma2,
         raise ValueError(f"constellation size {m} is not a power of two")
     lab = np.arange(m) if labels is None else np.asarray(labels)
     d2 = jnp.abs(y[..., None] - points) ** 2            # [..., N, M]
-    big = jnp.asarray(np.float32(3.4e38))
+    big = jnp.asarray(F32_BIG)
     cols = []
     for b in range(nbits):
         bit = (lab >> (nbits - 1 - b)) & 1              # [M], MSB first

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from srcdsp_tpu.types import F32
+from srcdsp_tpu.types import F32, F32_BIG
 
 __all__ = [
     "LdpcCode", "make_regular_ldpc", "make_ldpc_code",
@@ -217,7 +217,7 @@ def minsum_c2v(h: jax.Array, v2c: jax.Array, alpha: float) -> jax.Array:
     only elementwise ops + axis reductions (no argmin/one_hot/gather), so
     it also lowers on restricted backends.
     """
-    big = F32(3.4e38)
+    big = F32(float(F32_BIG))
     mag = jnp.where(h > 0, jnp.abs(v2c), big)
     sgn = jnp.where(v2c < 0, F32(-1.0), F32(1.0))
     row_sgn = jnp.prod(jnp.where(h > 0, sgn, F32(1.0)), axis=-1,

@@ -33,9 +33,9 @@ __all__ = ["zf_detect", "mmse_detect", "make_ml_lattice", "ml_detect"]
 def zf_detect(h: jax.Array, y: jax.Array) -> jnp.ndarray:
     """Zero-forcing: x_hat = pinv(H) y. h: [Nr, Nt]; y: [Nr, N] ->
     [Nt, N]. Exact stream separation, noise-enhancing when H is
-    ill-conditioned."""
-    hh = jnp.conj(h.T) @ h
-    return jnp.linalg.solve(hh, jnp.conj(h.T) @ y.astype(CF32))
+    ill-conditioned (pinv, not normal equations: finite min-norm answer
+    even for rank-deficient H, and no condition-number squaring)."""
+    return jnp.linalg.pinv(h.astype(jnp.complex64)) @ y.astype(CF32)
 
 
 def mmse_detect(h: jax.Array, y: jax.Array, snr: float) -> jnp.ndarray:
@@ -66,8 +66,11 @@ def ml_detect(h: jax.Array, y: jax.Array, cands: np.ndarray,
     """
     exp = (jnp.asarray(cands.astype(np.complex64))
            @ h.T.astype(jnp.complex64))            # [C, Nr]
-    d2 = (jnp.sum(jnp.abs(y.T[:, None, :].astype(CF32)
-                          - exp[None, :, :]) ** 2, axis=-1))   # [N, C]
-    best = jnp.argmin(d2, axis=-1)                             # [N]
+    # argmin |y - Hs|^2 = argmin (|Hs|^2 - 2 Re<y, Hs>): one [N, Nr] x
+    # [Nr, C] matmul instead of an [N, C, Nr] broadcast tensor (which
+    # would OOM at full-lattice sizes like 4x4 16-QAM)
+    e2 = jnp.sum(jnp.abs(exp) ** 2, axis=-1)                   # [C]
+    cross = jnp.real(y.T.astype(CF32) @ jnp.conj(exp).T)       # [N, C]
+    best = jnp.argmin(e2[None, :] - 2.0 * cross, axis=-1)      # [N]
     return jnp.take(jnp.asarray(cand_idx.astype(np.int32)), best,
                     axis=0).T                                  # [Nt, N]

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from srcdsp_tpu.types import F32
+from srcdsp_tpu.types import F32, F32_BIG
 
 __all__ = ["PolarCode", "make_polar", "polar_encode", "polar_decode",
            "polar_decode_list"]
@@ -153,8 +153,10 @@ def polar_decode_list(code: PolarCode, llr: jax.Array, list_size: int = 8
     order for CRC-aided SCL. vmap over codewords.
     """
     lsz = int(list_size)
+    if lsz < 1:
+        raise ValueError(f"list_size must be >= 1, got {list_size}")
     frozen = np.asarray(code.frozen)
-    big = jnp.asarray(np.float32(3.4e38))
+    big = jnp.asarray(F32_BIG)
 
     def leaf(l, pm, lo):
         """l: [L, 1] llr; pm: [L]. Returns (u [L,1], pm, perm [L])."""

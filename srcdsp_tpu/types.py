@@ -78,3 +78,9 @@ def np_complex64_to_int16(x: np.ndarray, scale: float = DEFAULT_SCALE, interleav
     if interleave:
         out = out.reshape(*out.shape[:-2], -1)
     return out
+
+
+# A finite float32-max sentinel for masked reductions (jnp.inf breaks
+# under accumulation in some kernels; a shared constant stops per-module
+# magic numbers drifting).
+F32_BIG = np.float32(3.4e38)

@@ -46,7 +46,7 @@ def test_clean_exact_all_detectors():
 
 
 def test_ml_beats_mmse_beats_zf_on_bad_channel():
-    """An ill-conditioned 2x2 channel at 18 dB: the detector ordering
+    """An ill-conditioned 2x2 channel at 14 dB: the detector ordering
     ML <= MMSE <= ZF in SER, with strict gaps."""
     pts, idx, h, y, snr = _scene(order=4, snr_db=14.0, cond=8.0, seed=1)
     ser_zf = float(np.mean(_slice(pts, zf_detect(h, y)) != idx))
