@@ -112,6 +112,8 @@ def test_crc_aided_scl():
     nblk = 24
     sigma = np.sqrt(1.0 / (2 * 0.5 * 10 ** (2.0 / 10)))
     sc_ok = ca_ok = 0
+    dec_sc = jax.jit(lambda l: polar_decode(code, l))
+    dec_l = jax.jit(lambda l: polar_decode_list(code, l, 8))
     for b in range(nblk):
         payload = rng.integers(0, 2, 120)
         cval = int(crc_value(crc, crc_update(crc, crc_init(crc),
@@ -122,9 +124,9 @@ def test_crc_aided_scl():
                        ).astype(np.float64)
         y = (1 - 2 * x) + sigma * rng.standard_normal(x.shape)
         llr = jnp.asarray(2 / sigma ** 2 * y, jnp.float32)
-        sc_info, _ = polar_decode(code, llr)
+        sc_info, _ = dec_sc(llr)
         sc_ok += int((np.asarray(sc_info) == bits).all())
-        l_info, _, _ = polar_decode_list(code, llr, 8)
+        l_info, _, _ = dec_l(llr)
         l_info = np.asarray(l_info)
         for row in l_info:                        # first CRC-passing path
             rv = int(crc_value(crc, crc_update(crc, crc_init(crc),
