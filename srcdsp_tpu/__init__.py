@@ -27,6 +27,7 @@ from srcdsp_tpu import io  # noqa: F401
 from srcdsp_tpu import checkpoint  # noqa: F401
 from srcdsp_tpu import fec  # noqa: F401
 from srcdsp_tpu import gf2  # noqa: F401
+from srcdsp_tpu import hdlc  # noqa: F401
 from srcdsp_tpu import rs  # noqa: F401
 from srcdsp_tpu import ldpc  # noqa: F401
 from srcdsp_tpu import qcldpc  # noqa: F401
