@@ -55,3 +55,6 @@ from srcdsp_tpu.ops.cfar import (  # noqa: F401
 from srcdsp_tpu.ops.ddc import (  # noqa: F401
     DdcParams, DdcState, ddc_apply, ddc_init, make_ddc,
 )
+from srcdsp_tpu.ops.afc import (  # noqa: F401
+    AfcParams, AfcState, afc_apply, afc_init, make_afc,
+)
