@@ -27,7 +27,8 @@ from srcdsp_tpu.chains.psk import constellation_offset
 from srcdsp_tpu.chains.qam import qam_constellation
 from srcdsp_tpu.types import F32, F32_BIG
 
-__all__ = ["maxlog_llr", "psk_llr", "qam_llr", "psk_points"]
+__all__ = ["maxlog_llr", "psk_llr", "qam_llr", "psk_points",
+           "apsk_constellation"]
 
 
 def psk_points(order: int) -> jnp.ndarray:
@@ -77,3 +78,31 @@ def qam_llr(y: jax.Array, order: int, sigma2) -> jnp.ndarray:
     Gray symbol label, so index labels already realize Gray demapping
     (adjacent points differ in one bit)."""
     return maxlog_llr(y, qam_constellation(order), sigma2)
+
+
+def apsk_constellation(order: int, gamma=None) -> jnp.ndarray:
+    """DVB-S2-style APSK constellations, unit average power.
+
+    16APSK: rings of 4 + 12 points (ring ratio gamma ~2.5-3.2 by code
+    rate; default 2.7); 32APSK: 4 + 12 + 16 (gammas (2.53, 4.3) default).
+    Index = (ring, position) raveled inner-first — pass these points to
+    maxlog_llr / mimo.make_ml_lattice / chains.tx mappers like any other
+    constellation. APSK trades QAM's amplitude levels for rings, cutting
+    PAPR/nonlinearity sensitivity — the satellite-channel constellation.
+    """
+    if order == 16:
+        g = 2.7 if gamma is None else float(gamma)
+        counts, radii = (4, 12), (1.0, g)
+    elif order == 32:
+        g1, g2 = (2.53, 4.3) if gamma is None else gamma
+        counts, radii = (4, 12, 16), (1.0, g1, g2)
+    else:
+        raise ValueError("apsk_constellation supports order 16 or 32")
+    pts = []
+    for c, r, off in zip(counts, radii,
+                         (np.pi / 4, np.pi / 12, 0.0)):
+        ang = 2 * np.pi * np.arange(c) / c + off
+        pts.append(r * np.exp(1j * ang))
+    pts = np.concatenate(pts)
+    pts = pts / np.sqrt(np.mean(np.abs(pts) ** 2))
+    return jnp.asarray(pts.astype(np.complex64))

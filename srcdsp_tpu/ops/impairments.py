@@ -193,3 +193,17 @@ def snr_m2m4(state_or_y, kurtosis_signal: float = 1.0) -> jax.Array:
     s = jnp.sqrt(jnp.maximum((2.0 * m2 * m2 - m4) / (2.0 - ka), 0.0))
     noise = jnp.maximum(m2 - s, 1e-12)
     return (s / noise).astype(F32)
+
+
+def blank_impulses(x: jax.Array, guard: int = 2, train: int = 32,
+                   pfa: float = 1e-4) -> tuple[jax.Array, jax.Array]:
+    """Impulse-noise blanker: CFAR on |x|^2 marks samples far above the
+    LOCAL power floor (robust to slow AGC/fading ripple, unlike a global
+    threshold) and zeroes them — pulse blanking, the standard defense
+    against ignition/radar/lightning impulses that would otherwise smear
+    through the matched filter. Returns (cleaned x, blanked mask)."""
+    from srcdsp_tpu.ops.cfar import ca_cfar
+
+    p = (jnp.real(x) ** 2 + jnp.imag(x) ** 2).astype(F32)
+    det, _ = ca_cfar(p, guard=guard, train=train, pfa=pfa)
+    return jnp.where(det, jnp.zeros((), x.dtype), x), det

@@ -84,3 +84,29 @@ def test_soft_beats_hard_with_ldpc():
     soft_better = (not bool(ok_h[0])) or \
         int((np.asarray(info_h)[0] != u[0]).sum()) > 0
     assert soft_better
+
+
+def test_apsk_constellation_and_demap():
+    """DVB-S2 16/32APSK: ring structure, unit power, and max-log demap
+    roundtrip at high SNR through the generic constellation machinery."""
+    from srcdsp_tpu.demap import apsk_constellation
+
+    rng = np.random.default_rng(6)
+    for order, rings in ((16, (4, 12)), (32, (4, 12, 16))):
+        pts = np.asarray(apsk_constellation(order))
+        np.testing.assert_allclose(np.mean(np.abs(pts) ** 2), 1.0,
+                                   atol=1e-6)
+        radii = np.sort(np.unique(np.round(np.abs(pts), 5)))
+        assert radii.size == len(rings)
+        for r, c in zip(radii, rings):
+            assert np.sum(np.isclose(np.abs(pts), r, atol=1e-5)) == c
+        # demap roundtrip
+        idx = rng.integers(0, order, 512)
+        y = pts[idx] + 0.02 * (rng.standard_normal(512)
+                               + 1j * rng.standard_normal(512))
+        llr = maxlog_llr(jnp.asarray(y.astype(np.complex64)),
+                         jnp.asarray(pts), sigma2=8e-4)
+        nbits = order.bit_length() - 1
+        hard = (np.asarray(llr) < 0).astype(int)
+        got = hard @ (2 ** np.arange(nbits - 1, -1, -1))
+        np.testing.assert_array_equal(got, idx)

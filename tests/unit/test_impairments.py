@@ -141,3 +141,40 @@ def test_multichannel():
     fixed = iq_imbalance_correct(bad, g, phi)
     circ = np.abs(np.asarray(jnp.mean(fixed ** 2, axis=-1)))
     assert np.all(circ < 0.01)
+
+
+def test_impulse_blanker_saves_the_link():
+    """Strong sparse impulses on a QPSK stream: unblanked demod carries
+    symbol errors, pulse blanking restores SER 0 (and flags ~the right
+    number of samples)."""
+    from srcdsp_tpu.chains.psk import (
+        diff_decode, diff_encode, make_psk_params, psk_apply, psk_init)
+    from srcdsp_tpu.chains.tx import linear_tx_apply, linear_tx_init, \
+        make_linear_tx, psk_map
+    from srcdsp_tpu.ops.impairments import blank_impulses
+
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.integers(0, 4, 1024))
+    rxp = make_psk_params(0.0, decim=1, sps=4, order=4)
+    txp = make_linear_tx(0.0, rxp.taps, sps=4)
+    _, x = linear_tx_apply(txp, linear_tx_init(txp),
+                           psk_map(diff_encode(data, 4), 4))
+    x = np.asarray(x)
+    n_imp = 40
+    pos = rng.choice(x.size, n_imp, replace=False)
+    x_bad = x.copy()
+    x_bad[pos] += 30.0 * np.exp(2j * np.pi * rng.random(n_imp))
+
+    def ser(sig):
+        _, (rx, _) = jax.jit(psk_apply)(rxp, psk_init(rxp),
+                                        jnp.asarray(sig.astype(np.complex64)))
+        d = np.asarray(diff_decode(rx, 4))
+        b = np.asarray(data)
+        return min(float(np.mean(b[24:24 + 900] != d[24 + lag:24 + lag + 900]))
+                   for lag in range(0, 17))
+
+    assert ser(x_bad) > 0.01
+    cleaned, mask = blank_impulses(jnp.asarray(x_bad.astype(np.complex64)))
+    nb = int(np.asarray(mask).sum())
+    assert n_imp <= nb <= 3 * n_imp, nb       # flags the impulses, not much else
+    assert ser(np.asarray(cleaned)) == 0.0
