@@ -91,9 +91,14 @@ def apsk_constellation(order: int, gamma=None) -> jnp.ndarray:
     PAPR/nonlinearity sensitivity — the satellite-channel constellation.
     """
     if order == 16:
+        if gamma is not None and np.ndim(gamma) != 0:
+            raise ValueError("16APSK takes a single ring-ratio gamma")
         g = 2.7 if gamma is None else float(gamma)
         counts, radii = (4, 12), (1.0, g)
     elif order == 32:
+        if gamma is not None and (np.ndim(gamma) != 1
+                                  or len(gamma) != 2):
+            raise ValueError("32APSK takes gamma=(g1, g2) ring ratios")
         g1, g2 = (2.53, 4.3) if gamma is None else gamma
         counts, radii = (4, 12, 16), (1.0, g1, g2)
     else:

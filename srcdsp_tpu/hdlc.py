@@ -30,23 +30,30 @@ __all__ = ["FLAG", "stuff_bits", "destuff_bits", "find_flags",
 FLAG = np.asarray([0, 1, 1, 1, 1, 1, 1, 0], np.int32)
 
 
-def _ones_run(b: jax.Array) -> jnp.ndarray:
-    """run[i] = number of consecutive 1s ENDING at position i."""
+def _ones_run(b: jax.Array, run0: int | jax.Array = 0) -> jnp.ndarray:
+    """run[i] = number of consecutive 1s ENDING at position i; `run0` is
+    the run carried in from the previous block (streaming)."""
     i = jnp.arange(b.shape[-1])
+    seed = -(jnp.asarray(run0, i.dtype) + 1)   # virtual last zero index
     last_zero = jax.lax.associative_scan(jnp.maximum,
-                                         jnp.where(b == 0, i, -1))
+                                         jnp.where(b == 0, i, seed))
     return i - last_zero
 
 
-def stuff_bits(bits: jax.Array) -> tuple[jnp.ndarray, jnp.ndarray]:
+def stuff_bits(bits: jax.Array, run0: int | jax.Array = 0
+               ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Insert a 0 after every run of five 1s. bits: [N] {0,1}.
 
-    Returns (out [ceil(6N/5)] int32, valid [same] bool): the stuffed
-    stream occupies the valid positions in order (static capacity —
-    compact with `compact_bits`)."""
+    Returns (out [ceil(6N/5)] int32, valid [same] bool, run_out): the
+    stuffed stream occupies the valid positions in order (static
+    capacity — compact with `compact_bits`). For BLOCK STREAMING pass the
+    previous call's run_out as `run0` — a run of 1s straddling the block
+    boundary is then stuffed correctly (one-shot calls just ignore it).
+    NOTE run semantics: a stuffed zero resets the receiver's count, so
+    run_out is the run length AFTER the final (possibly stuffed) bit."""
     b = bits.astype(jnp.int32)
     n = b.shape[-1]
-    run = _ones_run(b)
+    run = _ones_run(b, run0)
     # a stuffed 0 goes AFTER position i whenever run at i hits a multiple
     # of 5 (5, 10, ... — re-stuff after each five, matching the receiver)
     ins = (run > 0) & (jnp.mod(run, 5) == 0)
@@ -62,18 +69,24 @@ def stuff_bits(bits: jax.Array) -> tuple[jnp.ndarray, jnp.ndarray]:
     valid = valid.at[pos].set(True)
     zidx = jnp.where(ins, pos + 1, cap)    # stuffed zeros after the run
     valid = valid.at[zidx].set(ins)
-    return out[:cap], valid[:cap]
+    # carried run: 0 if the block ended on a 0 or a stuffed 0, else the
+    # final run modulo the 5-reset
+    run_out = jnp.where(b[n - 1] == 0, 0, jnp.mod(run[n - 1], 5))
+    return out[:cap], valid[:cap], run_out
 
 
-def destuff_bits(bits: jax.Array) -> tuple[jnp.ndarray, jnp.ndarray]:
+def destuff_bits(bits: jax.Array, run0: int | jax.Array = 0
+                 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Delete every 0 that follows exactly five 1s. bits: [N] {0,1}.
-    Returns (out [N] int32, valid [N] bool) — ragged, compact at the
-    sink."""
+    Returns (out [N] int32, valid [N] bool, run_out) — ragged, compact at
+    the sink; thread run_out -> run0 across streamed blocks."""
     b = bits.astype(jnp.int32)
-    run = _ones_run(b)
-    prev_run = jnp.concatenate([jnp.zeros(1, run.dtype), run[:-1]])
-    stuffed = (b == 0) & (prev_run == 5)
-    return b, ~stuffed
+    run = _ones_run(b, run0)
+    prev_run = jnp.concatenate(
+        [jnp.asarray(run0, run.dtype)[None], run[:-1]])
+    stuffed = (b == 0) & (jnp.mod(prev_run, 5) == 0) & (prev_run > 0)
+    run_out = jnp.where(b[-1] == 0, 0, run[-1])
+    return b, ~stuffed, run_out
 
 
 def find_flags(bits: jax.Array) -> jnp.ndarray:

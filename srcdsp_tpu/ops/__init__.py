@@ -24,7 +24,7 @@ from srcdsp_tpu.ops.farrow import (  # noqa: F401
     make_farrow_ratio,
 )
 from srcdsp_tpu.ops.impairments import (  # noqa: F401
-    MomentState, cfo_fft_peak, cfo_kay, dc_offset, iq_imbalance_correct,
+    MomentState, blank_impulses, cfo_fft_peak, cfo_kay, dc_offset, iq_imbalance_correct,
     iq_imbalance_estimate, moments_init, moments_update, snr_m2m4,
 )
 from srcdsp_tpu.ops.halfband import (  # noqa: F401

@@ -30,13 +30,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from srcdsp_tpu.ops.fir import FirState, fir_apply, fir_init
-from srcdsp_tpu.ops.nco import NcoState, nco_apply, nco_init
+from srcdsp_tpu.ops.nco import NcoState, freq_to_word_traced, nco_apply, nco_init
 from srcdsp_tpu.ops.window import lowpass
-from srcdsp_tpu.types import CF32, F32
+from srcdsp_tpu.types import F32
 
 __all__ = ["AfcParams", "AfcState", "make_afc", "afc_init", "afc_apply"]
-
-_SCALE = float(1 << 32)
 
 
 class AfcParams(NamedTuple):
@@ -64,6 +62,10 @@ def make_afc(symbol_rate: float, beta: float = 0.35, num_taps: int = 64,
     bw = (1.0 + beta) * symbol_rate
     edge = bw / 2.0
     ebw = max(beta * symbol_rate, symbol_rate / 8.0)
+    if edge + ebw / 2.0 >= 0.5:
+        raise ValueError(
+            f"band-edge filter would alias: (1+beta)*Rs/2 + edge_bw/2 = "
+            f"{edge + ebw / 2.0:.3f} >= 0.5 — increase the oversampling")
     proto = lowpass(num_taps, ebw / 2.0)
     n = np.arange(num_taps) - (num_taps - 1) / 2.0
     up = (proto * np.exp(2j * np.pi * edge * n)).astype(np.complex64)
@@ -85,13 +87,8 @@ def afc_apply(params: AfcParams, state: AfcState, x: jax.Array
     y is the derotated block (residual CFO decays over blocks), freq the
     estimate BEFORE this block's update (the value that produced y).
     """
-    # traced tuning word: phase continuity lives in the carried u32.
-    # All modular math in f32 (int64 is unavailable without x64): wrap
-    # the frequency to [0, 1) turns first, then scale — f32 word
-    # quantization is ~2^-23 of the scale = 6e-8 cycles/sample
-    m = jnp.mod(-state.freq, F32(1.0))
-    word = jnp.mod(jnp.round(m * F32(_SCALE)), F32(_SCALE)
-                   ).astype(jnp.uint32)
+    # traced tuning word: phase continuity lives in the carried u32
+    word = freq_to_word_traced(-state.freq)
     nco_s, y = nco_apply(word, state.nco, x)
     up_s, u = fir_apply(params.upper_taps, state.up, y)
     lo_s, l = fir_apply(params.lower_taps, state.lo, y)

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from srcdsp_tpu.ops.cfar import ca_cfar
 from srcdsp_tpu.types import CF32, F32
 
 __all__ = [
@@ -202,8 +203,6 @@ def blank_impulses(x: jax.Array, guard: int = 2, train: int = 32,
     threshold) and zeroes them — pulse blanking, the standard defense
     against ignition/radar/lightning impulses that would otherwise smear
     through the matched filter. Returns (cleaned x, blanked mask)."""
-    from srcdsp_tpu.ops.cfar import ca_cfar
-
     p = (jnp.real(x) ** 2 + jnp.imag(x) ** 2).astype(F32)
     det, _ = ca_cfar(p, guard=guard, train=train, pfa=pfa)
     return jnp.where(det, jnp.zeros((), x.dtype), x), det

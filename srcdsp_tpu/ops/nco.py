@@ -45,6 +45,16 @@ def freq_to_word(freq) -> np.ndarray:
     return word.astype(np.uint32)
 
 
+def freq_to_word_traced(freq) -> "jnp.ndarray":
+    """Traced (in-graph) u32 tuning word from an f32 frequency — the same
+    quantization contract as `freq_to_word`, for loops that retune per
+    block (ops.afc). All modular math stays in f32: int64 is unavailable
+    without x64 and silently truncates.
+    """
+    m = jnp.mod(jnp.asarray(freq, F32), F32(1.0))
+    return jnp.mod(jnp.round(m * F32(_SCALE)), F32(_SCALE)).astype(jnp.uint32)
+
+
 class NcoState(NamedTuple):
     """Carried oscillator phase: uint32 in 2^-32 turns. Shape = channel shape."""
 

@@ -5,8 +5,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from srcdsp_tpu.chains.psk import make_psk_params, psk_apply, psk_init, \
-    diff_decode, diff_encode
+from srcdsp_tpu.chains.psk import make_psk_params, diff_decode, diff_encode
 from srcdsp_tpu.chains.tx import linear_tx_apply, linear_tx_init, \
     make_linear_tx, psk_map
 from srcdsp_tpu.ops.afc import afc_apply, afc_init, make_afc
@@ -84,6 +83,6 @@ def test_tracks_doppler_ramp():
         mid.append(ramp[(i * len(blk)) + len(blk) // 2])
     est = np.asarray(est)
     mid = np.asarray(mid)
-    # after acquisition, the estimate follows the ramp within Rs/50
+    # after acquisition, the estimate follows the ramp within Rs/25
     err = np.abs(est[8:] - mid[8:])
     assert err.max() < 0.02 / sps * 2.0, err.max()
