@@ -58,3 +58,8 @@ from srcdsp_tpu.ops.ddc import (  # noqa: F401
 from srcdsp_tpu.ops.afc import (  # noqa: F401
     AfcParams, AfcState, afc_apply, afc_init, make_afc,
 )
+from srcdsp_tpu.ops.dpd import (  # noqa: F401
+    DpdParams, DpdState, dpd_apply, dpd_full, dpd_identify_ila, dpd_init,
+    dpd_train_ila, lin_gain_ls, make_dpd_params, mp_basis, mp_num_coeffs,
+    pa_memory_polynomial, pa_saleh,
+)
