@@ -6,12 +6,14 @@ lax.scan — the whole decode then lowers on the axon on-chip subset (2-D
 f32 elementwise + reductions + matmul). This script measures coded-bit
 throughput per chip and cross-checks the decode against the CPU path.
 
-    python bench/ldpc_onchip.py [--n 504] [--iters 10] [--trials 5]
+    python bench/ldpc_onchip.py [--n 504] [--iters 10] [--trials 5] [--batch 64]
 
-Batching note: the axon subset is 2-D-only, so one codeword's [M, N]
-message array is the natural on-chip unit; multi-codeword batches run as
-consecutive dispatches (throughput is dispatch-amortized like the other
-on-chip chains — see BASELINE.md "Call sizing").
+Batching note (2026-08-19, measured): the [B, M, N] batched message
+tensor DOES lower on the axon subset (3-D elementwise + axis=-2 reduce
+work on-chip), so a whole batch decodes in ONE dispatch — the original
+1-codeword form was pure tunnel round-trip latency (~30 ms/codeword) and
+batching amortizes it exactly like the other on-chip chains (BASELINE.md
+"Call sizing").
 """
 
 from __future__ import annotations
@@ -32,6 +34,8 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=504)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--trials", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=64,
+                    help="codewords per dispatch (1 = latency probe)")
     ap.add_argument("--platform", default=None,
                     help="override backend (e.g. cpu for a dry run)")
     args = ap.parse_args(argv)
@@ -46,10 +50,10 @@ def main(argv=None):
 
     code = make_ldpc_code(make_regular_ldpc(args.n, 3, 6, seed=0))
     rng = np.random.default_rng(0)
-    u = rng.integers(0, 2, code.k)
-    cw = np.asarray(ldpc_encode(code, jnp.asarray(u[None])))[0]
+    u = rng.integers(0, 2, (args.batch, code.k))
+    cw = np.asarray(ldpc_encode(code, jnp.asarray(u)))
     sigma = 0.55
-    y = (1.0 - 2.0 * cw) + sigma * rng.standard_normal(cw.size)
+    y = (1.0 - 2.0 * cw) + sigma * rng.standard_normal(cw.shape)
     llr = jnp.asarray(2.0 / sigma ** 2 * y, jnp.float32)
 
     dec = jax.jit(lambda l: ldpc_decode(code, l, iters=args.iters,
@@ -72,10 +76,11 @@ def main(argv=None):
         times.append(time.perf_counter() - t0)
     med = float(np.median(times))
     print(json.dumps({
-        "metric": f"ldpc_n{args.n}_it{args.iters}_decode",
-        "coded_bits_per_s": code.n / med,
-        "ms_per_codeword": med * 1e3,
-        "ok": bool(np.asarray(ok)), "matches_cpu": match,
+        "metric": f"ldpc_n{args.n}_it{args.iters}_b{args.batch}_decode",
+        "coded_bits_per_s": args.batch * code.n / med,
+        "ms_per_codeword": med * 1e3 / args.batch,
+        "batch": args.batch,
+        "ok": bool(np.asarray(jnp.all(ok))), "matches_cpu": match,
         "backend": jax.devices()[0].platform,
     }))
 
