@@ -15,4 +15,6 @@ log=bench/hw_refresh_${ts}.log
   timeout 5400 python bench/run.py all
   echo "== on-chip LDPC (unrolled min-sum) =="
   timeout 1800 python bench/ldpc_onchip.py
+  echo "== on-chip polar SC =="
+  timeout 1800 python bench/polar_onchip.py
 } 2>&1 | tee "$log"

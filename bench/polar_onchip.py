@@ -1,0 +1,79 @@
+"""On-chip polar SC decode throughput (restricted axon backend).
+
+The trace-unrolled SC recursion (srcdsp_tpu/polar.py) is pure static
+jnp — elementwise f/g updates, static slices, XOR partial sums — so
+vmapped batches lower on the axon on-chip subset directly. Measured
+2026-08-19: the decode is dispatch-bound through B=2048 (~27 ms/batch
+flat), so batching is free throughput: B=64 0.59 Mb/s -> B=2048
+19.8 Mb/s coded.
+
+    python bench/polar_onchip.py [--n 256] [--k 128] [--batch 4096]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=256)
+    ap.add_argument("--k", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--trials", type=int, default=5)
+    ap.add_argument("--snr-db", type=float, default=3.0, dest="snr_db")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from srcdsp_tpu.polar import make_polar, polar_decode, polar_encode
+
+    code = make_polar(args.n, args.k)
+    rng = np.random.default_rng(0)
+    u = rng.integers(0, 2, (args.batch, code.k))
+    cw = np.asarray(polar_encode(code, jnp.asarray(u)))
+    sigma = float(10.0 ** (-args.snr_db / 20.0))
+    y = (1.0 - 2.0 * cw) + sigma * rng.standard_normal(cw.shape)
+    llr = jnp.asarray(2.0 / sigma ** 2 * y, jnp.float32)
+
+    dec = jax.jit(jax.vmap(lambda l: polar_decode(code, l)))
+    info, _ = dec(llr)
+    info.block_until_ready()
+    ber = float((np.asarray(info) != u).mean())
+    # cross-check vs the CPU run of the same static graph
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        i2, _ = jax.vmap(lambda l: polar_decode(code, l))(
+            jax.device_put(llr, cpu))
+    match = bool(np.array_equal(np.asarray(info), np.asarray(i2)))
+
+    times = []
+    for _ in range(args.trials):
+        t0 = time.perf_counter()
+        r = dec(llr)
+        r[0].block_until_ready()
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    print(json.dumps({
+        "metric": f"polar_n{args.n}_k{args.k}_b{args.batch}_sc_decode",
+        "coded_bits_per_s": args.batch * code.n / med,
+        "ms_per_codeword": med * 1e3 / args.batch,
+        "batch": args.batch, "info_ber": ber, "matches_cpu": match,
+        "backend": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()
