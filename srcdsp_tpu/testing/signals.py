@@ -120,3 +120,29 @@ def chirp(n: int, f0: float, f1: float, amplitude: float = 1.0) -> np.ndarray:
     k = np.arange(n, dtype=np.float64)
     ph = f0 * k + (f1 - f0) * k * k / (2.0 * n)
     return (amplitude * np.exp(2j * np.pi * ph)).astype(np.complex64)
+
+
+def ook_baseband(bits, sps: int, depth: float = 1.0,
+                 rise: int = 0) -> np.ndarray:
+    """OOK/ASK baseband fixture: bits: [..., Nbit] {0,1} ->
+    [..., Nbit*sps] complex64 with on-level 1 and off-level (1-depth)
+    (depth=1 is pure on-off keying). rise>0 smooths edges with a
+    length-rise boxcar (edge-filtered transmitters). numpy host-side,
+    like the other generators here."""
+    bits = np.asarray(bits)
+    amp = (1.0 - depth) + depth * bits.astype(np.float64)
+    env = np.repeat(amp, sps, axis=-1)
+    if rise > 1:
+        k = np.ones(rise) / rise
+        pad = np.concatenate([env[..., :1]] * (rise - 1) + [env], axis=-1)
+        env = np.apply_along_axis(
+            lambda v: np.convolve(v, k, mode="valid"), -1, pad)
+    return env.astype(np.complex64)
+
+
+def manchester_encode(bits) -> np.ndarray:
+    """IEEE-convention Manchester line code: 1 -> (1,0), 0 -> (0,1).
+    bits: [..., Nbit] -> chips [..., 2*Nbit] {0,1} int."""
+    bits = np.asarray(bits).astype(np.int64)
+    chips = np.stack([bits, 1 - bits], axis=-1)
+    return chips.reshape(*bits.shape[:-1], 2 * bits.shape[-1])
