@@ -34,8 +34,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from srcdsp_tpu.chains.sync import (TimingState, timing_estimate,
-                                    timing_init, timing_sample)
+from srcdsp_tpu.chains.sync import (TimingState, phase_unwrap,
+                                    timing_estimate, timing_init,
+                                    timing_sample_phase)
 from srcdsp_tpu.types import CF32, F32
 
 __all__ = [
@@ -53,6 +54,11 @@ class OokParams(NamedTuple):
 class OokState(NamedTuple):
     mf_tail: jax.Array     # [..., sps-1] envelope tail for the boxcar
     timing: TimingState
+    phase: jax.Array       # [...] carried strobe phase (< 0 = first block).
+    #   Rectangular pulses put tau at ~sps-1, right on the mod-sps wrap;
+    #   without carrying the phase, per-block jitter (tau 6.998 -> 7.027)
+    #   wraps mod(tau+1, sps) from ~8.0 to ~0.03 and slips the strobe grid
+    #   by a whole symbol mid-stream (the round-2 red streaming test).
     lo_sum: jax.Array      # [...] forgotten sum of low-cluster strobes
     lo_n: jax.Array        # [...] forgotten low-cluster count
     hi_sum: jax.Array
@@ -74,14 +80,18 @@ def ook_init(params: OokParams, channel_shape: tuple = ()) -> OokState:
     return OokState(
         mf_tail=jnp.zeros(channel_shape + (params.sps - 1,), F32),
         timing=timing_init(params.sps, channel_shape, dtype=F32),
+        phase=jnp.full(channel_shape, -1.0, F32),
         lo_sum=z, lo_n=z, hi_sum=z, hi_n=z,
     )
 
 
 def _boxcar(tail: jax.Array, env: jax.Array, sps: int
             ) -> tuple[jax.Array, jnp.ndarray]:
-    """Moving sum of the last sps samples (streaming, exact): one cumsum
-    over [tail | env] differenced at lag sps. Returns (new_tail, mf[N])."""
+    """Moving sum of the last sps samples (streaming): one cumsum over
+    [tail | env] differenced at lag sps. Exact for integer-valued
+    envelopes; for arbitrary floats the f32 hi-lo difference carries ~1 ulp
+    of the running-sum magnitude, so a block split can differ from the
+    one-shot run in the low bits. Returns (new_tail, mf[N])."""
     ext = jnp.concatenate([tail, env], axis=-1)        # [..., N + sps - 1]
     c = jnp.cumsum(ext.astype(F32), axis=-1)
     n = env.shape[-1]
@@ -105,7 +115,10 @@ def ook_apply(params: OokParams, state: OokState, x: jax.Array
     # O&M timing on the squared matched-filter output (strong 1/T line).
     acc, tau = timing_estimate(state.timing.acc, mf * mf, sps,
                                forget=params.timing_forget)
-    last, strobes = timing_sample(state.timing.last, mf, tau, sps)
+    # Unwrap toward the carried phase so the strobe grid stays continuous
+    # across blocks even when tau jitters over the 0/sps wrap.
+    phase = phase_unwrap(state.phase, tau, sps)
+    last, strobes = timing_sample_phase(state.timing.last, mf, phase, sps)
     # Two-means threshold: seed at the block midpoint, one Lloyd pass on
     # this block, then blend into the carried cluster sums.
     mid = 0.5 * (jnp.max(strobes, axis=-1) + jnp.min(strobes, axis=-1))
@@ -123,7 +136,7 @@ def ook_apply(params: OokParams, state: OokState, x: jax.Array
                  + hi_sum / jnp.maximum(hi_n, F32(1.0)))
     bits = (strobes > thr[..., None]).astype(jnp.int32)
     st = OokState(mf_tail=tail,
-                  timing=TimingState(acc=acc, last=last),
+                  timing=TimingState(acc=acc, last=last), phase=phase,
                   lo_sum=lo_sum, lo_n=lo_n, hi_sum=hi_sum, hi_n=hi_n)
     return st, (bits, strobes)
 
@@ -138,22 +151,28 @@ def ook_demod_full(params: OokParams, x: jax.Array
 def manchester_decode(chips: jax.Array) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Decode IEEE-802.3-convention Manchester half-bit chips (10 -> 1,
     01 -> 0) with blind alignment: of the two possible pairings, pick the
-    one with more valid (unequal) chip pairs. chips: [..., 2*Nbit (+1)]
-    int. Returns (bits [..., Nbit] int32, valid_fraction [...] f32) —
-    the last partial pair of the odd alignment is dropped, so both
-    candidates decode floor((L-1)/2)... the common Nbit = L//2 - (L odd
-    is handled by truncation to the same length).
+    one with more valid (unequal) chip pairs. chips: [..., L] int.
+    Returns (bits [..., L//2] int32, valid_fraction [...] f32). The
+    offset-0 candidate decodes L//2 complete pairs; the offset-1
+    candidate decodes (L-1)//2 and is zero-padded to the same length,
+    so an exactly-aligned even-length stream keeps its final bit.
+    Validity is compared over each candidate's own complete pairs.
     """
     chips = jnp.asarray(chips, jnp.int32)
-    nbit = (chips.shape[-1] - 1) // 2
-    if nbit < 1:
+    length = chips.shape[-1]
+    nbit = length // 2
+    if length < 3:
         raise ValueError("need at least 3 chips for blind alignment")
 
     def pair(off):
-        c = jax.lax.slice_in_dim(chips, off, off + 2 * nbit, axis=-1)
-        c = c.reshape(*c.shape[:-1], nbit, 2)
+        avail = (length - off) // 2            # complete pairs at this offset
+        c = jax.lax.slice_in_dim(chips, off, off + 2 * avail, axis=-1)
+        c = c.reshape(*c.shape[:-1], avail, 2)
         bits = c[..., 0]                       # 10 -> 1, 01 -> 0
         valid = jnp.mean((c[..., 0] != c[..., 1]).astype(F32), axis=-1)
+        if avail < nbit:
+            bits = jnp.pad(bits, [(0, 0)] * (bits.ndim - 1)
+                           + [(0, nbit - avail)])
         return bits, valid
 
     b0, v0 = pair(0)

@@ -74,6 +74,31 @@ def timing_estimate(state_acc: jax.Array, metric: jax.Array, sps: int,
     return acc, tau
 
 
+def phase_unwrap(prev_phase: jax.Array, tau: jax.Array, sps: int) -> jax.Array:
+    """Pick the xin-phase ≡ tau+1 (mod sps) nearest the carried phase.
+
+    `timing_sample`'s raw phase = mod(tau+1, sps) wraps when tau jitters
+    across the 0/sps boundary (rectangular pulses put tau there), which
+    slips the whole strobe grid by one symbol mid-stream. Streaming chains
+    instead carry the previous block's phase and unwrap the new estimate
+    toward it: the grid stays continuous under estimate jitter, and a
+    deliberate one-symbol slip happens only after a cumulative drift of a
+    full symbol (the correct behavior under a sustained clock offset).
+
+    prev_phase: [...] carried phase, or < 0 on the first block (take the
+    raw estimate). Returns phase in [0, 2*sps - 1], valid for
+    `timing_sample_phase`.
+    """
+    raw = jnp.mod(tau + 1.0, F32(sps))
+    half = F32(0.5 * sps)
+    delta = jnp.mod(raw - prev_phase + half, F32(sps)) - half
+    phase = jnp.where(prev_phase < 0, raw, prev_phase + delta)
+    # fold back into the sampler's valid window (a real one-symbol slip)
+    phase = jnp.where(phase < 0, phase + sps, phase)
+    phase = jnp.where(phase > 2 * sps - 1, phase - sps, phase)
+    return phase.astype(F32)
+
+
 def timing_sample(last: jax.Array, x: jax.Array, tau: jax.Array, sps: int
                   ) -> tuple[jax.Array, jax.Array]:
     """Read one value per symbol at offset tau (mod sps) by linear interpolation.
@@ -83,15 +108,28 @@ def timing_sample(last: jax.Array, x: jax.Array, tau: jax.Array, sps: int
     last: [..., sps+1] tail of the previous block. Reads index into
     xin = [last | x]; sample positions are chosen ≡ tau (mod sps) in x's
     local index phase, delayed one symbol so interpolation never needs
-    future samples. Returns (new_last, symbols [..., N/sps]).
+    future samples. Returns (new_last, symbols [..., N/sym]).
+
+    NOTE: the raw phase wraps when tau jitters across the 0/sps boundary;
+    streaming chains that must hold a continuous strobe grid should carry
+    the phase via `phase_unwrap` and call `timing_sample_phase` instead.
+    """
+    phase = jnp.mod(tau + 1.0, F32(sps))
+    return timing_sample_phase(last, x, phase, sps)
+
+
+def timing_sample_phase(last: jax.Array, x: jax.Array, phase: jax.Array,
+                        sps: int) -> tuple[jax.Array, jax.Array]:
+    """timing_sample with the xin-phase given directly (see phase_unwrap).
+
+    phase: [...] in [0, 2*sps - 1]; positions k*sps + phase stay in
+    [0, N + sps - 1] for every k, so i0 + 1 is always in bounds.
     """
     n = x.shape[-1]
     nsym = n // sps
     xin = jnp.concatenate([last, x], axis=-1)  # [..., N + sps + 1]
     # x[n] sits at xin index n + sps + 1, so x-phase tau corresponds to
-    # xin-phase (tau + 1) mod sps; positions k*sps + phase stay in
-    # [0, N + sps - 1] for every k and tau, so i0 + 1 is always in bounds.
-    phase = jnp.mod(tau + 1.0, F32(sps))
+    # xin-phase (tau + 1) mod sps.
     t = jnp.arange(nsym, dtype=F32) * sps + phase[..., None]  # [..., Nsym]
     i0 = jnp.floor(t).astype(jnp.int32)
     frac = (t - i0.astype(F32)).astype(F32)
