@@ -36,6 +36,13 @@ def main(argv=None):
     ap.add_argument("--trials", type=int, default=5)
     ap.add_argument("--batch", type=int, default=64,
                     help="codewords per dispatch (1 = latency probe)")
+    ap.add_argument("--kernel", action="store_true",
+                    help="use the Pallas edge-form kernel "
+                         "(kernels/ldpc_pallas.py) instead of the XLA "
+                         "dense path; cross-checks BIT-FOR-BIT vs the "
+                         "jnp reference tier on CPU")
+    ap.add_argument("--b-tile", type=int, default=128,
+                    help="kernel batch tile (codewords per grid step)")
     ap.add_argument("--platform", default=None,
                     help="override backend (e.g. cpu for a dry run)")
     args = ap.parse_args(argv)
@@ -48,7 +55,8 @@ def main(argv=None):
     from srcdsp_tpu.ldpc import ldpc_decode, ldpc_encode, make_ldpc_code, \
         make_regular_ldpc
 
-    code = make_ldpc_code(make_regular_ldpc(args.n, 3, 6, seed=0))
+    h = make_regular_ldpc(args.n, 3, 6, seed=0)
+    code = make_ldpc_code(h)
     rng = np.random.default_rng(0)
     u = rng.integers(0, 2, (args.batch, code.k))
     cw = np.asarray(ldpc_encode(code, jnp.asarray(u)))
@@ -56,17 +64,40 @@ def main(argv=None):
     y = (1.0 - 2.0 * cw) + sigma * rng.standard_normal(cw.shape)
     llr = jnp.asarray(2.0 / sigma ** 2 * y, jnp.float32)
 
-    dec = jax.jit(lambda l: ldpc_decode(code, l, iters=args.iters,
-                                        unroll=True))
-    bits, info, ok = dec(llr)
-    bits.block_until_ready()
-    # correctness cross-check vs the CPU scan path
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        b2, i2, ok2 = ldpc_decode(jax.device_put(code, cpu),
-                                  jax.device_put(llr, cpu),
-                                  iters=args.iters)
-    match = bool(np.array_equal(np.asarray(bits), np.asarray(b2)))
+    if args.kernel:
+        from srcdsp_tpu.kernels.ldpc_pallas import (
+            ldpc_decode_edges_ref, make_ldpc_decoder, plan_edges)
+        plan = plan_edges(h)
+        interp = jax.devices()[0].platform == "cpu"   # CPU dry runs
+        # NOTE: make_ldpc_decoder is internally jitted with the code
+        # arrays as ARGUMENTS — wrapping it in another jax.jit would
+        # re-embed them as closure constants, which the tunnel backend
+        # re-ships every call (26 ms fixed; BASELINE.md round-3 notes)
+        dec = make_ldpc_decoder(code, plan, iters=args.iters,
+                                b_tile=args.b_tile, interpret=interp)
+        bits, info, ok = dec(llr)
+        bits.block_until_ready()
+        # bit-for-bit cross-check: hardware kernel posterior decisions vs
+        # the jnp reference tier jitted on CPU (quantized min-sum is the
+        # same arithmetic on both — see ldpc_pallas docstring)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            post_ref = jax.jit(lambda l: ldpc_decode_edges_ref(
+                plan, l, iters=args.iters))(jax.device_put(llr.T, cpu))
+            b2 = (np.asarray(post_ref).T < 0).astype(np.int32)
+        match = bool(np.array_equal(np.asarray(bits), b2))
+    else:
+        dec = jax.jit(lambda l: ldpc_decode(code, l, iters=args.iters,
+                                            unroll=True))
+        bits, info, ok = dec(llr)
+        bits.block_until_ready()
+        # correctness cross-check vs the CPU scan path
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            b2, i2, ok2 = ldpc_decode(jax.device_put(code, cpu),
+                                      jax.device_put(llr, cpu),
+                                      iters=args.iters)
+        match = bool(np.array_equal(np.asarray(bits), np.asarray(b2)))
 
     times = []
     for _ in range(args.trials):
@@ -75,8 +106,9 @@ def main(argv=None):
         r[0].block_until_ready()
         times.append(time.perf_counter() - t0)
     med = float(np.median(times))
+    tag = "pallas" if args.kernel else "xla"
     print(json.dumps({
-        "metric": f"ldpc_n{args.n}_it{args.iters}_b{args.batch}_decode",
+        "metric": f"ldpc_n{args.n}_it{args.iters}_b{args.batch}_{tag}_decode",
         "coded_bits_per_s": args.batch * code.n / med,
         "ms_per_codeword": med * 1e3 / args.batch,
         "batch": args.batch,
