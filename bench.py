@@ -80,13 +80,34 @@ def _make_pallas(n: int, bf16: bool = False):
     return step, (planes,), n
 
 
-def _trial(step, args) -> float:
+def _force(y):
+    """Drain the device queue with a tiny host fetch. block_until_ready
+    stopped forcing queued executions on the tunnel backend (2026-08-19,
+    bench/run.py:_force has the full note); execution is in-order so one
+    corner fetch of the last output drains everything before it."""
     import jax
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        y = step(*args)
-    jax.block_until_ready(y)
-    return (time.perf_counter() - t0) / ITERS
+    leaf = jax.tree_util.tree_leaves(y)[0]
+    try:
+        return np.asarray(leaf[tuple(slice(0, 1) for _ in leaf.shape)])
+    except Exception:
+        return np.asarray(leaf)
+
+
+def _trial(step, args) -> float:
+    """Per-call slope: (T(2*ITERS) - T(ITERS)) / ITERS with each region
+    ending in a forced fetch — the fixed enqueue+sync cost (~25-35 ms
+    through the tunnel, 2026-08-19) cancels in the difference."""
+    def region(k: int) -> float:
+        t0 = time.perf_counter()
+        y = None
+        for _ in range(k):
+            y = step(*args)
+        _force(y)
+        return time.perf_counter() - t0
+
+    t1 = region(ITERS)
+    t2 = region(2 * ITERS)
+    return (t2 - t1) / ITERS
 
 
 def main() -> None:
@@ -102,12 +123,12 @@ def main() -> None:
     platform = jax.default_backend()
     variants = {}
     step, args, n = _make_xla(N_SAMPLES_XLA)
-    jax.block_until_ready(step(*args))          # warm-up / compile
+    _force(step(*args))                         # warm-up / compile
     variants["xla"] = (step, args, n)
     if platform == "tpu" and os.environ.get("SRCDSP_BENCH_PALLAS", "1") != "0":
         try:
             step, args, n = _make_pallas(N_SAMPLES)
-            jax.block_until_ready(step(*args))
+            _force(step(*args))
             variants["pallas"] = (step, args, n)
         except Exception:
             pass
@@ -116,7 +137,7 @@ def main() -> None:
             # f32-HIGHEST kernel on identical input — BASELINE.md); reported
             # under its own label when it wins
             step, args, n = _make_pallas(N_SAMPLES, bf16=True)
-            jax.block_until_ready(step(*args))
+            _force(step(*args))
             variants["pallas_bf16"] = (step, args, n)
         except Exception:
             pass
@@ -136,7 +157,7 @@ def main() -> None:
         "unit": "Msamples/s/chip",
         "vs_baseline": round(msps / TARGET_MS_PER_CHIP, 4),
         "trials": TRIALS,
-        "estimator": "median_interleaved",
+        "estimator": "median_interleaved_slope",
     }))
 
 

@@ -99,13 +99,23 @@ def main(argv=None):
                                       iters=args.iters)
         match = bool(np.array_equal(np.asarray(bits), np.asarray(b2)))
 
-    times = []
-    for _ in range(args.trials):
+    # slope timing: block_until_ready no longer drains the tunnel queue
+    # (bench/run.py:_force); each region ends in a tiny forced fetch and
+    # the fixed sync cost cancels in the (T2-T1)/k difference
+    def region(k):
         t0 = time.perf_counter()
-        r = dec(llr)
-        r[0].block_until_ready()
-        times.append(time.perf_counter() - t0)
-    med = float(np.median(times))
+        for _ in range(k):
+            r = dec(llr)
+        np.asarray(r[0][:1, :1])
+        return time.perf_counter() - t0
+
+    k = 4
+    slopes = []
+    for _ in range(args.trials):
+        t1 = region(k)
+        t2 = region(2 * k)
+        slopes.append((t2 - t1) / k)
+    med = float(np.median(slopes))
     tag = "pallas" if args.kernel else "xla"
     print(json.dumps({
         "metric": f"ldpc_n{args.n}_it{args.iters}_b{args.batch}_{tag}_decode",

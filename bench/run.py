@@ -33,24 +33,52 @@ def _enable_compile_cache() -> None:
 
 
 
-def _time_median(step, args, iters: int, trials: int = 7):
-    """Median of `trials` timed runs of `iters` dispatches (variance
-    control: single draws through the tunnel vary +-30%). Returns
-    (median_secs_per_iter, [min, max] secs)."""
-    import time
+def _force(y):
+    """Drain the device queue: fetch a tiny corner of the first output.
 
+    2026-08-19 finding: `jax.block_until_ready` NO LONGER waits for
+    queued executions on the tunnel backend (the round-2 harness measured
+    0.023 ms/iter for a 536 MB/call FFT — pure enqueue cost). Execution
+    is in-order, so one host FETCH of any part of the last output forces
+    the whole queue (verified: total time grows linearly in call count
+    under this force). Every timed region must end in a fetch."""
     import jax
     import numpy as np
 
-    y = step(*args)
-    jax.block_until_ready(y)
+    leaf = jax.tree_util.tree_leaves(y)[0]
+    try:
+        corner = leaf[tuple(slice(0, 1) for _ in leaf.shape)]
+        return np.asarray(corner)
+    except Exception:       # restricted-backend slice gap: fetch it all
+        return np.asarray(leaf)
+
+
+def _time_median(step, args, iters: int, trials: int = 7):
+    """Median SLOPE of `trials` paired timed regions (variance control:
+    single draws through the tunnel vary +-30%; per-region sync latency
+    was measured at ~25-35 ms on 2026-08-19). Each trial times `iters`
+    and `2*iters` dispatches, both ending in a forced fetch (_force), and
+    reports (T2 - T1)/iters — the fixed enqueue+sync cost cancels in the
+    difference, leaving true per-call time. Returns
+    (median_secs_per_iter, [min, max] secs)."""
+    import time
+
+    import numpy as np
+
+    def region(k):
+        t0 = time.perf_counter()
+        y = None
+        for _ in range(k):
+            y = step(*args)
+        _force(y)
+        return time.perf_counter() - t0
+
+    region(1)               # warm-up / compile
     ts = []
     for _ in range(trials):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            y = step(*args)
-        jax.block_until_ready(y)
-        ts.append((time.perf_counter() - t0) / iters)
+        t1 = region(iters)
+        t2 = region(2 * iters)
+        ts.append((t2 - t1) / iters)
     return float(np.median(ts)), [min(ts), max(ts)]
 
 def run_config(name: str, use_pallas: bool = False, iters: int = 20,
@@ -125,7 +153,12 @@ def run_fft(iters: int = 20, n: int = 4096, batch: int = 8192,
         k = make_fft_kernel(n, b_frames=16, precision=prec,
                             natural_order=natural_order)
         batch = (batch // k.b_frames) * k.b_frames
-        fft = jax.jit(k.fn)
+        # args-form jit: the twiddle constants ride as arguments — jit
+        # closure constants are re-shipped through the tunnel every call
+        # (BASELINE.md round-3 "closure constants" note)
+        fft_p = jax.jit(k.fn_p)
+        consts = jax.device_put(k.consts)
+        fft = lambda xr, xi: fft_p(consts, xr, xi)
     else:
         fft = jax.jit(make_fft_planes(n))
     rng = np.random.default_rng(0)

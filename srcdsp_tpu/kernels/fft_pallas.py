@@ -115,10 +115,23 @@ def _kernel(xr_ref, xi_ref, w1c_ref, w2k_ref, twf_ref, yr_ref, yi_ref, *,
 
 @dataclasses.dataclass(frozen=True)
 class FftKernel:
-    """Compiled batched FFT + its shape contract."""
+    """Compiled batched FFT + its shape contract.
+
+    `fn`/`fn_rows` close over the twiddle/DFT-matrix constants — fine for
+    composition inside a larger jitted program that threads them itself,
+    but when wrapped DIRECTLY in jax.jit the captured arrays become jit
+    constants, and the tunnel-attached backend re-ships jit constants on
+    EVERY call (~26 ms per 4.7 MB measured on the LDPC kernel; here
+    ~0.55 MB of twiddles). Serving code should jit `fn_p` and pass
+    `consts` as an argument instead:  f = jax.jit(k.fn_p);
+    f(k.consts, xr, xi).
+    """
 
     fn: Callable          # (xr, xi) [B, N] -> (Xr, Xi) [B, N]
     fn_rows: Callable     # pre-shaped planes [B*n1, n2] -> [B*n1, n2]
+    fn_p: Callable        # (consts, xr, xi) — args-form for serving jits
+    fn_rows_p: Callable   # (consts, xr, xi) pre-shaped args-form
+    consts: tuple         # (w1c, w2k, twf_t) device arrays
     fft_size: int
     n1: int
     n2: int
@@ -171,13 +184,16 @@ def make_fft_kernel(fft_size: int = 4096, n2: int = LANE, b_frames: int = 16,
 
     kern = functools.partial(_kernel, b=b_frames, n1=n1, n2=n2,
                              precision=precision)
+    consts = (w1c, w2k, twf_t)
 
-    def fn_rows(xr: jax.Array, xi: jax.Array) -> tuple[jax.Array, jax.Array]:
+    def fn_rows_p(consts, xr: jax.Array, xi: jax.Array
+                  ) -> tuple[jax.Array, jax.Array]:
         """Pre-shaped form: planes [B*n1, n2] in / [B*n1, n2] out (frame f =
         rows [f*n1, (f+1)*n1), sample s of a frame at [s // n2, s % n2]).
         Streaming pipelines that already hold plane slabs in this layout
         (the fftconv convention) skip the [B, N] relayout reshape — worth
         ~0.2 ms per 16M samples of XLA tile-relayout on hardware."""
+        w1c, w2k, twf_t = consts
         rt, nn2 = xr.shape
         if nn2 != n2 or rt % (b_frames * n1) != 0:
             raise ValueError(f"x [{rt}, {nn2}] needs n2={n2}, "
@@ -210,11 +226,16 @@ def make_fft_kernel(fft_size: int = 4096, n2: int = LANE, b_frames: int = 16,
             interpret=interpret,
         )(xr, xi, w1c, w2k, twf_t)
 
+    def fn_rows(xr, xi):
+        return fn_rows_p(consts, xr, xi)
+
     kern_nat = functools.partial(_kernel, b=b_frames, n1=n1, n2=n2,
                                  precision=precision, natural=True)
 
-    def fn_nat(xr2: jax.Array, xi2: jax.Array) -> tuple[jax.Array, jax.Array]:
+    def fn_nat(consts, xr2: jax.Array, xi2: jax.Array
+               ) -> tuple[jax.Array, jax.Array]:
         """In-kernel unscramble: [B*n1, n2] planes in -> [B, N] natural."""
+        w1c, w2k, twf_t = consts
         rt = xr2.shape[0]
         bt = rt // n1
         return pl.pallas_call(
@@ -245,21 +266,29 @@ def make_fft_kernel(fft_size: int = 4096, n2: int = LANE, b_frames: int = 16,
             interpret=interpret,
         )(xr2, xi2, w1c, w2k, twf_t)
 
-    def fn(xr: jax.Array, xi: jax.Array) -> tuple[jax.Array, jax.Array]:
+    def fn_p(consts, xr: jax.Array, xi: jax.Array
+             ) -> tuple[jax.Array, jax.Array]:
         bt, nn = xr.shape
         if nn != fft_size or bt % b_frames != 0:
             raise ValueError(f"x [{bt}, {nn}] needs N={fft_size}, "
                              f"B % {b_frames} == 0")
         if natural_order == "kernel":
-            return fn_nat(xr.reshape(bt * n1, n2), xi.reshape(bt * n1, n2))
-        yr, yi = fn_rows(xr.reshape(bt * n1, n2), xi.reshape(bt * n1, n2))
+            return fn_nat(consts, xr.reshape(bt * n1, n2),
+                          xi.reshape(bt * n1, n2))
+        yr, yi = fn_rows_p(consts, xr.reshape(bt * n1, n2),
+                           xi.reshape(bt * n1, n2))
         if natural_order:
             # [bt, k1, k2] -> [bt, k2, k1]: flat index n1*k2 + k1 = k
             yr = yr.reshape(bt, n1, n2).swapaxes(-1, -2).reshape(bt, nn)
             yi = yi.reshape(bt, n1, n2).swapaxes(-1, -2).reshape(bt, nn)
         return yr, yi
 
-    return FftKernel(fn=fn, fn_rows=fn_rows, fft_size=fft_size, n1=n1, n2=n2,
+    def fn(xr, xi):
+        return fn_p(consts, xr, xi)
+
+    return FftKernel(fn=fn, fn_rows=fn_rows, fn_p=fn_p,
+                     fn_rows_p=fn_rows_p, consts=consts,
+                     fft_size=fft_size, n1=n1, n2=n2,
                      b_frames=b_frames, natural_order=natural_order)
 
 
