@@ -30,6 +30,10 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--trials", type=int, default=5)
     ap.add_argument("--snr-db", type=float, default=3.0, dest="snr_db")
+    ap.add_argument("--scl", type=int, default=0, metavar="L",
+                    help="use SC-LIST decoding with list size L (the "
+                         "production decoder; traced argsort + gathers — "
+                         "supported on-chip per the 2026-08-19 re-probe)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args(argv)
 
@@ -48,26 +52,49 @@ def main(argv=None):
     y = (1.0 - 2.0 * cw) + sigma * rng.standard_normal(cw.shape)
     llr = jnp.asarray(2.0 / sigma ** 2 * y, jnp.float32)
 
-    dec = jax.jit(jax.vmap(lambda l: polar_decode(code, l)))
-    info, _ = dec(llr)
-    info.block_until_ready()
+    from srcdsp_tpu.polar import polar_decode_list
+    if args.scl:
+        one = lambda l: polar_decode_list(code, l, list_size=args.scl)[0][0]
+        tag = f"scl{args.scl}"
+    else:
+        one = lambda l: polar_decode(code, l)[0]
+        tag = "sc"
+    dec = jax.jit(jax.vmap(one))
+    try:
+        info = dec(llr)
+        np.asarray(info[:1, :1])
+    except Exception as e:
+        print(json.dumps({
+            "metric": f"polar_n{args.n}_k{args.k}_b{args.batch}_{tag}_decode",
+            "backend": jax.devices()[0].platform,
+            "blocked_by": str(e)[:200],
+        }))
+        return
     ber = float((np.asarray(info) != u).mean())
     # cross-check vs the CPU run of the same static graph
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        i2, _ = jax.vmap(lambda l: polar_decode(code, l))(
-            jax.device_put(llr, cpu))
+        i2 = jax.jit(jax.vmap(one))(jax.device_put(llr, cpu))
     match = bool(np.array_equal(np.asarray(info), np.asarray(i2)))
 
-    times = []
-    for _ in range(args.trials):
+    # slope timing (bench/run.py:_force: block_until_ready no longer
+    # drains the tunnel queue; fixed sync cancels in the difference)
+    def region(k):
         t0 = time.perf_counter()
-        r = dec(llr)
-        r[0].block_until_ready()
-        times.append(time.perf_counter() - t0)
-    med = float(np.median(times))
+        for _ in range(k):
+            r = dec(llr)
+        np.asarray(r[:1, :1])
+        return time.perf_counter() - t0
+
+    kk = 3
+    slopes = []
+    for _ in range(args.trials):
+        t1 = region(kk)
+        t2 = region(2 * kk)
+        slopes.append((t2 - t1) / kk)
+    med = float(np.median(slopes))
     print(json.dumps({
-        "metric": f"polar_n{args.n}_k{args.k}_b{args.batch}_sc_decode",
+        "metric": f"polar_n{args.n}_k{args.k}_b{args.batch}_{tag}_decode",
         "coded_bits_per_s": args.batch * code.n / med,
         "ms_per_codeword": med * 1e3 / args.batch,
         "batch": args.batch, "info_ber": ber, "matches_cpu": match,
