@@ -139,12 +139,17 @@ def iir_init(params: IirParams, channel_shape: tuple = (),
 
 
 def iir_apply(params: IirParams, state: IirState, x: jax.Array,
-              precision=jax.lax.Precision.HIGHEST
-              ) -> tuple[IirState, jax.Array]:
+              precision=jax.lax.Precision.HIGHEST,
+              inter_block: str = "assoc") -> tuple[IirState, jax.Array]:
     """Filter one block. x: [..., N] with N % params.block == 0.
 
     The inter-block affine recurrence s_{k+1} = al s_k + u_k runs as an
-    associative scan over (M, v) pairs; everything else is batched matmul.
+    associative scan over (M, v) pairs (inter_block="assoc", the
+    log2(K)-round default) or as a plain `lax.scan` of K tiny matvecs
+    (inter_block="scan" — the form the axon on-chip subset lowers, which
+    supports lax.scan but not associative_scan; 2026-08-19 re-probe).
+    Everything else is batched matmul either way; the two forms differ
+    only in float association of the state path (~1 ulp).
     """
     L, p = params.block, params.order
     n = x.shape[-1]
@@ -161,21 +166,37 @@ def iir_apply(params: IirParams, state: IirState, x: jax.Array,
     # data: promote explicitly so matmul dtypes agree)
     fT = params.f.T.astype(x.dtype)                      # [L, p]
     u = mm(xb, fT)
-    # associative scan of affine pairs (M_k = al, v_k = u_k):
-    #   (M, v)_later ∘ (M, v)_earlier = (M_l M_e, M_l v_e + v_l)
     al = params.al.astype(x.dtype)
-    ms = jnp.broadcast_to(al, (*lead, k, p, p))
-    def combine(e_early, e_late):
-        m1, v1 = e_early
-        m2, v2 = e_late
-        return mm(m2, m1), jnp.squeeze(mm(m2, v1[..., None]), -1) + v2
-    m_cum, v_cum = jax.lax.associative_scan(combine, (ms, u), axis=len(lead))
-    # s at block ENTRY: s_e[0] = s0; s_e[k] = M_cum[k-1] s0 + v_cum[k-1]
     s0 = state.s.astype(x.dtype)
-    s_end_all = (jnp.squeeze(mm(m_cum, s0[..., None, :, None]), -1)
-                 + v_cum)                                # [..., K, p]
-    s_entry = jnp.concatenate(
-        [s0[..., None, :], s_end_all[..., :-1, :]], axis=-2)
+    if inter_block == "scan":
+        # sequential over blocks: K steps of [..., p] @ [p, p] matvecs
+        u_t = jnp.moveaxis(u, len(lead), 0)              # [K, ..., p]
+
+        def step(s, u_k):
+            s_next = mm(s, al.T) + u_k       # [..., p] @ [p, p]
+            return s_next, s
+        s_last, s_entry_t = jax.lax.scan(step, s0, u_t)
+        s_entry = jnp.moveaxis(s_entry_t, 0, len(lead))  # [..., K, p]
+        s_end_all = jnp.concatenate(
+            [s_entry[..., 1:, :], s_last[..., None, :]], axis=-2)
+    elif inter_block == "assoc":
+        # associative scan of affine pairs (M_k = al, v_k = u_k):
+        #   (M, v)_later ∘ (M, v)_earlier = (M_l M_e, M_l v_e + v_l)
+        ms = jnp.broadcast_to(al, (*lead, k, p, p))
+        def combine(e_early, e_late):
+            m1, v1 = e_early
+            m2, v2 = e_late
+            return mm(m2, m1), jnp.squeeze(mm(m2, v1[..., None]), -1) + v2
+        m_cum, v_cum = jax.lax.associative_scan(combine, (ms, u),
+                                                axis=len(lead))
+        # s at block ENTRY: s_e[0] = s0; s_e[k] = M_cum[k-1] s0 + v_cum[k-1]
+        s_end_all = (jnp.squeeze(mm(m_cum, s0[..., None, :, None]), -1)
+                     + v_cum)                            # [..., K, p]
+        s_entry = jnp.concatenate(
+            [s0[..., None, :], s_end_all[..., :-1, :]], axis=-2)
+    else:
+        raise ValueError(f"inter_block must be 'assoc' or 'scan', "
+                         f"got {inter_block!r}")
     # outputs: y = G s_entry + H x  (both MXU matmuls)
     y = (mm(s_entry, params.g.T.astype(x.dtype))
          + mm(xb, params.h.T.astype(x.dtype)))           # [..., K, L]

@@ -143,3 +143,24 @@ def test_vs_cpp_oracle_streaming():
         st, y = iir_apply(params, st, jnp.asarray(blk))
         ref, z = oracle.iir_stream(blk, b, a, z)
         assert _snr_db(ref.astype(np.complex128), np.asarray(y)) > 80
+
+
+def test_scan_form_matches_assoc_form():
+    # inter_block="scan" is the axon on-chip form (lax.scan lowers there,
+    # associative_scan doesn't); both are the same affine recurrence in a
+    # different association order
+    import scipy.signal as ss
+    b, a = ss.butter(4, 0.2)
+    p = make_iir_params(b, a, block=128)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((3, 1024))
+                    + 1j * rng.standard_normal((3, 1024)), jnp.complex64)
+    st = iir_init(p, (3,))
+    st1, y1 = iir_apply(p, st, x)
+    st2, y2 = iir_apply(p, st, x, inter_block="scan")
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st1.s), np.asarray(st2.s),
+                               rtol=0, atol=1e-4)
+    with pytest.raises(ValueError):
+        iir_apply(p, st, x, inter_block="nope")
