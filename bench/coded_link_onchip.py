@@ -63,29 +63,32 @@ def main(argv=None):
     blk_sym = b_rows * out_tile // sps       # symbols per grid block
     ncode = 504
     h = make_regular_ldpc(ncode, 3, 6, seed=0)
-    code = make_ldpc_code(h)
+    with jax.default_device(jax.devices("cpu")[0]):
+        code_cpu = make_ldpc_code(h)         # encode runs on CPU (fixture)
+    code = jax.device_put(code_cpu, jax.devices()[0])
     plan = plan_edges(h)
 
-    # pick a codeword count aligning symbols to whole grid blocks
+    # symbols = codeword bits + a small tail margin (covers the demod
+    # group-delay lag), rounded UP to whole grid blocks; tail is zeros
     nw = args.words
-    nsym = nw * ncode
-    nsym = (nsym // blk_sym) * blk_sym
-    nw = nsym // ncode                      # decoded words (tail ignored)
+    nsym = -(-(nw * ncode + 8) // blk_sym) * blk_sym
 
     rng = np.random.default_rng(0)
     u = rng.integers(0, 2, (cch, nw, code.k))
-    cw = np.asarray(ldpc_encode(code, jnp.asarray(u.reshape(-1, code.k))))
-    bits_tx = cw.reshape(cch, nw * ncode)
-    bits_pad = np.concatenate(
-        [bits_tx, np.zeros((cch, nsym - nw * ncode), np.int64)], axis=-1) \
-        if nsym > nw * ncode else bits_tx
-
     taps = lowpass(64, 0.03)
     centers = [0.05 + 0.01 * c for c in range(cch)]
     words = np.asarray([freq_to_word(-c) for c in centers], np.uint32)
-    bb = fsk_baseband(jnp.asarray(bits_pad), decim * sps, 0.05 / decim)
-    x = np.stack([np.asarray(bb[c] * tone(bb.shape[-1], centers[c]))
-                  for c in range(cch)])
+    # fixture generation is complex-dtype work — pin it to the CPU
+    # backend (the axon chip has no complex64)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        cw = np.asarray(ldpc_encode(code_cpu, jnp.asarray(u.reshape(-1, code.k))))
+        bits_tx = cw.reshape(cch, nw * ncode)
+        bits_pad = np.concatenate(
+            [bits_tx, np.zeros((cch, nsym - nw * ncode), np.int64)], axis=-1)
+        bb = fsk_baseband(jnp.asarray(bits_pad), decim * sps, 0.05 / decim)
+        x = np.stack([np.asarray(bb[c] * tone(bb.shape[-1], centers[c]))
+                      for c in range(cch)])
     sigma = float(10.0 ** (-args.snr_db / 20.0)) / np.sqrt(2.0)
     x = x + sigma * (rng.standard_normal(x.shape)
                      + 1j * rng.standard_normal(x.shape))
