@@ -34,9 +34,13 @@ Two kernels, one edge-form data model:
   iteration count vs flooding (qcldpc.ldpc_decode_layered's result).
   All-elementwise f32 + rolls => bit-exact vs its jnp reference
   (`qc_decode_layered_ref`) with no quantization needed. The bit-exact
-  contract is JIT-TO-JIT: XLA contracts mul+add into FMA inside jit, so
-  an eagerly-executed reference rounds `alpha*es*em - old` differently
-  by ~1 ulp (measured); always compare jitted runs.
+  contract is JIT-TO-JIT ON THE SAME BACKEND: XLA contracts mul+add into
+  FMA inside jit, so an eagerly-executed reference rounds
+  `alpha*es*em - old` differently by ~1 ulp (measured), and the Mosaic
+  hardware lowering contracts differently again — across backends the
+  guarantee is exact DECISIONS (verified on-chip vs CPU at n=1536),
+  with posteriors ~1 ulp apart. (The edge-form kernel above is bit-exact
+  across backends because every value is quantized to the bf16 grid.)
 
 Reference parity note: the reference library family has no FEC layer
 (SURVEY.md §2 C1-C12); this extends the framework's beyond-parity FEC
@@ -445,10 +449,16 @@ def _qc_iterations(post, msgs, plan: QcPlan, iters: int, alpha: float,
 
 def _add_rows(post, start, delta, z):
     """post[start:start+z] += delta with static offsets (concat form —
-    works identically in jnp and inside the kernel)."""
-    return jnp.concatenate(
-        [post[:start], post[start:start + z] + delta, post[start + z:]],
-        axis=0)
+    works identically in jnp and inside the kernel). Empty edge slices
+    are skipped: Mosaic hardware rejects zero-length slice operands
+    (interpret mode tolerates them; measured 2026-08-19)."""
+    parts = []
+    if start > 0:
+        parts.append(post[:start])
+    parts.append(post[start:start + z] + delta)
+    if start + z < post.shape[0]:
+        parts.append(post[start + z:])
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
 def _minsum_slabs_qc(v: list, alpha: float) -> list:
