@@ -21,6 +21,18 @@ jax.config.update("jax_compilation_cache_dir", ".jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+def _force(y):
+    """Drain the device queue (block_until_ready no longer does on the
+    tunnel backend - bench/run.py:_force)."""
+    import numpy as _np
+    import jax as _jax
+    leaf = _jax.tree_util.tree_leaves(y)[0]
+    try:
+        return _np.asarray(leaf[tuple(slice(0, 1) for _ in leaf.shape)])
+    except Exception:
+        return _np.asarray(leaf)
+
+
 def _median_ab(fa, fb, args, iters=2, trials=7):
     ta, tb = [], []
     for _ in range(trials):
@@ -28,7 +40,7 @@ def _median_ab(fa, fb, args, iters=2, trials=7):
             t0 = time.perf_counter()
             for _ in range(iters):
                 y = f(*args)
-            jax.block_until_ready(y)
+            _force(y)
             t.append((time.perf_counter() - t0) / iters)
     return statistics.median(ta), statistics.median(tb)
 
@@ -53,10 +65,10 @@ def ab_config1(n_log2=26):
     fm = jax.jit(km.fn)
     fp = jax.jit(kp.fn)
     ym = fm(w0, dw, x)
-    jax.block_until_ready(ym)
+    _force(ym)
     print("manual compiled", flush=True)
     yp = fp(w0, dw, x)
-    jax.block_until_ready(yp)
+    _force(yp)
     print("pipelined compiled", flush=True)
     for a, b in zip(ym, yp):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
@@ -95,10 +107,10 @@ def ab_config2(n_log2=25):
     fm = jax.jit(km.fn)
     fp = jax.jit(kp.fn)
     ym = fm(w0, dw, x)
-    jax.block_until_ready(ym)
+    _force(ym)
     print("manual compiled", flush=True)
     yp = fp(w0, dw, x)
-    jax.block_until_ready(yp)
+    _force(yp)
     print("pipelined compiled", flush=True)
     for a, b in zip(ym, yp):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
@@ -138,10 +150,10 @@ def ab_config4(n_log2=22, channels=10):
     jm = jax.jit(fm)
     jp = jax.jit(fp)
     ym = jm(w0, dw, planes)
-    jax.block_until_ready(ym)
+    _force(ym)
     print("manual compiled", flush=True)
     yp = jp(w0, dw, planes)
-    jax.block_until_ready(yp)
+    _force(yp)
     print("pipelined compiled", flush=True)
     for a, b in zip(ym, yp):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
@@ -171,10 +183,10 @@ def ab_config5(frames_log2=18, m=64, b_k=512):
     jm = jax.jit(km)
     jp = jax.jit(kp)
     ym = jm(xp)
-    jax.block_until_ready(ym)
+    _force(ym)
     print("manual compiled", flush=True)
     yp = jp(xp)
-    jax.block_until_ready(yp)
+    _force(yp)
     print("pipelined compiled", flush=True)
     for a, b in zip(ym, yp):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

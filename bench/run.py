@@ -104,7 +104,7 @@ def run_config(name: str, use_pallas: bool = False, iters: int = 20,
     if profile_dir:
         with jax.profiler.trace(profile_dir):
             out = step(*args)
-            jax.block_until_ready(out)
+            _force(out)         # block_until_ready no longer drains
 
     best, _rng = _time_median(step, args, iters)
 
@@ -545,12 +545,11 @@ def run_soak(buffers: int = 32, n_per_buf: int = 1 << 23) -> dict:
     w0s = [jnp.asarray(np.uint32(((b * n - k.hist) * word) % (1 << 32))
                        .view(np.int32)).reshape(1, 1)
            for b in range(buffers)]
-    y = f(w0s[0], dw, x)
-    jax.block_until_ready(y)
+    _force(f(w0s[0], dw, x))
     t0 = time.perf_counter()
     for b in range(buffers):
         yr, yi = f(w0s[b], dw, x)
-    jax.block_until_ready((yr, yi))
+    _force((yr, yi))            # drain: block_until_ready no longer does
     dt = time.perf_counter() - t0
     return {
         "config": "soak",
