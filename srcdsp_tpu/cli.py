@@ -15,6 +15,8 @@ through a demod chain and write the result. Equivalent here:
     python -m srcdsp_tpu.cli mux  chans wide.iq --channels 16
     python -m srcdsp_tpu.cli resample in.iq out.iq --up 3 --down 4
     python -m srcdsp_tpu.cli gen  test.iq --gen chirp --snr 10 --fmt cu8
+    python -m srcdsp_tpu.cli fecenc bits.u8 coded.u8 --code ldpc
+    python -m srcdsp_tpu.cli fecdec llrs.f32 bits.u8 --code ldpc [--hard]
 
 Streams in fixed blocks with carried state (bit-exact vs one-shot), writes
 output incrementally per block, checkpoints every --ckpt-every blocks, and
@@ -233,6 +235,104 @@ def _modulate(args) -> None:
           f"{args.outfile}", file=sys.stderr)
 
 
+def _fec(args) -> None:
+    """FEC file drivers (round 3): `fecenc` reads u8 info BITS and writes
+    u8 coded bits in whole codewords (zero-padding the final word);
+    `fecdec` reads f32 LLRs (llr > 0 favors bit 0 — the demod chains'
+    soft outputs negated, see bench/coded_link_onchip.py) or, with
+    --hard, u8 bits mapped to +-4 LLRs, and writes u8 decoded info bits.
+    --code ldpc decodes through the Pallas serving decoder (jnp
+    reference tier on CPU); turbo and polar run their jnp decoders.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    on_cpu = jax.default_backend() == "cpu"
+    code_name = args.code
+
+    if code_name == "ldpc":
+        from srcdsp_tpu.kernels.ldpc_pallas import (make_ldpc_decoder,
+                                                    plan_edges)
+        from srcdsp_tpu.ldpc import (ldpc_encode, make_ldpc_code,
+                                     make_regular_ldpc)
+        h = make_regular_ldpc(args.fec_n, 3, 6, seed=0)
+        code = make_ldpc_code(h)
+        k, n = code.k, code.n
+
+        def encode(u):
+            return np.asarray(ldpc_encode(code, jnp.asarray(u)),
+                              np.uint8)
+
+        dec = make_ldpc_decoder(code, plan_edges(h), iters=args.fec_iters,
+                                interpret=on_cpu)
+
+        def decode(llr):
+            _, info, ok = dec(jnp.asarray(llr))
+            return np.asarray(info, np.uint8), np.asarray(ok)
+    elif code_name == "polar":
+        from srcdsp_tpu.polar import make_polar, polar_decode, polar_encode
+        pc = make_polar(args.fec_n, args.fec_k)
+        k, n = pc.k, pc.n
+
+        def encode(u):
+            return np.asarray(polar_encode(pc, jnp.asarray(u)), np.uint8)
+
+        def decode(llr):
+            info, _ = jax.vmap(lambda l: polar_decode(pc, l))(
+                jnp.asarray(llr))
+            return np.asarray(info, np.uint8), None
+    elif code_name == "turbo":
+        from srcdsp_tpu.turbo import make_turbo, turbo_decode, turbo_encode
+        tc = make_turbo(args.fec_k, seed=0)
+        k = args.fec_k
+        kk = tc.rsc.k - 1                    # termination tail bits
+        n = 3 * k + 2 * kk                   # sys+tail | par1+tail | par2
+
+        def encode(u):
+            s, p1, p2 = jax.vmap(lambda b: turbo_encode(tc, b))(
+                jnp.asarray(u))
+            return np.asarray(jnp.concatenate([s, p1, p2], axis=-1),
+                              np.uint8)
+
+        def decode(llr):
+            ls = llr[:, :k + kk]
+            lp1 = llr[:, k + kk:2 * (k + kk)]
+            lp2 = llr[:, 2 * (k + kk):]
+            bits, _ = jax.vmap(lambda a, b, c: turbo_decode(
+                tc, a, b, c, iters=args.fec_iters))(
+                jnp.asarray(ls), jnp.asarray(lp1), jnp.asarray(lp2))
+            return np.asarray(bits, np.uint8), None
+    else:
+        raise SystemExit(f"unknown --code {code_name}")
+
+    if args.chain == "fecenc":
+        u = np.fromfile(args.infile, dtype=np.uint8)
+        if u.size and int(u.max()) > 1:
+            raise SystemExit("fecenc expects bits {0,1}")
+        nw = -(-u.size // k)
+        u = np.concatenate([u, np.zeros(nw * k - u.size, np.uint8)])
+        cw = encode(u.reshape(nw, k).astype(np.int32))
+        cw.reshape(-1).tofile(args.outfile)
+        print(f"encoded {u.size} info bits -> {nw} x {code_name}(n={n}, "
+              f"k={k}) codewords -> {args.outfile}", file=sys.stderr)
+        return
+
+    if args.hard:
+        b = np.fromfile(args.infile, dtype=np.uint8)
+        llr = (4.0 * (1.0 - 2.0 * b.astype(np.float32)))
+    else:
+        llr = np.fromfile(args.infile, dtype=np.float32)
+    nw = llr.size // n
+    if nw == 0:
+        raise SystemExit(f"input shorter than one codeword ({n} values)")
+    info, ok = decode(llr[:nw * n].reshape(nw, n).astype(np.float32))
+    info.reshape(-1).tofile(args.outfile)
+    okmsg = (f", {int(np.sum(ok))}/{nw} parity-clean"
+             if ok is not None else "")
+    print(f"decoded {nw} x {code_name} codewords -> {nw * k} info bits"
+          f"{okmsg} -> {args.outfile}", file=sys.stderr)
+
+
 def _gen(args) -> None:
     """Test-signal generator driver: tone | chirp | noise -> IQ capture
     (the C7 generators in file form; pair with `mod` for digital
@@ -308,7 +408,8 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="srcdsp_tpu.cli", description=__doc__)
     p.add_argument("chain", choices=["fsk", "psk", "dqpsk", "qam", "fir",
                                      "fm", "am", "channelize", "mod",
-                                     "scan", "mux", "resample", "gen"])
+                                     "scan", "mux", "resample", "gen",
+                                     "fecenc", "fecdec"])
     p.add_argument("infile")
     p.add_argument("outfile", nargs="?", default=None,
                    help="output path (optional for `gen`, whose single "
@@ -376,6 +477,17 @@ def main(argv=None) -> None:
                    help="modulation for the `mod` chain (tx driver)")
     p.add_argument("--bt", type=float, default=0.3,
                    help="GMSK Gaussian BT product (mod --mod gmsk)")
+    p.add_argument("--code", choices=["ldpc", "turbo", "polar"],
+                   default="ldpc", help="fecenc/fecdec: code family")
+    p.add_argument("--fec-n", type=int, default=504,
+                   help="fec: codeword length (ldpc/polar)")
+    p.add_argument("--fec-k", type=int, default=128,
+                   help="fec: info length (polar) / block length (turbo)")
+    p.add_argument("--fec-iters", type=int, default=10,
+                   help="fec: decoder iterations (ldpc/turbo)")
+    p.add_argument("--hard", action="store_true",
+                   help="fecdec: input is u8 hard bits (mapped to +-4 "
+                        "LLRs) instead of f32 LLRs")
     p.add_argument("--platform", choices=["auto", "cpu", "tpu"],
                    default="auto",
                    help="JAX backend. The CLI chains use the portable "
@@ -403,6 +515,10 @@ def main(argv=None) -> None:
 
     if args.chain == "mod":
         _modulate(args)
+        return
+
+    if args.chain in ("fecenc", "fecdec"):
+        _fec(args)
         return
 
     if args.chain == "scan":

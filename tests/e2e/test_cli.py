@@ -446,3 +446,25 @@ def test_cli_gen(tmp_path):
               "--num-samples", "4096"])
     y2, _ = read_capture(out2)
     np.testing.assert_allclose(np.abs(np.asarray(y2)), 1.0, atol=1e-5)
+
+
+def test_cli_fec_roundtrips(tmp_path):
+    """fecenc/fecdec file drivers: exact roundtrip for all three code
+    families (hard-decision input path)."""
+    import numpy as np
+    from srcdsp_tpu.cli import main as cli_main
+
+    u = np.random.default_rng(0).integers(0, 2, 600).astype(np.uint8)
+    info = tmp_path / "info.u8"
+    u.tofile(info)
+    for code, extra in (("ldpc", ["--fec-n", "120"]),
+                        ("polar", ["--fec-n", "128", "--fec-k", "64"]),
+                        ("turbo", ["--fec-k", "64", "--fec-iters", "4"])):
+        coded = tmp_path / f"c_{code}.u8"
+        dec = tmp_path / f"d_{code}.u8"
+        cli_main(["fecenc", str(info), str(coded), "--code", code,
+                  "--platform", "cpu"] + extra)
+        cli_main(["fecdec", str(coded), str(dec), "--code", code, "--hard",
+                  "--platform", "cpu"] + extra)
+        d = np.fromfile(dec, np.uint8)
+        np.testing.assert_array_equal(d[:u.size], u)
