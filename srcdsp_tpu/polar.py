@@ -200,3 +200,108 @@ def polar_decode_list(code: PolarCode, llr: jax.Array, list_size: int = 8
     u_hat = u_hat[order]
     info = jnp.take(u_hat, jnp.asarray(code.data_pos), axis=-1)
     return info.astype(jnp.int32), u_hat.astype(jnp.int32), pm[order]
+
+
+# ---------------------------------------------------------------------------
+# One-hot SCL (round 3): the TPU-native form of polar_decode_list
+# ---------------------------------------------------------------------------
+
+def _top_l_onehot(pm_cand: jax.Array, lsz: int) -> jax.Array:
+    """Stable top-L selector as a one-hot matrix S [L, 2L], argsort-free.
+
+    rank[i] = #{j: pm[j] < pm[i]} + #{j < i: pm[j] == pm[i]} reproduces
+    jnp.argsort's STABLE order exactly, so S @ v == v[argsort(pm)[:L]]
+    bit-for-bit (selection only — no arithmetic). Pure compares + one
+    reduction: the form that vectorizes on the VPU instead of lowering
+    to a per-row sort.
+    """
+    n2 = pm_cand.shape[-1]
+    gt = (pm_cand[:, None] > pm_cand[None, :]).astype(F32)     # pm[j]<pm[i]
+    eq = (pm_cand[:, None] == pm_cand[None, :]).astype(F32)
+    tri = jnp.asarray(np.tril(np.ones((n2, n2), np.float32), -1))  # j < i
+    rank = jnp.sum(gt + eq * tri, axis=-1)                     # [2L] f32
+    slots = jnp.arange(lsz, dtype=F32)[:, None]                # [L, 1]
+    return (rank[None, :] == slots).astype(F32)                # [L, 2L]
+
+
+def polar_decode_list_onehot(code: PolarCode, llr: jax.Array,
+                             list_size: int = 8
+                             ) -> tuple[jnp.ndarray, jnp.ndarray,
+                                        jnp.ndarray]:
+    """polar_decode_list with every data-dependent gather/argsort replaced
+    by ONE-HOT matmuls (bit-identical outputs — tested):
+
+    - the leaf's top-L survivor selection is a rank-based one-hot matrix
+      (`_top_l_onehot`), applied to path metrics / fork bits by product-
+      and-sum (exact: single-term sums of selected values);
+    - path-state reordering at tree nodes composes one-hot permutation
+      matrices (P = P_r @ P_l over {0,1} — exact) and applies them to the
+      cached LLR / partial-sum planes as einsums instead of row gathers.
+
+    Same return contract as polar_decode_list. Motivation: the gather
+    form is compute-bound at ~4.9 Mb/s coded on the chip while plain SC
+    runs at 1.85 Gb/s — XLA's TPU lowering of batched row gathers is the
+    sink; einsum/compare forms vectorize.
+    """
+    lsz = int(list_size)
+    if lsz < 1:
+        raise ValueError(f"list_size must be >= 1, got {lsz}")
+    frozen = np.asarray(code.frozen)
+    big = jnp.asarray(F32_BIG)
+    eye = jnp.eye(lsz, dtype=F32)
+
+    def apply_p(p, arr):
+        """arr [L, s] (f32 or i32 bits) reordered by one-hot p [L, L]."""
+        if arr.dtype == jnp.int32:
+            return jnp.einsum("op,ps->os", p, arr.astype(F32),
+                              precision=jax.lax.Precision.HIGHEST
+                              ).astype(jnp.int32)
+        return jnp.einsum("op,ps->os", p, arr,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    def leaf(l, pm, lo):
+        lv = l[:, 0]
+        pen = jnp.abs(lv)
+        if frozen[lo]:
+            pm2 = pm + jnp.where(lv < 0, pen, 0.0)
+            u = jnp.zeros((lsz, 1), jnp.int32)
+            return u, pm2, eye
+        follow = (lv < 0).astype(F32)
+        pm_cand = jnp.concatenate([pm, pm + pen])              # [2L]
+        s = _top_l_onehot(pm_cand, lsz)                        # [L, 2L]
+        pm2 = jnp.einsum("oi,i->o", s, pm_cand,
+                         precision=jax.lax.Precision.HIGHEST)
+        p_src = s[:, :lsz] + s[:, lsz:]                        # [L, L]
+        u_cand = jnp.concatenate([follow, 1.0 - follow])
+        u_bit = jnp.einsum("oi,i->o", s, u_cand,
+                           precision=jax.lax.Precision.HIGHEST)
+        return (u_bit[:, None] > 0.5).astype(jnp.int32), pm2, p_src
+
+    def dec(l, pm, lo, size):
+        if size == 1:
+            u, pm2, p = leaf(l, pm, lo)
+            return u, u, pm2, p
+        half = size // 2
+        a, b = l[:, :half], l[:, half:]
+        u_l, x_l, pm, p_l = dec(_f(a, b), pm, lo, half)
+        a2, b2 = apply_p(p_l, a), apply_p(p_l, b)
+        u_r, x_r, pm, p_r = dec(_g(a2, b2, x_l.astype(F32)),
+                                pm, lo + half, half)
+        u_l2, x_l2 = apply_p(p_r, u_l), apply_p(p_r, x_l)
+        u = jnp.concatenate([u_l2, u_r], axis=-1)
+        x = jnp.concatenate([jnp.bitwise_xor(x_l2, x_r), x_r], axis=-1)
+        p = jnp.einsum("or,rp->op", p_r, p_l,
+                       precision=jax.lax.Precision.HIGHEST)
+        return u, x, pm, p
+
+    l0 = jnp.broadcast_to(llr.astype(F32)[None, :], (lsz, code.n))
+    pm0 = jnp.full((lsz,), big, F32).at[0].set(0.0)
+    u_hat, _, pm, _ = dec(l0, pm0, 0, code.n)
+    s_fin = _top_l_onehot(jnp.concatenate([pm, jnp.full((lsz,), big, F32)]),
+                          lsz)
+    p_fin = s_fin[:, :lsz] + s_fin[:, lsz:]
+    u_hat = apply_p(p_fin, u_hat)
+    pm_s = jnp.einsum("op,p->o", p_fin, pm,
+                      precision=jax.lax.Precision.HIGHEST)
+    info = jnp.take(u_hat, jnp.asarray(code.data_pos), axis=-1)
+    return info.astype(jnp.int32), u_hat.astype(jnp.int32), pm_s

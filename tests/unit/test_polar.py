@@ -137,3 +137,28 @@ def test_crc_aided_scl():
                 break
     assert ca_ok > sc_ok, (ca_ok, sc_ok)
     assert ca_ok >= int(0.9 * nblk), (ca_ok, nblk)
+
+
+def test_onehot_scl_bit_identical_to_gather_form():
+    from srcdsp_tpu.polar import polar_decode_list, polar_decode_list_onehot
+    code = make_polar(128, 64)
+    rng = np.random.default_rng(3)
+    for trial in range(3):
+        llr = jnp.asarray(rng.standard_normal(128) * 3, jnp.float32)
+        i1, u1, p1 = polar_decode_list(code, llr, list_size=8)
+        i2, u2, p2 = polar_decode_list_onehot(code, llr, list_size=8)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_onehot_scl_vmap_batch():
+    from srcdsp_tpu.polar import polar_decode_list_onehot
+    code = make_polar(128, 64)
+    rng = np.random.default_rng(4)
+    u = rng.integers(0, 2, (8, code.k))
+    cw = np.asarray(polar_encode(code, jnp.asarray(u)))
+    llr = jnp.asarray(6.0 * (1.0 - 2.0 * cw)
+                      + 0.5 * rng.standard_normal(cw.shape), jnp.float32)
+    info = jax.vmap(lambda l: polar_decode_list_onehot(code, l, 4)[0][0])(llr)
+    np.testing.assert_array_equal(np.asarray(info), u)
