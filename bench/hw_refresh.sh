@@ -1,8 +1,7 @@
 #!/bin/bash
-# One-command hardware re-measure for when the axon tunnel recovers
-# (it was down >16h at round-2 close — see BASELINE.md). Runs the
-# driver metric, the all-preset sweep, and the new on-chip LDPC probe;
-# results land in bench/hw_refresh_<ts>.log for BASELINE.
+# One-command hardware re-measure (slope-timed round-3 harness). Runs
+# the driver metric, the all-preset sweep, and the round-3 coding-tier
+# probes; results land in bench/hw_refresh_<ts>.log for BASELINE.
 set -x
 ts=$(date +%Y%m%d_%H%M%S)
 log=bench/hw_refresh_${ts}.log
@@ -10,11 +9,16 @@ log=bench/hw_refresh_${ts}.log
   echo "== probe =="
   timeout 120 python -c "import jax; print(jax.devices())" || exit 1
   echo "== bench.py (driver metric) =="
-  timeout 1800 python bench.py
+  timeout 2400 python bench.py
   echo "== all presets =="
-  timeout 5400 python bench/run.py all
-  echo "== on-chip LDPC (unrolled min-sum) =="
-  timeout 1800 python bench/ldpc_onchip.py
-  echo "== on-chip polar SC =="
-  timeout 1800 python bench/polar_onchip.py
+  timeout 7200 python bench/run.py all
+  echo "== Pallas LDPC (edge kernel, bit-exact vs CPU tier) =="
+  timeout 1800 python bench/ldpc_onchip.py --kernel --batch 16384
+  echo "== on-chip turbo max-log BCJR =="
+  timeout 2400 python bench/turbo_onchip.py --batch 1024
+  echo "== on-chip polar SC + one-hot SCL =="
+  timeout 1800 python bench/polar_onchip.py --batch 4096
+  timeout 2400 python bench/polar_onchip.py --batch 1024 --scl 8
+  echo "== end-to-end coded link =="
+  timeout 2400 python bench/coded_link_onchip.py
 } 2>&1 | tee "$log"
