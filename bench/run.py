@@ -181,12 +181,14 @@ def run_fft(iters: int = 20, n: int = 4096, batch: int = 8192,
 
 def run_config4_onchip(iters: int = 10, channels: int = 10,
                        n_per_ch: int = 1 << 24, fused: bool = True,
-                       bf16: bool = True) -> dict:
-    """The north-star chain fully on-chip. fused=True runs the single-kernel
-    front-end (mix+FIR+decim+discriminator+timing sums in ONE pallas_call);
-    fused=False composes the MC mixfir kernel with XLA demod ops. bf16 runs
-    the FIR matmuls at bf16-input/f32-accumulate — the serving config:
-    bits measured IDENTICAL to f32-HIGHEST on the modulated fixture
+                       bf16: bool = True, ctaps: bool = True) -> dict:
+    """The north-star chain fully on-chip. ctaps=True (serving default,
+    round 4) bakes the per-channel NCO into complex taps — no per-sample
+    mix at all (kernels/fsk_ctaps; bits IDENTICAL to the runtime-mix
+    kernel on the modulated fixture, +25% slope A/B). fused=True runs the
+    runtime-tuned single-kernel front-end; fused=False composes the MC
+    mixfir kernel with XLA demod ops. bf16 runs the FIR matmuls at
+    bf16-input/f32-accumulate — bits IDENTICAL to f32-HIGHEST
     (BASELINE.md 2026-08-17) at +10% throughput.
     Reports AGGREGATE Msamples/s across channels on this one chip."""
     import time
@@ -205,7 +207,19 @@ def run_config4_onchip(iters: int = 10, channels: int = 10,
     prec = (jax.lax.Precision.DEFAULT if bf16
             else jax.lax.Precision.HIGHEST)
 
-    if fused:
+    if fused and ctaps:
+        from srcdsp_tpu.kernels.fsk_ctaps import (
+            fsk_demod_ctaps, make_fsk_ctaps_kernel)
+        fn, hist = make_fsk_ctaps_kernel(taps, words, decim, sps,
+                                         out_tile=512, b_rows=32,
+                                         precision=prec, class_major=True)
+        blk = 32 * 512 * decim
+        n = (n_per_ch // blk) * blk
+        planes = jax.device_put(jnp.asarray(
+            rng.standard_normal((channels, 2, hist + n)).astype(np.float32)))
+        step = jax.jit(lambda p: fsk_demod_ctaps(
+            fn, hist, 512, p, sps, class_major=True))
+    elif fused:
         from srcdsp_tpu.kernels.fsk_fused import (
             fsk_demod_fused, make_fsk_mc_kernel)
         fn, hist = make_fsk_mc_kernel(taps, decim, channels, sps,
@@ -241,8 +255,8 @@ def run_config4_onchip(iters: int = 10, channels: int = 10,
         "config": "config4_onchip",
         "platform": jax.default_backend(),
         "channels": channels,
-        "impl": ("fused_kernel_bf16" if bf16 else "fused_kernel") if fused
-                else "kernel+xla",
+        "impl": (("fused_ctaps_" if ctaps else "fused_kernel_")
+                 + ("bf16" if bf16 else "f32")) if fused else "kernel+xla",
         "aggregate_msamples_per_s": round(agg, 1),
         "ms_per_iter": round(best * 1e3, 3),
         "per_chip_vs_125msps_target": round(agg / 125.0, 2),

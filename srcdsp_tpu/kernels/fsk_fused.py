@@ -305,11 +305,18 @@ def fsk_demod_fused(fn, hist: int, out_tile: int, words0, dwords, x_planes,
     class_major must match the kernel's flag: the pick then sums
     contiguous lane blocks of the permuted rows (no minor-sps relayout).
     """
-    from srcdsp_tpu.chains.fsk_planes import pick_symbols
-
     w0 = jnp.asarray(np.asarray(words0, np.uint32).view(np.int32).reshape(-1, 1))
     dw = jnp.asarray(np.asarray(dwords, np.uint32).view(np.int32).reshape(-1, 1))
     dd, st = fn(w0, dw, x_planes)
+    return demod_tail(dd, st, sps, out_tile, state, class_major)
+
+
+def demod_tail(dd, st, sps: int, out_tile: int, state=None,
+               class_major: bool = False):
+    """The 3-op XLA tail shared by the fused-kernel wrappers: O&M tau from
+    the in-kernel partial sums, then the one-hot symbol pick."""
+    from srcdsp_tpu.chains.fsk_planes import pick_symbols
+
     cch = dd.shape[0]
     rs_c = jnp.sum(st[:, :, 0], axis=-1, keepdims=True)
     rs_s = jnp.sum(st[:, :, 1], axis=-1, keepdims=True)
