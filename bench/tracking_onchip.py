@@ -1,0 +1,139 @@
+"""On-chip probe: the closed-loop tracking chains (plane forms) on the
+axon TPU. Correctness-gated like the other sequential-tier probes: the
+chip's decisions must match the CPU tier exactly; throughput is reported
+as a secondary number (the per-symbol scan is latency-bound by nature —
+this is the correctness tier, not the 30 Gs/s serving path).
+
+Usage: python bench/tracking_onchip.py [psk|fsk] [channels] [blocks]
+"""
+import json
+import statistics
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def _force(y):
+    leaf = jax.tree_util.tree_leaves(y)[0]
+    try:
+        return np.asarray(leaf[tuple(slice(0, 1) for _ in leaf.shape)])
+    except Exception:
+        return np.asarray(leaf)
+
+
+def _warp_clock(x, amp, period):
+    n = np.arange(len(x) - int(np.ceil(amp)) - 1, dtype=np.float64)
+    t = n + amp * np.sin(2 * np.pi * n / period)
+    i0 = np.floor(t).astype(np.int64)
+    f = t - i0
+    return ((1 - f) * x[i0] + f * x[i0 + 1]).astype(np.complex64)
+
+
+def main(which="fsk", channels=8, blocks=8):
+    from srcdsp_tpu.chains.fsk import make_fsk_params
+    from srcdsp_tpu.chains.psk import make_psk_params
+    from srcdsp_tpu.chains.tracking_planes import (
+        fsk_track_planes_apply, fsk_track_planes_init,
+        psk_track_planes_apply, psk_track_planes_init)
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    if which == "fsk":
+        decim, sps, dev = 2, 8, 0.02
+        block = 1 << 14
+        params = make_fsk_params(0.0, 64, 0.45 / decim, decim=decim,
+                                 sps=sps, dev=dev * decim)
+        with jax.default_device(cpu):
+            from srcdsp_tpu.testing.signals import fsk_baseband, random_bits
+            nsym = blocks * block // (decim * sps) + 64
+            bits = random_bits(jax.random.PRNGKey(2), (channels, nsym))
+            bb = np.asarray(fsk_baseband(bits, decim * sps, dev))
+        x = np.stack([_warp_clock(bb[c], 1.5, 4096.0) for c in
+                      range(channels)])
+        init = lambda: fsk_track_planes_init(params, channels)
+        apply_ = lambda s, p: fsk_track_planes_apply(params, s, p)
+    else:
+        order, sps = 4, 4
+        decim = 1
+        block = 1 << 13
+        params = make_psk_params(0.0, decim=decim, sps=sps, order=order)
+        with jax.default_device(cpu):
+            from srcdsp_tpu.chains.psk import diff_encode
+            from srcdsp_tpu.ops.resample import resample_full
+            nsym = blocks * block // sps + 64
+            rng = np.random.default_rng(0)
+            data = rng.integers(0, order, (channels, nsym))
+            sym = np.exp(2j * np.pi * (data + 0.5) / order)
+            clean = np.asarray(jax.vmap(
+                lambda s: resample_full(params.taps, s, up=sps, down=1))(
+                    jnp.asarray(sym.astype(np.complex64))))
+        x = np.stack([_warp_clock(clean[c], 1.5, 2048.0) for c in
+                      range(channels)])
+        init = lambda: psk_track_planes_init(params, channels)
+        apply_ = lambda s, p: psk_track_planes_apply(params, s, p)
+
+    n = blocks * block
+    planes = np.stack([x.real, x.imag], axis=1)[:, :, :n].astype(np.float32)
+
+    def run(device):
+        with jax.default_device(device):
+            st = init()
+            step = jax.jit(apply_)
+            outs = []
+            for b in range(blocks):
+                p = jax.device_put(
+                    jnp.asarray(planes[:, :, b * block:(b + 1) * block]),
+                    device)
+                st, out = step(st, p)
+                outs.append(np.asarray(out[0]))
+        return np.concatenate(outs, axis=-1)
+
+    dec_cpu = run(cpu)
+    tpu = jax.devices()[0]
+    dec_tpu = run(tpu)
+    match = np.array_equal(dec_cpu, dec_tpu)
+    mismatch = float(np.mean(dec_cpu != dec_tpu))
+    print(json.dumps({"probe": f"tracking_{which}_onchip",
+                      "decisions_match_cpu": bool(match),
+                      "mismatch_fraction": mismatch}), flush=True)
+
+    # slope timing on the chip
+    with jax.default_device(tpu):
+        st = init()
+        step = jax.jit(apply_)
+        p = jax.device_put(jnp.asarray(planes[:, :, :block]), tpu)
+        _force(step(st, p))
+
+        def region(k):
+            t0 = time.perf_counter()
+            y = None
+            for _ in range(k):
+                y = step(st, p)
+            _force(y)
+            return time.perf_counter() - t0
+
+        ts = []
+        for _ in range(5):
+            t1, t2 = region(2), region(4)
+            ts.append((t2 - t1) / 2)
+        t = statistics.median(ts)
+    msps = channels * block / t / 1e6
+    print(json.dumps({
+        "probe": f"tracking_{which}_onchip", "channels": channels,
+        "block": block, "ms_per_block": round(t * 1e3, 3),
+        "aggregate_msamples_per_s": round(msps, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "fsk"
+    channels = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    blocks = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    print("backend:", jax.default_backend(), flush=True)
+    main(which, channels, blocks)
