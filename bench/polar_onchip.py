@@ -34,6 +34,8 @@ def main(argv=None):
                     help="use SC-LIST decoding with list size L (the "
                          "production decoder; traced argsort + gathers — "
                          "supported on-chip per the 2026-08-19 re-probe)")
+    ap.add_argument("--fast", action="store_true",
+                    help="rate-0/REP subtree shortcuts (bit-identical)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args(argv)
 
@@ -57,8 +59,8 @@ def main(argv=None):
         # one-hot SCL (round 3): bit-identical to the gather form, 6.4x
         # faster on-chip (31.8 vs 5.0 Mb/s at L=8/B=1024)
         one = lambda l: polar_decode_list_onehot(
-            code, l, list_size=args.scl)[0][0]
-        tag = f"scl{args.scl}"
+            code, l, list_size=args.scl, fast=args.fast)[0][0]
+        tag = f"scl{args.scl}" + ("_fast" if args.fast else "")
     else:
         one = lambda l: polar_decode(code, l)[0]
         tag = "sc"

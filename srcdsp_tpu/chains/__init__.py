@@ -23,6 +23,11 @@ from srcdsp_tpu.chains.tracking import (  # noqa: F401
     fsk_track_ragged_apply, fsk_track_ragged_init,
     psk_track_ragged_apply, psk_track_ragged_init,
 )
+from srcdsp_tpu.chains.tracking_planes import (  # noqa: F401
+    FskTrackPlanesState, PskTrackPlanesState, costas_scan_planes,
+    fsk_track_planes_apply, fsk_track_planes_init, gardner_scan_planes,
+    psk_track_planes_apply, psk_track_planes_init,
+)
 from srcdsp_tpu.chains.framesync import (  # noqa: F401
     FrameSyncParams, FrameSyncState, frame_sync_apply, frame_sync_init,
     make_frame_sync_params, peak_indices, peak_to_burst_start,

@@ -15,7 +15,13 @@ from srcdsp_tpu.kernels.bank_pallas import (  # noqa: F401
     make_bank_kernel, make_bank_psk_kernel, phase_major,
 )
 from srcdsp_tpu.kernels.fsk_fused import (  # noqa: F401
-    fsk_demod_fused, make_fsk_mc_kernel,
+    demod_tail, fsk_demod_fused, make_fsk_mc_kernel,
+)
+from srcdsp_tpu.kernels.fsk_ctaps import (  # noqa: F401
+    fsk_demod_ctaps, make_fsk_ctaps_kernel,
+)
+from srcdsp_tpu.kernels.mixfir_ctaps import (  # noqa: F401
+    CtapsKernel, make_mix_fir_ctaps_kernel, mix_fir_ctaps_pallas,
 )
 from srcdsp_tpu.kernels.halo_dma import halo_from_left_pallas  # noqa: F401
 from srcdsp_tpu.kernels.halo_fused import (  # noqa: F401

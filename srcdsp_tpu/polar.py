@@ -224,8 +224,27 @@ def _top_l_onehot(pm_cand: jax.Array, lsz: int) -> jax.Array:
     return (rank[None, :] == slots).astype(F32)                # [L, 2L]
 
 
+def _frozen_leaf_llrs(l: jax.Array, size: int) -> jax.Array:
+    """Leaf LLRs of a subtree whose partial sums are ALL ZERO (every
+    decided bit in it is 0), computed level-synchronously: each stage
+    maps every segment to [f(a,b) | g(a,b,0)] — the same float ops the
+    depth-first recursion performs, so values are bit-identical, but the
+    graph is O(log size) tensor ops instead of O(size) node visits.
+    l: [L, size] -> [L, size] leaf LLRs in leaf (bit-index) order."""
+    lsz = l.shape[0]
+    cur = l[:, None, :]                      # [L, 1, seg]
+    seg = size
+    while seg > 1:
+        a = cur[..., : seg // 2]
+        b = cur[..., seg // 2:]
+        cur = jnp.stack([_f(a, b), _g(a, b, 0.0)], axis=-2)
+        cur = cur.reshape(lsz, -1, seg // 2)
+        seg //= 2
+    return cur[:, :, 0]                      # [L, size]
+
+
 def polar_decode_list_onehot(code: PolarCode, llr: jax.Array,
-                             list_size: int = 8
+                             list_size: int = 8, fast: bool = False
                              ) -> tuple[jnp.ndarray, jnp.ndarray,
                                         jnp.ndarray]:
     """polar_decode_list with every data-dependent gather/argsort replaced
@@ -237,6 +256,14 @@ def polar_decode_list_onehot(code: PolarCode, llr: jax.Array,
     - path-state reordering at tree nodes composes one-hot permutation
       matrices (P = P_r @ P_l over {0,1} — exact) and applies them to the
       cached LLR / partial-sum planes as einsums instead of row gathers.
+
+    fast=True additionally collapses RATE-0 (all-frozen) and REP
+    (frozen-except-last) subtrees: their partial sums are provably zero,
+    so the leaf LLRs come from one level-synchronous butterfly
+    (`_frozen_leaf_llrs`) and no forks/permutations exist inside — the
+    unrolled graph shrinks from O(size) einsum nodes per such subtree to
+    O(log size) tensor ops. Outputs remain BIT-identical (tested):
+    penalties accumulate in the same leaf order with the same float ops.
 
     Same return contract as polar_decode_list. Motivation: the gather
     form is compute-bound at ~4.9 Mb/s coded on the chip while plain SC
@@ -259,13 +286,9 @@ def polar_decode_list_onehot(code: PolarCode, llr: jax.Array,
         return jnp.einsum("op,ps->os", p, arr,
                           precision=jax.lax.Precision.HIGHEST)
 
-    def leaf(l, pm, lo):
-        lv = l[:, 0]
+    def fork(lv, pm):
+        """Data-bit fork + top-L survivor selection. lv: [L] leaf llr."""
         pen = jnp.abs(lv)
-        if frozen[lo]:
-            pm2 = pm + jnp.where(lv < 0, pen, 0.0)
-            u = jnp.zeros((lsz, 1), jnp.int32)
-            return u, pm2, eye
         follow = (lv < 0).astype(F32)
         pm_cand = jnp.concatenate([pm, pm + pen])              # [2L]
         s = _top_l_onehot(pm_cand, lsz)                        # [L, 2L]
@@ -277,10 +300,42 @@ def polar_decode_list_onehot(code: PolarCode, llr: jax.Array,
                            precision=jax.lax.Precision.HIGHEST)
         return (u_bit[:, None] > 0.5).astype(jnp.int32), pm2, p_src
 
+    def leaf(l, pm, lo):
+        lv = l[:, 0]
+        if frozen[lo]:
+            pm2 = pm + jnp.where(lv < 0, jnp.abs(lv), 0.0)
+            u = jnp.zeros((lsz, 1), jnp.int32)
+            return u, pm2, eye
+        return fork(lv, pm)
+
+    def frozen_pm(lf, pm, count):
+        """Accumulate the frozen-leaf penalties of lf[:, :count] in leaf
+        order (the recursion's exact float-add order)."""
+        pen = jnp.where(lf < 0, jnp.abs(lf), 0.0)
+        for idx in range(count):
+            pm = pm + pen[:, idx]
+        return pm
+
     def dec(l, pm, lo, size):
         if size == 1:
             u, pm2, p = leaf(l, pm, lo)
             return u, u, pm2, p
+        if fast:
+            fr = frozen[lo: lo + size]
+            if fr.all():                      # RATE-0 subtree
+                lf = _frozen_leaf_llrs(l, size)
+                pm = frozen_pm(lf, pm, size)
+                z = jnp.zeros((lsz, size), jnp.int32)
+                return z, z, pm, eye
+            if fr[:-1].all() and not fr[-1]:  # REP subtree
+                lf = _frozen_leaf_llrs(l, size)
+                pm = frozen_pm(lf, pm, size - 1)
+                u_bit, pm2, p = fork(lf[:, size - 1], pm)
+                u = jnp.concatenate(
+                    [jnp.zeros((lsz, size - 1), jnp.int32), u_bit], axis=-1)
+                # x = u G: the last kernel row is all-ones
+                x = jnp.broadcast_to(u_bit, (lsz, size))
+                return u, x, pm2, p
         half = size // 2
         a, b = l[:, :half], l[:, half:]
         u_l, x_l, pm, p_l = dec(_f(a, b), pm, lo, half)

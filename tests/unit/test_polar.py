@@ -162,3 +162,20 @@ def test_onehot_scl_vmap_batch():
                       + 0.5 * rng.standard_normal(cw.shape), jnp.float32)
     info = jax.vmap(lambda l: polar_decode_list_onehot(code, l, 4)[0][0])(llr)
     np.testing.assert_array_equal(np.asarray(info), u)
+
+
+def test_onehot_scl_fast_bit_identical():
+    """fast=True (rate-0/REP subtree shortcuts) must be bit-identical to
+    the plain one-hot SCL: info, u_hat, AND path metrics."""
+    from srcdsp_tpu.polar import polar_decode_list_onehot
+    code = make_polar(256, 128)
+    rng = np.random.default_rng(5)
+    u = rng.integers(0, 2, (8, code.k))
+    cw = np.asarray(polar_encode(code, jnp.asarray(u)))
+    llr = jnp.asarray((1.0 - 2.0 * cw) * 2.0
+                      + 0.9 * rng.standard_normal(cw.shape), jnp.float32)
+    slow = jax.vmap(lambda l: polar_decode_list_onehot(code, l, 8))(llr)
+    fast = jax.vmap(
+        lambda l: polar_decode_list_onehot(code, l, 8, fast=True))(llr)
+    for a, b in zip(slow, fast):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
