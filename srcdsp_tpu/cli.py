@@ -17,6 +17,7 @@ through a demod chain and write the result. Equivalent here:
     python -m srcdsp_tpu.cli gen  test.iq --gen chirp --snr 10 --fmt cu8
     python -m srcdsp_tpu.cli fecenc bits.u8 coded.u8 --code ldpc
     python -m srcdsp_tpu.cli fecdec llrs.f32 bits.u8 --code ldpc [--hard]
+    python -m srcdsp_tpu.cli scf  in.iq lines.jsonl [--conj]
 
 Streams in fixed blocks with carried state (bit-exact vs one-shot), writes
 output incrementally per block, checkpoints every --ckpt-every blocks, and
@@ -404,12 +405,43 @@ def _scan(args) -> None:
     print(f"{len(dets)} detections", file=sys.stderr)
 
 
+def _scf(args) -> None:
+    """Cyclostationary survey driver: capture -> JSON lines — the
+    normalized cycle profile's detected lines (non-conjugate: baud-rate
+    features; --conj: 2 f_c carrier features, the BPSK/QPSK test)."""
+    import json
+
+    import jax.numpy as jnp
+
+    from srcdsp_tpu.io.capture import read_capture
+    from srcdsp_tpu.ops.cyclo import detect_cycles, fam_scf
+
+    x, _meta = read_capture(args.infile)
+    np_ = args.scf_np
+    pfr = args.scf_p
+    need = (pfr - 1) * (np_ // 4) + np_
+    x = np.asarray(x)
+    if len(x) < need:
+        raise SystemExit(f"capture too short: need {need} samples for "
+                         f"Np={np_}, P={pfr}")
+    res = fam_scf(jnp.asarray(x[:need].astype(np.complex64)), np_=np_,
+                  p=pfr, conj=args.conj)
+    peaks = detect_cycles(res, thresh=args.scf_thresh)
+    out = open(args.outfile, "w") if args.outfile != "-" else sys.stdout
+    for alpha, strength in peaks:
+        out.write(json.dumps({
+            "alpha": round(alpha, 6), "strength": round(strength, 4),
+            "kind": "conjugate" if args.conj else "standard"}) + "\n")
+    if out is not sys.stdout:
+        out.close()
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="srcdsp_tpu.cli", description=__doc__)
     p.add_argument("chain", choices=["fsk", "psk", "dqpsk", "qam", "fir",
                                      "fm", "am", "channelize", "mod",
                                      "scan", "mux", "resample", "gen",
-                                     "fecenc", "fecdec"])
+                                     "fecenc", "fecdec", "scf"])
     p.add_argument("infile")
     p.add_argument("outfile", nargs="?", default=None,
                    help="output path (optional for `gen`, whose single "
@@ -466,6 +498,16 @@ def main(argv=None) -> None:
                    help="resample: decimation factor M")
     p.add_argument("--analyze", action="store_true",
                    help="scan: also estimate baud + PSK order per band")
+    p.add_argument("--conj", action="store_true",
+                   help="scf: conjugate SCF (carrier/2fc features) "
+                        "instead of the standard SCF (baud features)")
+    p.add_argument("--scf-np", type=int, default=64,
+                   help="scf: spectral channels Np")
+    p.add_argument("--scf-p", type=int, default=256,
+                   help="scf: accumulated frames P")
+    p.add_argument("--scf-thresh", type=float, default=0.35,
+                   help="scf: detection threshold relative to the PSD "
+                        "peak (noise floor ~4.4/sqrt(P))")
     p.add_argument("--scan-nfft", type=int, default=4096,
                    help="scan: Welch PSD size")
     p.add_argument("--timing-forget", type=float, default=0.5,
@@ -523,6 +565,10 @@ def main(argv=None) -> None:
 
     if args.chain == "scan":
         _scan(args)
+        return
+
+    if args.chain == "scf":
+        _scf(args)
         return
 
     if args.chain == "mux":

@@ -468,3 +468,31 @@ def test_cli_fec_roundtrips(tmp_path):
                   "--platform", "cpu"] + extra)
         d = np.fromfile(dec, np.uint8)
         np.testing.assert_array_equal(d[:u.size], u)
+
+
+def test_cli_scf_cycle_lines(tmp_path):
+    """Cyclostationary survey: a modded BPSK burst shows its baud line in
+    the standard SCF and its 2fc line in the conjugate SCF."""
+    import json
+
+    rng = np.random.default_rng(3)
+    syms = rng.integers(0, 2, 8192).astype(np.uint8)
+    symf = str(tmp_path / "s.u8")
+    syms.tofile(symf)
+    iq = str(tmp_path / "tx.cf32")
+    cli_main(["mod", symf, iq, "--mod", "psk", "--order", "2",
+              "--sps", "8", "--center", "0.12"])
+
+    out = str(tmp_path / "lines.jsonl")
+    # the standard-SCF baud line's strength is ~beta/2-ish of the PSD
+    # peak (~0.32 for the mod driver's RRC beta=0.35): threshold below it
+    cli_main(["scf", iq, out, "--scf-thresh", "0.3"])
+    recs = [json.loads(l) for l in open(out)]
+    assert recs, "no cycle lines on a BPSK capture"
+    assert min(abs(abs(r["alpha"]) - 1 / 8) for r in recs) < 2e-3, recs
+
+    outc = str(tmp_path / "conj.jsonl")
+    cli_main(["scf", iq, outc, "--conj"])
+    recs = [json.loads(l) for l in open(outc)]
+    assert recs, "no conjugate lines on a BPSK capture"
+    assert min(abs(r["alpha"] - 2 * 0.12) for r in recs) < 2e-3, recs
