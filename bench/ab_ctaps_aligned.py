@@ -6,6 +6,9 @@ the same operands), block 0 allclose.
 
 Usage: python bench/ab_ctaps_aligned.py [n_log2] [f32]
 """
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import statistics
 import sys

@@ -9,6 +9,9 @@ bits IDENTICAL on a modulated FSK fixture through both wrappers.
 
 Usage: python bench/ab_fsk_ctaps.py [n_log2_per_ch] [channels] [f32]
 """
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import statistics
 import sys

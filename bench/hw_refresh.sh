@@ -16,9 +16,15 @@ log=bench/hw_refresh_${ts}.log
   timeout 1800 python bench/ldpc_onchip.py --kernel --batch 16384
   echo "== on-chip turbo max-log BCJR =="
   timeout 2400 python bench/turbo_onchip.py --batch 1024
-  echo "== on-chip polar SC + one-hot SCL =="
+  echo "== on-chip polar SC + one-hot SCL (+fast rate-0/REP) =="
   timeout 1800 python bench/polar_onchip.py --batch 4096
   timeout 2400 python bench/polar_onchip.py --batch 1024 --scl 8
+  timeout 2400 python bench/polar_onchip.py --batch 1024 --scl 8 --fast
   echo "== end-to-end coded link =="
   timeout 2400 python bench/coded_link_onchip.py
+  echo "== config-4 ctaps vs runtime-mix A/B (round 4) =="
+  timeout 2400 python bench/ab_fsk_ctaps.py 24 10
+  echo "== tracking loops on-chip (round 4) =="
+  timeout 1800 python bench/tracking_onchip.py fsk 8 4
+  timeout 1800 python bench/tracking_onchip.py psk 8 4
 } 2>&1 | tee "$log"

@@ -6,6 +6,9 @@ this is the correctness tier, not the 30 Gs/s serving path).
 
 Usage: python bench/tracking_onchip.py [psk|fsk] [channels] [blocks]
 """
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import statistics
 import sys
