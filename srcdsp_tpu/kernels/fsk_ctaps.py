@@ -191,6 +191,7 @@ def make_fsk_ctaps_kernel(taps, dwords, decim: int, sps: int,
                           precision=jax.lax.Precision.HIGHEST,
                           class_major: bool = False,
                           pipelined: bool | None = None,
+                          in_dtype=jnp.float32,
                           interpret: bool = False):
     """Build the complex-taps fused FSK front-end for FIXED per-channel
     tuning words `dwords` (u32 array, one per channel). Returns (fn, hist)
@@ -225,6 +226,10 @@ def make_fsk_ctaps_kernel(taps, dwords, decim: int, sps: int,
         deltas[c, 0] = np.float32(
             (decim * int(dwords[c])) % (1 << 32)) * np.float32(_INV_SCALE)
     hsubs = jnp.asarray(np.stack(hs))       # [C, NB, bspan, 3*BC]
+    if in_dtype == jnp.bfloat16:
+        # bf16-INGEST variant: x planes ship as bf16 (halved input HBM
+        # traffic + window-copy bytes); keep the MXU pass homogeneous
+        hsubs = hsubs.astype(jnp.bfloat16)
     deltas = jnp.asarray(deltas)
     # lane permutation matrix: row i -> col (i%sps)*(OT/sps) + i//sps
     pm = np.zeros((out_tile, out_tile), np.float32)
@@ -242,6 +247,9 @@ def make_fsk_ctaps_kernel(taps, dwords, decim: int, sps: int,
             f"({bstride})")
 
     def fn(x):
+        if x.dtype != in_dtype:
+            raise ValueError(f"x dtype {x.dtype} != kernel in_dtype "
+                             f"{jnp.dtype(in_dtype).name}")
         n = x.shape[-1] - hist
         if n % bstride != 0:
             raise ValueError(f"N={n} not a multiple of {bstride}")
@@ -267,7 +275,7 @@ def make_fsk_ctaps_kernel(taps, dwords, decim: int, sps: int,
             x_specs = [pl.BlockSpec(memory_space=pl.ANY)]
             x_args = (x,)
             slab_scratch = [
-                pltpu.VMEM((2, slab_len), jnp.float32),
+                pltpu.VMEM((2, slab_len), in_dtype),
                 pltpu.SemaphoreType.DMA,
             ]
         return pl.pallas_call(

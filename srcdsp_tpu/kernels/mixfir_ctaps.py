@@ -163,8 +163,17 @@ def make_mix_fir_ctaps_kernel(taps, dword: int, decim: int,
                               block_cols: int = 128,
                               precision=jax.lax.Precision.HIGHEST,
                               pipelined: bool | None = None,
+                              in_dtype=jnp.float32,
                               interpret: bool = False) -> CtapsKernel:
-    """Build the complex-taps kernel for a FIXED tuning word `dword`."""
+    """Build the complex-taps kernel for a FIXED tuning word `dword`.
+
+    in_dtype=jnp.bfloat16 is the bf16-INGEST serving variant: the caller
+    ships x planes as bf16 (halving input HBM traffic AND the in-kernel
+    window-copy bytes — the two dominant terms in the round-3 roofline
+    attribution); the matmuls already run bf16 passes under
+    precision=DEFAULT, so the only extra loss is the input quantization
+    itself (~40-45 dB vs the f32 reference — measure per deployment).
+    Outputs stay f32 (f32 accumulate + f32 phasor)."""
     taps = np.asarray(taps, np.float64)
     if not interpret:
         if b_rows % 8 != 0:
@@ -186,6 +195,10 @@ def make_mix_fir_ctaps_kernel(taps, dword: int, decim: int,
     taps_c = taps * np.exp(-1j * dth * a_idx)
     hsubs = jnp.asarray(
         _banded_pack(taps_c, decim, out_tile, hist, block_cols))
+    if in_dtype == jnp.bfloat16:
+        # keep the MXU pass homogeneous (Mosaic mixed-dtype dots would
+        # re-materialize the windows in f32, defeating the ingest saving)
+        hsubs = hsubs.astype(jnp.bfloat16)
     stride = out_tile * decim
     bstride = b_rows * stride
     pipe_ok = bstride % hist == 0
@@ -195,6 +208,9 @@ def make_mix_fir_ctaps_kernel(taps, dword: int, decim: int,
                          f"b_rows*out_tile*decim ({bstride})")
 
     def fn(word0, x):
+        if x.dtype != in_dtype:
+            raise ValueError(f"x dtype {x.dtype} != kernel in_dtype "
+                             f"{jnp.dtype(in_dtype).name}")
         n = x.shape[-1] - hist
         if n % bstride != 0:
             raise ValueError(f"N={n} not a multiple of {bstride}")
@@ -220,7 +236,7 @@ def make_mix_fir_ctaps_kernel(taps, dword: int, decim: int,
             kern = functools.partial(_kernel, slab_len=slab_len, **common)
             x_specs = [pl.BlockSpec(memory_space=pl.ANY)]
             x_args = (x,)
-            scratch = [pltpu.VMEM((2, slab_len), jnp.float32),
+            scratch = [pltpu.VMEM((2, slab_len), in_dtype),
                        pltpu.SemaphoreType.DMA]
         return pl.pallas_call(
             kern,

@@ -99,3 +99,30 @@ def test_ctaps_fsk_chunked_streaming_bit_exact():
     assert np.array_equal(d1[:, nt_half + 1:], d2[:, nt_half + 1:])
     diff = d1[:, nt_half] != d2[:, nt_half]
     assert diff[:, 1:].sum() == 0        # only sample 0 of the seam row
+
+
+def test_ctaps_fsk_bf16_ingest():
+    """bf16-ingest variant: bits match the f32-ingest kernel on the clean
+    modulated fixture (input quantization ~40 dB — far above the
+    discriminator's decision margin)."""
+    nch, decim, sps = 2, 4, 8
+    bits, x, words = _fixture(nch=nch, decim=decim, sps=sps)
+    taps = lowpass(64, 0.03)
+    kf, hist = make_fsk_ctaps_kernel(taps, words, decim, sps, out_tile=128,
+                                     b_rows=2, interpret=True)
+    kb, _ = make_fsk_ctaps_kernel(taps, words, decim, sps, out_tile=128,
+                                  b_rows=2, in_dtype=jnp.bfloat16,
+                                  interpret=True)
+    blk = 2 * 128 * decim
+    n = (x.shape[-1] // blk) * blk
+    xpad = np.concatenate([np.zeros((nch, hist), np.complex64),
+                           x[:, :n]], axis=1)
+    planes = jnp.asarray(np.stack([xpad.real, xpad.imag], axis=1)
+                         .astype(np.float32))
+    _, (bits_f, soft_f) = fsk_demod_ctaps(kf, hist, 128, planes, sps)
+    _, (bits_b, soft_b) = fsk_demod_ctaps(
+        kb, hist, 128, planes.astype(jnp.bfloat16), sps)
+    agree = float(np.mean(np.asarray(bits_f) == np.asarray(bits_b)))
+    assert agree == 1.0, f"bf16-ingest bit agreement {agree}"
+    np.testing.assert_allclose(np.asarray(soft_b), np.asarray(soft_f),
+                               atol=5e-2)
