@@ -142,3 +142,49 @@ def test_fsk_track_planes_decodes_wandering_clock():
     r = np.concatenate(outs)
     ber = _ser(np.asarray(bits), r)
     assert ber == 0.0, f"plane FSK tracking BER {ber}"
+
+
+def _sustained_offset(x, rho):
+    nmax = int((len(x) - 2) / (1 + rho))
+    n = np.arange(nmax, dtype=np.float64)
+    t = n * (1 + rho)
+    i0 = np.floor(t).astype(np.int64)
+    f = t - i0
+    return ((1 - f) * x[i0] + f * x[i0 + 1]).astype(np.complex64)
+
+
+def test_psk_ragged_planes_holds_ser_zero_on_sustained_ppm():
+    """Plane twin of the skip/stuff tracker: 3000 ppm fast clock — the
+    emitted count follows the true clock and SER stays 0."""
+    from srcdsp_tpu.chains.tracking import compact_ragged
+    from srcdsp_tpu.chains.tracking_planes import (
+        psk_track_ragged_planes_apply, psk_track_ragged_planes_init)
+
+    order, sps, nsym = 4, 4, 8192
+    data = np.asarray(jax.random.randint(jax.random.PRNGKey(7), (nsym,),
+                                         0, order))
+    tx = np.asarray(diff_encode(jnp.asarray(data), order))
+    off = constellation_offset(order)
+    sym = np.exp(2j * np.pi * (tx + off) / order).astype(np.complex64)
+    params = make_psk_params(0.0, decim=1, sps=sps, order=order)
+    clean = np.asarray(resample_full(params.taps, jnp.asarray(sym),
+                                     up=sps, down=1))
+    rx = _sustained_offset(clean, rho=3e-3)
+
+    block = 2048
+    n = (len(rx) // block) * block
+    st = psk_track_ragged_planes_init(params, 1)
+    step = jax.jit(lambda s, p: psk_track_ragged_planes_apply(params, s, p))
+    idxs, valids = [], []
+    for b in range(n // block):
+        chunk = rx[b * block:(b + 1) * block]
+        planes = jnp.asarray(np.stack([chunk.real, chunk.imag])[None]
+                             .astype(np.float32))
+        st, (idx, _, _, valid) = step(st, planes)
+        idxs.append(np.asarray(idx[0]))
+        valids.append(np.asarray(valid[0]))
+    idx_all = compact_ragged(np.concatenate(idxs), np.concatenate(valids))
+    nominal = n // params.sps
+    assert idx_all.size > nominal + 10, (idx_all.size, nominal)
+    d = np.asarray(diff_decode(jnp.asarray(idx_all), order))
+    assert _ser(data, d) == 0.0
