@@ -118,14 +118,36 @@ def main(n_log2=24, channels=10, f32=False):
     _force(jc(planes))
     print("ctaps compiled", flush=True)
     tm, tc = _median_ab(jm, jc, (w0, dw, planes), (planes,))
-    print(json.dumps({
+    rec = {
         "config": "config4_kernel_ctaps_ab", "n_per_ch": n,
         "channels": channels, "precision": "f32" if f32 else "bf16",
         "fused_agg_msps": round(channels * n / tm / 1e6, 1),
         "ctaps_agg_msps": round(channels * n / tc / 1e6, 1),
         "fused_ms": round(tm * 1e3, 3), "ctaps_ms": round(tc * 1e3, 3),
         "speedup": round(tm / tc, 3),
-    }), flush=True)
+    }
+    if not f32:
+        # bf16-INGEST arm: x shipped as bf16 (halved input HBM + window
+        # copies); bits gate on the modulated fixture first
+        fb, _ = make_fsk_ctaps_kernel(taps, words, decim, sps, out_tile=512,
+                                      b_rows=32, precision=prec,
+                                      class_major=True,
+                                      in_dtype=jnp.bfloat16)
+        _, (bits_b16, _s) = jax.jit(lambda p: fsk_demod_ctaps(
+            fb, hist, 512, p, sps, class_major=True))(
+                pfix.astype(jnp.bfloat16))
+        agree16 = float(np.mean(np.asarray(bits_b16) == bits_c))
+        rec["bf16io_bit_agreement"] = agree16
+        pb16 = planes.astype(jnp.bfloat16)
+        jb = jax.jit(fb)
+        _force(jb(pb16))
+        print("ctaps bf16io compiled", flush=True)
+        tc2, tb = _median_ab(jc, jb, (planes,), (pb16,))
+        rec["ctaps_bf16io_agg_msps"] = round(channels * n / tb / 1e6, 1)
+        rec["ctaps_bf16io_ms"] = round(tb * 1e3, 3)
+        # ratio from ITS OWN interleave (tc2), not the first A/B's tc
+        rec["bf16io_speedup_vs_ctaps"] = round(tc2 / tb, 3)
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
