@@ -265,7 +265,7 @@ def run_config4_onchip(iters: int = 10, channels: int = 10,
 
 def run_config2_onchip(iters: int = 10, n: int = 1 << 25,
                        fused: bool = True, channels: int = 1,
-                       hist_round: int = 128) -> dict:
+                       hist_round: int = 128, bf16: bool = False) -> dict:
     """Config 2 on-chip. fused=True folds the whole chain (NCO mix +
     128-tap FIR + 3/4 resample) into ONE stride-L Toeplitz kernel via
     combined taps hc = h_resample conv up_3(h_fir) — one pallas_call, one
@@ -276,7 +276,15 @@ def run_config2_onchip(iters: int = 10, n: int = 1 << 25,
     Call sizing: the chain carries ~2.6 ms fixed per-call overhead through
     the tunnel, so it is dispatch-bound below ~8M samples/call (2026-08-17
     medians: 4M -> 1185, 16M -> 2700, 32M -> 3167 Ms/s; device-side rate
-    4.1 Gs/s). 16M is the serving default."""
+    4.1 Gs/s). 16M is the serving default.
+
+    bf16=True runs the combined-taps matmuls at bf16-input/f32-accumulate:
+    measured 3.02x (18.0 vs 6.0 Gs/s interleaved slope, 2026-08-20) at
+    51.6 dB vs f32-HIGHEST on the same input — the long combined-taps
+    bands are MXU-pass-bound, so the 6->1 pass cut nearly triples the
+    chain. The f32-HIGHEST tier stays the >110 dB oracle-accuracy
+    default; bf16 is the demod-feeding serving option (config-3's
+    precedent)."""
     import time
 
     import jax
@@ -316,8 +324,11 @@ def run_config2_onchip(iters: int = 10, n: int = 1 << 25,
         # interleaved slope A/B (5.62 vs 5.23 Gs/s); hist stays 128-
         # aligned (hist=144 re-probed 2026-08-19: Mosaic HTTP 500 even in
         # the manual-DMA form)
+        prec2 = (jax.lax.Precision.DEFAULT if bf16
+                 else jax.lax.Precision.HIGHEST)
         k = make_mix_resample_kernel(hc, up=3, down=4, out_tile=384,
                                      b_rows=24, block_cols=192,
+                                     precision=prec2,
                                      hist_round=hist_round)
         n = (n // k.block_in()) * k.block_in()
         word0 = (-k.hist * word) % (1 << 32)
@@ -352,7 +363,8 @@ def run_config2_onchip(iters: int = 10, n: int = 1 << 25,
     return {
         "config": "config2_onchip",
         "platform": jax.default_backend(),
-        "impl": "fused_combined_taps" if fused else "two_kernels",
+        "impl": (("fused_combined_taps_bf16" if bf16
+                  else "fused_combined_taps") if fused else "two_kernels"),
         "channels": channels,
         "msamples_per_s": round(channels * n / best / 1e6, 1),
         "ms_per_iter": round(best * 1e3, 3),

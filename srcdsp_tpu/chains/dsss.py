@@ -50,6 +50,27 @@ def pn_msequence(taps, order: int) -> np.ndarray:
     return 1.0 - 2.0 * seq               # bit 0 -> +1
 
 
+def gold_family(taps1, taps2, order: int) -> np.ndarray:
+    """Gold code family from a PREFERRED PAIR of m-sequences: the two
+    sequences themselves plus all 2^order - 1 relative-shift XORs —
+    [2^order + 1, 2^order - 1] chips in {+1, -1}.
+
+    Gold's construction: for a preferred pair, every family member's
+    cross-correlation takes only three values {-1, -t(n), t(n) - 2} with
+    t(n) = 2^((n+2)//2) + 1 — the bounded-interference property that
+    makes the family a CDMA code book (GPS C/A uses order 10). Host-side
+    (code design time); classic preferred pairs: order 5 ([5,2],[5,4,3,2]),
+    order 6 ([6,1],[6,5,2,1]), order 7 ([7,3],[7,3,2,1]),
+    order 10 ([10,3],[10,8,3,2]) — the GPS pair."""
+    u = pn_msequence(taps1, order)
+    v = pn_msequence(taps2, order)
+    n = u.size
+    fam = [u, v]
+    for shift in range(n):
+        fam.append(u * np.roll(v, -shift))   # XOR in the +-1 domain
+    return np.stack(fam).astype(np.float32)
+
+
 class DsssParams(NamedTuple):
     chips: jax.Array       # [SF] +-1 spreading code
     shifts: jax.Array      # [SF, SF] row p = code cyclically shifted by p
@@ -185,7 +206,8 @@ def dsss_rake_demod(params: DsssParams, x: jax.Array, base_phase,
 
 
 __all__ = [
-    "DsssParams", "make_dsss_params", "pn_msequence", "dsss_spread",
+    "DsssParams", "make_dsss_params", "pn_msequence", "gold_family",
+    "dsss_spread",
     "dsss_acquire", "dsss_despread", "dsss_demod_bpsk",
     "dsss_finger_search", "dsss_rake_demod",
 ]

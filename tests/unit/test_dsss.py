@@ -146,3 +146,49 @@ def test_rake_beats_single_finger_on_multipath():
     # theoretical MRC gain 1+0.8^2 = 1.64x; finger-gain estimation
     # noise eats some (measured 1.44x at this draw)
     assert dv_snr(sr) > 1.3 * dv_snr(s1), (dv_snr(sr), dv_snr(s1))
+
+
+def test_gold_family_three_valued_cross_correlation():
+    """Preferred-pair Gold family (order 5): every pairwise periodic
+    cross-correlation takes only the three Gold values {-1, -t, t-2}
+    with t = 2^((n+2)//2) + 1 = 9 — the bounded-interference CDMA
+    property. Also: family size 2^n + 1, each code balanced-ish."""
+    from srcdsp_tpu.chains.dsss import gold_family
+
+    fam = gold_family([5, 2], [5, 4, 3, 2], 5)
+    n = 31
+    assert fam.shape == (33, n)
+    t = 2 ** ((5 + 2) // 2) + 1            # 9
+    allowed = {-1.0, -float(t), float(t - 2.0)}
+    import numpy as _np
+    f = _np.fft.fft(fam.astype(_np.float64), axis=-1)
+    for i in range(fam.shape[0] - 1):
+        # periodic cross-correlations of code i with all later codes at
+        # every shift, via the FFT (integer-valued up to float rounding)
+        cc = _np.fft.ifft(f[i][None, :] * _np.conj(f[i + 1:])).real
+        assert _np.max(_np.abs(cc - _np.rint(cc))) < 1e-6
+        vals = set(_np.rint(cc).ravel().tolist())
+        assert vals <= allowed, (i, sorted(vals)[:5])
+
+
+def test_gold_cdma_two_users_separate():
+    """Two users on different Gold codes, synchronous CDMA: each
+    despreads its own data with the other active (classic code-division
+    separation; an m-sequence-only system has no such code book)."""
+    from srcdsp_tpu.chains.dsss import (dsss_despread, dsss_spread,
+                                        gold_family, make_dsss_params)
+
+    fam = gold_family([6, 1], [6, 5, 2, 1], 6)
+    pa = make_dsss_params(chips=fam[3])
+    pb = make_dsss_params(chips=fam[17])
+    rng = np.random.default_rng(0)
+    ba = 1.0 - 2.0 * rng.integers(0, 2, 256).astype(np.float32)
+    bb = 1.0 - 2.0 * rng.integers(0, 2, 256).astype(np.float32)
+    x = (np.asarray(dsss_spread(pa, jnp.asarray(ba)))
+         + np.asarray(dsss_spread(pb, jnp.asarray(bb))))
+    x = x + 0.2 * rng.standard_normal(x.shape).astype(np.float32)
+    za = np.asarray(dsss_despread(pa, jnp.asarray(x), jnp.asarray(0)))
+    zb = np.asarray(dsss_despread(pb, jnp.asarray(x), jnp.asarray(0)))
+    # despread emits N//SF - 1 symbols (static capacity drops the tail)
+    assert np.array_equal(np.sign(za.real), ba[: za.size])
+    assert np.array_equal(np.sign(zb.real), bb[: zb.size])
