@@ -12,6 +12,8 @@ log=bench/hw_refresh_${ts}.log
   timeout 2400 python bench.py
   echo "== all presets =="
   timeout 7200 python bench/run.py all
+  echo "== config-2 bf16 serving tier (round 4) =="
+  timeout 2400 python bench/run.py config2_onchip_bf16
   echo "== Pallas LDPC (edge kernel, bit-exact vs CPU tier) =="
   timeout 1800 python bench/ldpc_onchip.py --kernel --batch 16384
   echo "== on-chip turbo max-log BCJR =="

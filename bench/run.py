@@ -660,7 +660,8 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("config", choices=["config1", "config2", "config3",
                                       "config4", "config4_onchip", "config5",
-                                      "config2_onchip", "config3_onchip",
+                                      "config2_onchip", "config2_onchip_bf16",
+                                      "config3_onchip",
                                       "config5_onchip", "fft", "accuracy",
                                       "soak", "all"])
     p.add_argument("--pallas", action="store_true",
@@ -688,6 +689,8 @@ def main(argv=None) -> None:
                 rec = run_soak()
             elif name == "config2_onchip":
                 rec = run_config2_onchip(iters=args.iters)
+            elif name == "config2_onchip_bf16":
+                rec = run_config2_onchip(iters=args.iters, bf16=True)
             elif name == "config3_onchip":
                 rec = run_config3_onchip(iters=args.iters)
             elif name == "config4_onchip":
