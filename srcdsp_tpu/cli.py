@@ -303,6 +303,51 @@ def _fec(args) -> None:
                 tc, a, b, c, iters=args.fec_iters))(
                 jnp.asarray(ls), jnp.asarray(lp1), jnp.asarray(lp2))
             return np.asarray(bits, np.uint8), None
+    elif code_name == "conv":
+        from srcdsp_tpu.fec import (conv_encode, make_conv_code,
+                                    viterbi_decode)
+        cc = make_conv_code(7, [0o171, 0o133])       # the K=7 NASA code
+        k = args.fec_k
+        n = cc.n * (k + cc.k - 1)                    # terminated
+
+        def encode(u):
+            return np.asarray(jax.vmap(
+                lambda b: conv_encode(cc, b))(jnp.asarray(u)), np.uint8)
+
+        def decode(llr):
+            bits = viterbi_decode(cc, jnp.asarray(llr))
+            return np.asarray(bits, np.uint8), None
+    elif code_name == "rs":
+        from srcdsp_tpu.rs import make_rs_code, rs_decode, rs_encode
+        # the generic --fec-n/--fec-k defaults (504/128) are LDPC/polar
+        # shapes; RS defaults to the CCSDS (255, 223)
+        rs_n = args.fec_n if args.fec_n != 504 else 255
+        rs_k = args.fec_k if args.fec_k != 128 else 223
+        rc = make_rs_code(rs_n, rs_k)
+        # RS works on BYTES: fecenc reads raw bytes (k per word), fecdec
+        # reads received bytes (--hard implied; LLRs don't apply)
+        if args.chain == "fecenc":
+            u = np.fromfile(args.infile, dtype=np.uint8)
+            nw = -(-u.size // rc.k)
+            u = np.concatenate([u, np.zeros(nw * rc.k - u.size, np.uint8)])
+            cw = np.asarray(jax.vmap(lambda m: rs_encode(rc, m))(
+                jnp.asarray(u.reshape(nw, rc.k).astype(np.int32))), np.uint8)
+            cw.reshape(-1).tofile(args.outfile)
+            print(f"encoded {u.size} bytes -> {nw} x rs({rc.n},{rc.k}) "
+                  f"codewords -> {args.outfile}", file=sys.stderr)
+        else:
+            r = np.fromfile(args.infile, dtype=np.uint8)
+            nw = r.size // rc.n
+            if nw == 0:
+                raise SystemExit(f"input shorter than one codeword "
+                                 f"({rc.n} bytes)")
+            msg, ok = rs_decode(rc, jnp.asarray(
+                r[: nw * rc.n].reshape(nw, rc.n).astype(np.int32)))
+            np.asarray(msg, np.uint8).reshape(-1).tofile(args.outfile)
+            print(f"decoded {nw} x rs({rc.n},{rc.k}) -> {nw * rc.k} bytes"
+                  f", {int(np.sum(np.asarray(ok)))}/{nw} corrected-clean"
+                  f" -> {args.outfile}", file=sys.stderr)
+        return
     else:
         raise SystemExit(f"unknown --code {code_name}")
 
@@ -519,8 +564,12 @@ def main(argv=None) -> None:
                    help="modulation for the `mod` chain (tx driver)")
     p.add_argument("--bt", type=float, default=0.3,
                    help="GMSK Gaussian BT product (mod --mod gmsk)")
-    p.add_argument("--code", choices=["ldpc", "turbo", "polar"],
-                   default="ldpc", help="fecenc/fecdec: code family")
+    p.add_argument("--code", choices=["ldpc", "turbo", "polar", "conv",
+                                      "rs"],
+                   default="ldpc",
+                   help="fecenc/fecdec: code family (conv = K=7 Viterbi "
+                        "over bits; rs = RS(255,223) over BYTES, decode "
+                        "reads received bytes directly)")
     p.add_argument("--fec-n", type=int, default=504,
                    help="fec: codeword length (ldpc/polar)")
     p.add_argument("--fec-k", type=int, default=128,

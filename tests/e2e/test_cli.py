@@ -496,3 +496,34 @@ def test_cli_scf_cycle_lines(tmp_path):
     recs = [json.loads(l) for l in open(outc)]
     assert recs, "no conjugate lines on a BPSK capture"
     assert min(abs(r["alpha"] - 2 * 0.12) for r in recs) < 2e-3, recs
+
+
+def test_cli_fec_conv_and_rs_roundtrip(tmp_path):
+    """fecenc/fecdec conv (K=7 Viterbi, bit errors) and rs (byte
+    errors) file roundtrips."""
+    rng = np.random.default_rng(9)
+    bits = rng.integers(0, 2, 512).astype(np.uint8)
+    bf = str(tmp_path / "u.u8")
+    bits.tofile(bf)
+    cf = str(tmp_path / "c.u8")
+    cli_main(["fecenc", bf, cf, "--code", "conv"])
+    c = np.fromfile(cf, np.uint8)
+    c[::97] ^= 1
+    cn = str(tmp_path / "cn.u8")
+    c.tofile(cn)
+    df = str(tmp_path / "d.u8")
+    cli_main(["fecdec", cn, df, "--code", "conv", "--hard"])
+    assert np.array_equal(np.fromfile(df, np.uint8)[:512], bits)
+
+    msg = rng.integers(0, 256, 300).astype(np.uint8)
+    mf = str(tmp_path / "m.u8")
+    msg.tofile(mf)
+    rcf = str(tmp_path / "rc.u8")
+    cli_main(["fecenc", mf, rcf, "--code", "rs"])
+    r = np.fromfile(rcf, np.uint8).copy()
+    r[5:20] ^= 0x5A
+    rnf = str(tmp_path / "rn.u8")
+    r.tofile(rnf)
+    rdf = str(tmp_path / "rd.u8")
+    cli_main(["fecdec", rnf, rdf, "--code", "rs"])
+    assert np.array_equal(np.fromfile(rdf, np.uint8)[:300], msg)
