@@ -49,7 +49,8 @@ from srcdsp_tpu.kernels.mixfir import LANE, _round_up, toeplitz_taps
 from srcdsp_tpu.ops.nco import TWO_PI, _INV_SCALE
 from srcdsp_tpu.types import F32
 
-__all__ = ["make_fsk_ctaps_kernel", "fsk_demod_ctaps"]
+__all__ = ["make_fsk_ctaps_kernel", "fsk_demod_ctaps",
+           "FskCtapsStream"]
 
 
 def _banded_pack(taps_c: np.ndarray, decim: int, out_tile: int, hist: int,
@@ -322,3 +323,35 @@ def fsk_demod_ctaps(fn, hist: int, out_tile: int, x_planes, sps: int,
     words: tuning lives in the kernel's baked taps."""
     dd, st = fn(x_planes)
     return demod_tail(dd, st, sps, out_tile, state, class_major)
+
+
+class FskCtapsStream:
+    """Streaming driver for the ctaps serving path (FskPlanesStream
+    analog): manages the history prefix and the demod accumulators, so
+    callers feed raw [C, 2, N] plane chunks (N a multiple of
+    b_rows*out_tile*decim) and receive bits. No phase bookkeeping exists
+    at all — the kernel carries none (module docstring)."""
+
+    def __init__(self, taps, dwords, decim: int, sps: int,
+                 num_channels: int, out_tile: int = 512, b_rows: int = 32,
+                 precision=jax.lax.Precision.DEFAULT,
+                 class_major: bool = True, interpret: bool = False):
+        self.fn, self.hist = make_fsk_ctaps_kernel(
+            taps, dwords, decim, sps, out_tile=out_tile, b_rows=b_rows,
+            precision=precision, class_major=class_major,
+            interpret=interpret)
+        self.out_tile = out_tile
+        self.sps = sps
+        self.class_major = class_major
+        self.block_in = b_rows * out_tile * decim
+        self._hist = jnp.zeros((num_channels, 2, self.hist), jnp.float32)
+        self._state = None
+
+    def process(self, x_chunk: jax.Array):
+        """x_chunk: [C, 2, N] raw planes -> (bits, soft) for this chunk."""
+        xin = jnp.concatenate([self._hist, x_chunk], axis=-1)
+        self._state, out = fsk_demod_ctaps(
+            self.fn, self.hist, self.out_tile, xin, self.sps,
+            state=self._state, class_major=self.class_major)
+        self._hist = xin[..., xin.shape[-1] - self.hist:]
+        return out

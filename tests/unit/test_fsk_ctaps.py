@@ -126,3 +126,32 @@ def test_ctaps_fsk_bf16_ingest():
     assert agree == 1.0, f"bf16-ingest bit agreement {agree}"
     np.testing.assert_allclose(np.asarray(soft_b), np.asarray(soft_f),
                                atol=5e-2)
+
+
+def test_ctaps_stream_driver_matches_oneshot():
+    """FskCtapsStream chunked == one-shot wrapper on the same capture
+    (bits equal everywhere except the documented per-call seam row)."""
+    from srcdsp_tpu.kernels.fsk_ctaps import FskCtapsStream
+
+    nch, decim, sps = 2, 4, 8
+    bits, x, words = _fixture(nch=nch, nsym=1024, decim=decim, sps=sps)
+    taps = lowpass(64, 0.03)
+    kg, hist = make_fsk_ctaps_kernel(taps, words, decim, sps, out_tile=128,
+                                     b_rows=2, interpret=True)
+    blk = 2 * 128 * decim
+    n = (x.shape[-1] // (2 * blk)) * (2 * blk)
+    xpad = np.concatenate([np.zeros((nch, hist), np.complex64),
+                           x[:, :n]], axis=1)
+    planes = np.stack([xpad.real, xpad.imag], axis=1).astype(np.float32)
+    _, (bits_1, soft_1) = fsk_demod_ctaps(kg, hist, 128,
+                                          jnp.asarray(planes), sps)
+
+    stream = FskCtapsStream(taps, words, decim, sps, nch, out_tile=128,
+                            b_rows=2, class_major=False, interpret=True)
+    raw = planes[:, :, hist:]
+    half = n // 2
+    outs = [stream.process(jnp.asarray(raw[:, :, :half])),
+            stream.process(jnp.asarray(raw[:, :, half:]))]
+    bits_2 = np.concatenate([np.asarray(o[0]) for o in outs], axis=-1)
+    agree = float(np.mean(np.asarray(bits_1) == bits_2))
+    assert agree > 0.999, agree      # only the seam-row sample may differ
