@@ -15,9 +15,13 @@ Format (Bluetooth LE 1M uncoded PHY, advertising channel):
 Verification honesty: this environment has no network and no recorded
 BLE captures, so conformance is established by (a) independent bit-level
 LFSR/CRC loop twins in the tests (different code, same published
-recurrences) and (b) the full modulate -> channel -> demodulate ->
-de-whiten -> CRC round trip; byte-order conventions at the air interface
-follow the published format as documented above.
+recurrences — incl. the pinned channel-37 keystream head 10110001 from
+the 0x40|ch register walk), (b) the CRC emission order pinned to
+register-bit-23-first per the published figure, and (c) the full
+modulate -> channel -> demodulate -> de-whiten -> CRC round trip. A
+round-4 adversarial review caught and fixed a reversed whitening seed
+and CRC emission order that the self-consistent round trip alone could
+not detect.
 """
 
 from __future__ import annotations
@@ -37,22 +41,25 @@ _CRC24 = make_crc(0x00065B, 24, init=0x555555)
 
 def _whiten_machine() -> Gf2Machine:
     """The BLE whitening register in its published Galois form
-    (x^7 + x^4 + 1): state s = [b6, b5, b4, b3, b2, b1, b0]; per step
-    out = b6, then b6<-b5, b5<-b4, b4<-b3^b6, b3<-b2, b2<-b1, b1<-b0,
-    b0<-b6 — expressed as a gf2.Gf2Machine (block state-space over
-    GF(2)), so whitening whole blocks is the same exact-matrix machinery
-    as the scramblers/CRCs."""
+    (x^7 + x^4 + 1), integer-register semantics `whit = 0x40 | channel;
+    out = whit & 1; whit >>= 1; if out: whit ^= 0x44`: state
+    s = [r0, r1, ..., r6] (register LSB first); per step out = r0, then
+    r2' = r3 ^ r0, r6' = r0, everything else shifts down — expressed as
+    a gf2.Gf2Machine (block state-space over GF(2)), so whitening whole
+    blocks is the same exact-matrix machinery as the scramblers/CRCs.
+    Keystream for channel 37 starts 10110001... (matches the published
+    register walk — round-4 review finding fixed the seed order)."""
     a = np.zeros((7, 7), np.uint8)
-    a[0, 1] = 1                 # b6' = b5
-    a[1, 2] = 1                 # b5' = b4
-    a[2, 3] = 1                 # b4' = b3 ^ b6
+    a[0, 1] = 1                 # r0' = r1
+    a[1, 2] = 1                 # r1' = r2
+    a[2, 3] = 1                 # r2' = r3 ^ r0 (the 0x44 tap at bit 2)
     a[2, 0] = 1
-    a[3, 4] = 1                 # b3' = b2
-    a[4, 5] = 1                 # b2' = b1
-    a[5, 6] = 1                 # b1' = b0
-    a[6, 0] = 1                 # b0' = b6
+    a[3, 4] = 1                 # r3' = r4
+    a[4, 5] = 1                 # r4' = r5
+    a[5, 6] = 1                 # r5' = r6
+    a[6, 0] = 1                 # r6' = r0 (the 0x44 tap at bit 6)
     c = np.zeros(7, np.uint8)
-    c[0] = 1                    # output = b6
+    c[0] = 1                    # output = r0 (register LSB)
     return Gf2Machine(a, np.zeros(7, np.uint8), c, 0, 512)
 
 
@@ -79,21 +86,23 @@ def preamble_bits(aa: int = ADV_ACCESS_ADDRESS) -> np.ndarray:
 def whiten_bits(bits, channel: int):
     """Whiten (or de-whiten: self-inverse) air bits with the BLE LFSR.
 
-    Register seed: b6 = 1, b5..b0 = the channel index (MSB..LSB), per
-    the published initialization."""
-    seed = [1] + [(channel >> (5 - i)) & 1 for i in range(6)]
+    Register seed: 0x40 | channel (bit 6 = 1, bits 5..0 = the channel
+    index), stored LSB-first to match the machine's state order."""
+    seed = [(channel >> i) & 1 for i in range(6)] + [1]
     s = gf2_init(_WHITEN, seed)
     _s, out = scramble(_WHITEN, s, jnp.asarray(np.asarray(bits, np.int32)))
     return np.asarray(out, np.int32)
 
 
 def crc24(pdu_bits) -> np.ndarray:
-    """CRC-24 over PDU air bits -> 24 air bits (LSB of the polynomial
-    remainder register first, matching the whitened air order)."""
+    """CRC-24 over PDU air bits -> 24 air bits, MOST significant register
+    bit (LFSR position 23) first — the published emission order (unlike
+    the payload's LSB-first bytes; round-4 review finding fixed the
+    direction)."""
     s = crc_init(_CRC24)
     s = crc_update(_CRC24, s, jnp.asarray(np.asarray(pdu_bits, np.int32)))
     val = int(np.asarray(crc_value(_CRC24, s)))
-    return ((val >> np.arange(24)) & 1).astype(np.int32)
+    return ((val >> (23 - np.arange(24))) & 1).astype(np.int32)
 
 
 def build_adv_frame(payload: bytes, channel: int = 37,

@@ -60,8 +60,11 @@ def gold_family(taps1, taps2, order: int) -> np.ndarray:
     t(n) = 2^((n+2)//2) + 1 — the bounded-interference property that
     makes the family a CDMA code book (GPS C/A uses order 10). Host-side
     (code design time); classic preferred pairs: order 5 ([5,2],[5,4,3,2]),
-    order 6 ([6,1],[6,5,2,1]), order 7 ([7,3],[7,3,2,1]),
-    order 10 ([10,3],[10,8,3,2]) — the GPS pair."""
+    order 6 ([6,1],[6,5,2,1]), order 7 ([7,3],[7,3,2,1]); the GPS C/A
+    pair is G1 = x^10+x^3+1, G2 = x^10+x^9+x^8+x^6+x^3+x^2+1 ->
+    ([10,3], [10,9,8,6,3,2]) — three-valued property verified for this
+    pair (t(10) = 65). Note real C/A PRNs additionally select specific
+    G2 phase taps per satellite."""
     u = pn_msequence(taps1, order)
     v = pn_msequence(taps2, order)
     n = u.size

@@ -45,30 +45,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from srcdsp_tpu.kernels.fsk_fused import PAD, _atan2, demod_tail
-from srcdsp_tpu.kernels.mixfir import LANE, _round_up, toeplitz_taps
+from srcdsp_tpu.kernels.mixfir import LANE, _round_up
+from srcdsp_tpu.kernels.mixfir_ctaps import _banded_pack
 from srcdsp_tpu.ops.nco import TWO_PI, _INV_SCALE
 from srcdsp_tpu.types import F32
 
 __all__ = ["make_fsk_ctaps_kernel", "fsk_demod_ctaps",
            "FskCtapsStream"]
-
-
-def _banded_pack(taps_c: np.ndarray, decim: int, out_tile: int, hist: int,
-                 block_cols: int) -> np.ndarray:
-    """Per-block bands packed for the 3-matmul complex form:
-    [NB, bspan, 3*BC] = [Gr | Gi+Gr | Gi-Gr] per band (mixfir_ctaps)."""
-    gr = toeplitz_taps(taps_c.real.astype(np.float32), decim, out_tile, hist)
-    gi = toeplitz_taps(taps_c.imag.astype(np.float32), decim, out_tile, hist)
-    nb = out_tile // block_cols
-    blk_stride = block_cols * decim
-    bspan = blk_stride + hist
-    bands = []
-    for j in range(nb):
-        rs = slice(j * blk_stride, j * blk_stride + bspan)
-        cs = slice(j * block_cols, (j + 1) * block_cols)
-        r, i = gr[rs, cs], gi[rs, cs]
-        bands.append(np.concatenate([r, i + r, i - r], axis=1))
-    return np.stack(bands)
 
 
 def _compute(slab, deltas_ref, hsub_ref, perm_ref, d_ref, st_ref,

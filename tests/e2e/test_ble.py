@@ -13,21 +13,23 @@ from srcdsp_tpu.chains.ble import (ADV_ACCESS_ADDRESS, access_address_bits,
 
 
 def _whiten_loop_twin(bits, channel):
-    """Published BLE whitening recurrence (Galois form of x^7 + x^4 + 1),
-    written independently as a per-bit integer loop: register [b6..b0],
-    b6 preset to 1, b5..b0 = channel; per step out = b6, then
-    b4' = b3 ^ b6, b0' = b6, everything else shifts down."""
-    b6, b5, b4, b3, b2, b1, b0 = [1] + [(channel >> (5 - i)) & 1
-                                        for i in range(6)]
+    """Published BLE whitening recurrence as the well-known integer
+    register walk (independent of gf2.py): whit = 0x40 | channel; per
+    bit out = whit & 1, whit >>= 1, and if out the taps 0x44 fold in."""
+    whit = 0x40 | channel
     out = []
     for u in bits:
-        out.append(int(u) ^ b6)
-        b6, b5, b4, b3, b2, b1, b0 = b5, b4, b3 ^ b6, b2, b1, b0, b6
+        o = whit & 1
+        whit >>= 1
+        if o:
+            whit ^= 0x44
+        out.append(int(u) ^ o)
     return np.asarray(out, np.int32)
 
 
 def _crc24_loop_twin(bits):
-    """CRC-24 long-division loop, written independently of gf2.py."""
+    """CRC-24 long-division loop, written independently of gf2.py;
+    emission order = register bit 23 first (the published direction)."""
     poly = 0x00065B
     reg = 0x555555
     for b in bits:
@@ -35,12 +37,15 @@ def _crc24_loop_twin(bits):
         reg = (reg << 1) & 0xFFFFFF
         if fb:
             reg ^= poly
-    return ((reg >> np.arange(24)) & 1).astype(np.int32)
+    return ((reg >> (23 - np.arange(24))) & 1).astype(np.int32)
 
 
 def test_whitening_matches_independent_loop_and_self_inverts():
     rng = np.random.default_rng(0)
     bits = rng.integers(0, 2, 200).astype(np.int32)
+    # pinned keystream head for channel 37 (the published register walk)
+    ks37 = whiten_bits(np.zeros(8, np.int32), 37)
+    assert np.array_equal(ks37, [1, 0, 1, 1, 0, 0, 0, 1]), ks37
     for ch in (37, 38, 39, 5):
         w = whiten_bits(bits, ch)
         assert np.array_equal(w, _whiten_loop_twin(bits, ch)), ch
