@@ -91,7 +91,11 @@ def main(argv=None):
         np.asarray(r[:1, :1])
         return time.perf_counter() - t0
 
-    kk = 3
+    # region length: the difference must dominate the +-5-30 ms sync
+    # jitter. SCL calls are ~8 ms so kk=3 suffices; plain SC at large
+    # batch is sub-ms/call and kk=3 produced NEGATIVE slopes (observed
+    # 2026-08-20) — use a much longer region there.
+    kk = 3 if args.scl else 32
     slopes = []
     for _ in range(args.trials):
         t1 = region(kk)

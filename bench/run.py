@@ -279,12 +279,13 @@ def run_config2_onchip(iters: int = 10, n: int = 1 << 25,
     4.1 Gs/s). 16M is the serving default.
 
     bf16=True runs the combined-taps matmuls at bf16-input/f32-accumulate:
-    measured 3.02x (18.0 vs 6.0 Gs/s interleaved slope, 2026-08-20) at
-    51.6 dB vs f32-HIGHEST on the same input — the long combined-taps
-    bands are MXU-pass-bound, so the 6->1 pass cut nearly triples the
-    chain. The f32-HIGHEST tier stays the >110 dB oracle-accuracy
-    default; bf16 is the demod-feeding serving option (config-3's
-    precedent)."""
+    measured 2.43x (13.69 vs 5.64 Gs/s, 10/20-call slope regions at 32M
+    samples/call, 2026-08-20) at 51.6 dB vs f32-HIGHEST on the same
+    input — the long combined-taps bands are MXU-pass-bound, so the
+    6->1 pass cut more than doubles the chain. (Short 3/6-call regions
+    read 18-92 Gs/s — sync jitter; disregarded.) The f32-HIGHEST tier
+    stays the >110 dB oracle-accuracy default; bf16 is the demod-feeding
+    serving option (config-3's precedent)."""
     import time
 
     import jax
