@@ -93,9 +93,10 @@ def main(argv=None):
 
     # region length: the difference must dominate the +-5-30 ms sync
     # jitter. SCL calls are ~8 ms so kk=3 suffices; plain SC at large
-    # batch is sub-ms/call and kk=3 produced NEGATIVE slopes (observed
-    # 2026-08-20) — use a much longer region there.
-    kk = 3 if args.scl else 32
+    # batch is ~0.1 ms/call and short regions produced NEGATIVE or
+    # inflated slopes (observed 2026-08-20) — the region must be
+    # hundreds of calls for a >=25 ms difference signal.
+    kk = 3 if args.scl else 256
     slopes = []
     for _ in range(args.trials):
         t1 = region(kk)
