@@ -96,7 +96,7 @@ def main(argv=None):
     # batch is ~0.1 ms/call and short regions produced NEGATIVE or
     # inflated slopes (observed 2026-08-20) — the region must be
     # hundreds of calls for a >=25 ms difference signal.
-    kk = 3 if args.scl else 256
+    kk = 3 if args.scl else 96
     slopes = []
     for _ in range(args.trials):
         t1 = region(kk)
