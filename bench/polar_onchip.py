@@ -2,12 +2,17 @@
 
 The trace-unrolled SC recursion (srcdsp_tpu/polar.py) is pure static
 jnp — elementwise f/g updates, static slices, XOR partial sums — so
-vmapped batches lower on the axon on-chip subset directly. Measured
-2026-08-19: the decode is dispatch-bound through B=2048 (~27 ms/batch
-flat), so batching is free throughput: B=64 0.59 Mb/s -> B=2048
-19.8 Mb/s coded.
+vmapped batches lower on the axon on-chip subset directly. SC is pure
+elementwise [B, .] work: at serving batch 32768 it decodes at
+**14.1 Gb/s coded** (18 ns/codeword, decisions match CPU). Earlier
+small-batch rows (19.8 Mb/s @2048 round 2, 1.85 Gb/s @4096 round 3)
+were successively ENQUEUE-BOUND readings of the same decoder — at
+B=4096 a call is ~0.1 ms and the Python enqueue rate itself bounds the
+experiment (BASELINE.md round-4 note); the region length below is now
+CALIBRATED from a burst estimate so under-resolved runs are flagged
+instead of published.
 
-    python bench/polar_onchip.py [--n 256] [--k 128] [--batch 4096]
+    python bench/polar_onchip.py [--n 256] [--k 128] [--batch 32768]
 """
 
 from __future__ import annotations
@@ -27,7 +32,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=256)
     ap.add_argument("--k", type=int, default=128)
-    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=32768)
     ap.add_argument("--trials", type=int, default=5)
     ap.add_argument("--snr-db", type=float, default=3.0, dest="snr_db")
     ap.add_argument("--scl", type=int, default=0, metavar="L",
@@ -91,18 +96,33 @@ def main(argv=None):
         np.asarray(r[:1, :1])
         return time.perf_counter() - t0
 
-    # region length: the difference must dominate the +-5-30 ms sync
-    # jitter. SCL calls are ~8 ms so kk=3 suffices; plain SC at large
-    # batch is ~0.1 ms/call and short regions produced NEGATIVE or
-    # inflated slopes (observed 2026-08-20) — the region must be
-    # hundreds of calls for a >=25 ms difference signal.
-    kk = 3 if args.scl else 96
+    # region length: the k-vs-2k difference must dominate the
+    # +-5-30 ms sync jitter, so CALIBRATE from a burst estimate
+    # (fixed small kk published negative/garbage slopes for cheap
+    # calls — observed 2026-08-20). Cap the region so enqueue-bound
+    # cases stay within the run budget; flag unresolved results.
+    # difference-based burst estimate: region(k) carries a ~25-35 ms
+    # fixed sync, so a single-region estimate over-reads per-call cost
+    # ~10x for cheap calls — difference it out first
+    est = max((region(16) - region(8)) / 8.0, 1e-5)
+    kk = int(min(384, max(8, np.ceil(0.08 / est))))
     slopes = []
     for _ in range(args.trials):
         t1 = region(kk)
         t2 = region(2 * kk)
         slopes.append((t2 - t1) / kk)
     med = float(np.median(slopes))
+    if med <= 0 or med * kk < 0.02:
+        print(json.dumps({
+            "metric": f"polar_n{args.n}_k{args.k}_b{args.batch}_{tag}"
+                      f"_decode",
+            "status": "measurement_unresolved",
+            "reason": "slope signal below the sync-jitter floor — raise "
+                      "--batch (serving: 32768)",
+            "kk": kk, "median_slope_s": med, "info_ber": ber,
+            "matches_cpu": match, "backend": jax.default_backend(),
+        }))
+        return
     print(json.dumps({
         "metric": f"polar_n{args.n}_k{args.k}_b{args.batch}_{tag}_decode",
         "coded_bits_per_s": args.batch * code.n / med,

@@ -276,7 +276,7 @@ def run_config2_onchip(iters: int = 10, n: int = 1 << 25,
     Call sizing: the chain carries ~2.6 ms fixed per-call overhead through
     the tunnel, so it is dispatch-bound below ~8M samples/call (2026-08-17
     medians: 4M -> 1185, 16M -> 2700, 32M -> 3167 Ms/s; device-side rate
-    4.1 Gs/s). 16M is the serving default.
+    4.1 Gs/s). 32M (n = 1<<25, the function default) is the serving size.
 
     bf16=True runs the combined-taps matmuls at bf16-input/f32-accumulate:
     measured 2.43x (13.69 vs 5.64 Gs/s, 10/20-call slope regions at 32M
