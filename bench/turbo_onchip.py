@@ -34,6 +34,9 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--trials", type=int, default=5)
     ap.add_argument("--snr-db", type=float, default=1.5, dest="snr_db")
+    ap.add_argument("--layout", choices=["vmap", "batch"], default="vmap",
+                    help="batch = lane-native [T, B] BCJR "
+                         "(turbo_decode_batch; bit-identical decisions)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args(argv)
 
@@ -42,7 +45,8 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
-    from srcdsp_tpu.turbo import make_turbo, turbo_decode, turbo_encode
+    from srcdsp_tpu.turbo import (make_turbo, turbo_decode,
+                                  turbo_decode_batch, turbo_encode)
 
     tc = make_turbo(args.t, seed=0)
     rng = np.random.default_rng(0)
@@ -60,14 +64,19 @@ def main(argv=None):
 
     ls, lp1, lp2 = ch(sys_b), ch(par1), ch(par2)
 
-    dec = jax.jit(jax.vmap(
-        lambda a, b, c: turbo_decode(tc, a, b, c, iters=args.iters)))
+    if args.layout == "batch":
+        dec = jax.jit(lambda a, b, c: turbo_decode_batch(
+            tc, a, b, c, iters=args.iters))
+    else:
+        dec = jax.jit(jax.vmap(
+            lambda a, b, c: turbo_decode(tc, a, b, c, iters=args.iters)))
     try:
         bits, post = dec(ls, lp1, lp2)
         np.asarray(bits[:1, :1])
     except Exception as e:
         print(json.dumps({
-            "metric": f"turbo_t{args.t}_it{args.iters}_b{args.batch}_decode",
+            "metric": f"turbo_t{args.t}_it{args.iters}_b{args.batch}"
+                      f"_{args.layout}_decode",
             "backend": jax.devices()[0].platform,
             "blocked_by": str(e)[:200],
         }))
@@ -96,7 +105,8 @@ def main(argv=None):
         slopes.append((t2 - t1) / k)
     med = float(np.median(slopes))
     print(json.dumps({
-        "metric": f"turbo_t{args.t}_it{args.iters}_b{args.batch}_decode",
+        "metric": f"turbo_t{args.t}_it{args.iters}_b{args.batch}"
+                  f"_{args.layout}_decode",
         "coded_bits_per_s": args.batch * n_coded / med,
         "info_bits_per_s": args.batch * args.t / med,
         "ms_per_codeword": med * 1e3 / args.batch,

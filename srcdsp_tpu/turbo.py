@@ -236,3 +236,98 @@ def turbo_decode(tc: TurboCode, llr_sys: jax.Array, llr_par1: jax.Array,
                               length=iters)
     post = posts[-1]
     return (post < 0).astype(jnp.int32), post
+
+
+def bcjr_decode_batch(code: RscCode, llr_sys: jax.Array,
+                      llr_par: jax.Array, la: jax.Array | None = None,
+                      terminated: bool = True
+                      ) -> tuple[jax.Array, jax.Array]:
+    """Batched max-log BCJR with the LANE-NATIVE layout: [T, B] inputs,
+    alpha/beta carried as [S, B] (states on sublanes, codewords on
+    lanes). vmap(bcjr_decode) carries [B, S] instead — with S = 8 that
+    uses 16 of 128 lanes per vector op; this form fills all lanes and
+    turns the trellis gathers into static leading-axis row picks.
+    Same max/add arithmetic per element as bcjr_decode (decisions match
+    the vmapped form exactly on every tested fixture). Returns
+    (posterior [T, B], extrinsic [T, B])."""
+    s_count = 1 << (code.k - 1)
+    b = llr_sys.shape[-1]
+    la = jnp.zeros_like(llr_sys) if la is None else la
+    ls = (llr_sys + la).astype(F32)                # [T, B]
+    lp = llr_par.astype(F32)
+    par = jnp.asarray(code.parity, F32)            # [S, 2]
+    nxt = np.asarray(code.next_state)              # [S, 2] static
+    prev = np.asarray(code.prev_state)
+    bsign = jnp.asarray([1.0, -1.0], F32)
+    # gamma[t, s, b2, B]
+    gam = (0.5 * ls[:, None, None, :] * bsign[None, None, :, None]
+           + 0.5 * lp[:, None, None, :]
+           * (1.0 - 2.0 * par)[None, :, :, None])
+
+    neg = jnp.full((s_count, b), _NEG, F32)
+    a0 = neg.at[0].set(0.0)
+    pidx = jnp.asarray(prev.reshape(-1))           # [S*2]
+    gprev = jnp.asarray((prev * 2 + np.arange(2)[None, :]).reshape(-1))
+
+    def fwd_step(alpha, g_t):
+        gflat = g_t.reshape(2 * s_count, b)        # [(s,b2) flat, B]
+        cand = (jnp.take(alpha, pidx, axis=0)
+                + jnp.take(gflat, gprev, axis=0)).reshape(s_count, 2, b)
+        nalpha = jnp.max(cand, axis=1)             # [S, B]
+        return nalpha - jnp.max(nalpha, axis=0, keepdims=True), nalpha
+
+    _, alphas = jax.lax.scan(fwd_step, a0, gam)
+    alphas = jnp.concatenate([a0[None], alphas[:-1]], axis=0)
+
+    bN = a0 if terminated else jnp.zeros((s_count, b), F32)
+    nidx = jnp.asarray(nxt.reshape(-1))
+
+    def bwd_step(beta, g_t):
+        bn = jnp.take(beta, nidx, axis=0).reshape(s_count, 2, b)
+        cand = g_t + bn
+        nbeta = jnp.max(cand, axis=1)
+        return nbeta - jnp.max(nbeta, axis=0, keepdims=True), nbeta
+
+    _, betas_r = jax.lax.scan(bwd_step, bN, gam[::-1])
+    betas = jnp.concatenate([betas_r[::-1][1:], bN[None]], axis=0)
+
+    bn_all = jnp.take(betas, nidx, axis=1).reshape(-1, s_count, 2, b)
+    metric = alphas[:, :, None, :] + gam + bn_all
+    m0 = jnp.max(metric[:, :, 0, :], axis=1)       # [T, B]
+    m1 = jnp.max(metric[:, :, 1, :], axis=1)
+    post = m0 - m1
+    ext = post - ls
+    return post.astype(F32), ext.astype(F32)
+
+
+def turbo_decode_batch(tc: TurboCode, llr_sys: jax.Array,
+                       llr_par1: jax.Array, llr_par2: jax.Array,
+                       iters: int = 6):
+    """Batched turbo decode in the lane-native [T, B] layout (see
+    bcjr_decode_batch). llr_sys/llr_par1: [B, T + k - 1]; llr_par2:
+    [B, T] — the same batch-leading convention as vmap(turbo_decode);
+    transposition to [T, B] happens inside. Returns
+    (bits [B, T] int32, posterior [B, T])."""
+    t = llr_par2.shape[-1]
+    kk = tc.rsc.k - 1
+    perm = jnp.asarray(tc.perm)
+    inv = jnp.argsort(perm)
+    s1 = llr_sys.T.astype(F32)                     # [T+kk, B]
+    p1 = llr_par1.T.astype(F32)
+    p2 = llr_par2.T.astype(F32)
+    sys2 = jnp.take(s1[:t], perm, axis=0)
+    bsz = s1.shape[-1]
+    zeros_tail = jnp.zeros((kk, bsz), F32)
+
+    def body(ext2_info, _):
+        la1 = jnp.concatenate([ext2_info, zeros_tail], axis=0)
+        _, ext1 = bcjr_decode_batch(tc.rsc, s1, p1, la1, terminated=True)
+        la2 = jnp.take(ext1[:t], perm, axis=0)
+        post2, ext2 = bcjr_decode_batch(tc.rsc, sys2, p2, la2,
+                                        terminated=False)
+        return jnp.take(ext2, inv, axis=0), jnp.take(post2, inv, axis=0)
+
+    ext, posts = jax.lax.scan(body, jnp.zeros((t, bsz), F32), None,
+                              length=iters)
+    post = posts[-1].T                             # [B, T]
+    return (post < 0).astype(jnp.int32), post
