@@ -19,7 +19,9 @@ log=bench/hw_refresh_${ts}.log
   echo "== on-chip turbo max-log BCJR =="
   timeout 2400 python bench/turbo_onchip.py --batch 1024
   echo "== on-chip polar SC + one-hot SCL (+fast rate-0/REP) =="
-  timeout 1800 python bench/polar_onchip.py
+  # SC serving batch is now 32768 (metric key changed from the
+  # b4096 rows — BASELINE round-4 note); 8x work needs the bigger budget
+  timeout 2400 python bench/polar_onchip.py
   timeout 2400 python bench/polar_onchip.py --batch 1024 --scl 8
   timeout 2400 python bench/polar_onchip.py --batch 1024 --scl 8 --fast
   echo "== end-to-end coded link =="

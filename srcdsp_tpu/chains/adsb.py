@@ -74,21 +74,34 @@ def detect_preambles(mag, sps_half: int = 1, thresh: float = 3.0
                      ) -> np.ndarray:
     """Candidate frame starts (sample indices) by preamble correlation
     on half-bit sums: score = sum(pulse halves) - sum(quiet halves),
-    normalized by the local mean; local maxima above `thresh`."""
-    hs = _half_sums(np.asarray(mag, np.float64), sps_half)
-    if hs.size < _PREAMBLE_LEN + 4:
-        return np.zeros(0, np.int64)
+    normalized by the capture's median level; local maxima above
+    `thresh`. Every SAMPLE phase is searched (half-bit sums are formed
+    at each of the sps_half grid offsets — a frame's arrival phase is
+    arbitrary in a real capture), and candidates are returned strongest
+    first so decode_frame tries the best alignment first."""
+    mag = np.asarray(mag, np.float64)
     quiet = sorted(set(range(_PREAMBLE_LEN)) - set(_PREAMBLE_HALVES))
-    n = hs.size - _PREAMBLE_LEN
-    idx = np.arange(n)
-    on = sum(hs[idx + h] for h in _PREAMBLE_HALVES) / len(_PREAMBLE_HALVES)
-    off = sum(hs[idx + h] for h in quiet) / len(quiet)
-    floor = np.median(hs) + 1e-12
-    score = (on - off) / floor
-    peaks = np.where((score > thresh)
-                     & (score >= np.roll(score, 1))
-                     & (score >= np.roll(score, -1)))[0]
-    return peaks * sps_half
+    floor = np.median(_half_sums(mag, sps_half)) + 1e-12
+    cands: list[tuple[float, int]] = []
+    for ph in range(sps_half):
+        hs = _half_sums(mag[ph:], sps_half)
+        if hs.size < _PREAMBLE_LEN + 4:
+            continue
+        n = hs.size - _PREAMBLE_LEN
+        idx = np.arange(n)
+        on = sum(hs[idx + h] for h in _PREAMBLE_HALVES) \
+            / len(_PREAMBLE_HALVES)
+        off = sum(hs[idx + h] for h in quiet) / len(quiet)
+        score = (on - off) / floor
+        # edge-safe local-max test (no wraparound: pad with -inf)
+        pad = np.concatenate([[-np.inf], score, [-np.inf]])
+        peaks = np.where((score > thresh)
+                         & (score >= pad[:-2])
+                         & (score >= pad[2:]))[0]
+        cands.extend((float(score[p]), ph + int(p) * sps_half)
+                     for p in peaks)
+    cands.sort(reverse=True)
+    return np.asarray([c[1] for c in cands], np.int64)
 
 
 def slice_bits(mag, start: int, nbits: int = 112,

@@ -73,3 +73,18 @@ def test_decode_from_noisy_offset_capture():
     cap2 = noise_floor * rng.rayleigh(1.0, 6000).astype(np.float32)
     _, ok2, _ = decode_frame(cap2, sps_half=sps)
     assert not ok2
+
+
+def test_decode_at_every_arrival_phase():
+    """Arrival phase is arbitrary in a real capture: the detector must
+    find frames at sample offsets NOT on the sps_half grid."""
+    rng = np.random.default_rng(5)
+    sps = 4
+    frame = build_frame(rng.integers(0, 2, 88).astype(np.int32))
+    wave = modulate(frame, sps_half=sps)
+    for off in (1000, 1001, 1002, 1003):
+        cap = 0.08 * rng.rayleigh(1.0, 4000).astype(np.float32)
+        cap[off: off + wave.size] += wave
+        bits, ok, start = decode_frame(cap, sps_half=sps)
+        assert ok and start == off, (off, ok, start)
+        assert np.array_equal(bits, frame), off
