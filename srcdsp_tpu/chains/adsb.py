@@ -140,5 +140,26 @@ def decode_frame(mag, sps_half: int = 1, nbits: int = 112,
     return best
 
 
+def decode_all_frames(mag, sps_half: int = 1, nbits: int = 112,
+                      thresh: float = 3.0) -> list[tuple[np.ndarray, int]]:
+    """All CRC-clean frames in a magnitude capture: [(bits, start)],
+    de-duplicated (one frame per preamble neighborhood — candidates
+    within half a frame of an accepted start are the same burst)."""
+    starts = detect_preambles(mag, sps_half, thresh)
+    span = (2 * nbits + _PREAMBLE_LEN) * sps_half // 2
+    out: list[tuple[np.ndarray, int]] = []
+    taken: list[int] = []
+    for s in starts:
+        s = int(s)
+        if any(abs(s - t) < span for t in taken):
+            continue
+        bits = slice_bits(mag, s, nbits, sps_half)
+        if bits is not None and modes_crc(bits) == 0:
+            out.append((bits, s))
+            taken.append(s)
+    out.sort(key=lambda t: t[1])
+    return out
+
+
 __all__ = ["modes_crc", "build_frame", "modulate", "detect_preambles",
-           "slice_bits", "decode_frame"]
+           "slice_bits", "decode_frame", "decode_all_frames"]

@@ -18,6 +18,7 @@ through a demod chain and write the result. Equivalent here:
     python -m srcdsp_tpu.cli fecenc bits.u8 coded.u8 --code ldpc
     python -m srcdsp_tpu.cli fecdec llrs.f32 bits.u8 --code ldpc [--hard]
     python -m srcdsp_tpu.cli scf  in.iq lines.jsonl [--conj]
+    python -m srcdsp_tpu.cli adsb es.iq frames.jsonl --sps-half 1
 
 Streams in fixed blocks with carried state (bit-exact vs one-shot), writes
 output incrementally per block, checkpoints every --ckpt-every blocks, and
@@ -481,12 +482,39 @@ def _scf(args) -> None:
         out.close()
 
 
+def _adsb(args) -> None:
+    """Mode S / ADS-B driver: capture (IQ -> magnitude, or raw f32
+    magnitude with --mag) -> JSON lines, one per CRC-clean frame
+    (hex payload + sample offset)."""
+    import json
+
+    from srcdsp_tpu.chains.adsb import decode_all_frames
+    from srcdsp_tpu.io.capture import read_capture
+
+    if args.mag:
+        mag = np.fromfile(args.infile, np.float32)
+    else:
+        x, _meta = read_capture(args.infile)
+        mag = np.abs(np.asarray(x)).astype(np.float32)
+    frames = decode_all_frames(mag, sps_half=args.sps_half,
+                               thresh=args.adsb_thresh)
+    out = open(args.outfile, "w") if args.outfile != "-" else sys.stdout
+    for bits, start in frames:
+        byts = np.packbits(bits.reshape(-1, 8)).tobytes()
+        out.write(json.dumps({"start": start,
+                              "hex": byts.hex()}) + "\n")
+    if out is not sys.stdout:
+        out.close()
+    print(f"decoded {len(frames)} CRC-clean Mode S frames",
+          file=sys.stderr)
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="srcdsp_tpu.cli", description=__doc__)
     p.add_argument("chain", choices=["fsk", "psk", "dqpsk", "qam", "fir",
                                      "fm", "am", "channelize", "mod",
                                      "scan", "mux", "resample", "gen",
-                                     "fecenc", "fecdec", "scf"])
+                                     "fecenc", "fecdec", "scf", "adsb"])
     p.add_argument("infile")
     p.add_argument("outfile", nargs="?", default=None,
                    help="output path (optional for `gen`, whose single "
@@ -553,6 +581,12 @@ def main(argv=None) -> None:
     p.add_argument("--scf-thresh", type=float, default=0.35,
                    help="scf: detection threshold relative to the PSD "
                         "peak (noise floor ~4.4/sqrt(P))")
+    p.add_argument("--mag", action="store_true",
+                   help="adsb: input is raw f32 magnitude, not IQ")
+    p.add_argument("--sps-half", type=int, default=1,
+                   help="adsb: samples per 0.5us half-bit (1 at 2 Msps)")
+    p.add_argument("--adsb-thresh", type=float, default=3.0,
+                   help="adsb: preamble score threshold")
     p.add_argument("--scan-nfft", type=int, default=4096,
                    help="scan: Welch PSD size")
     p.add_argument("--timing-forget", type=float, default=0.5,
@@ -618,6 +652,10 @@ def main(argv=None) -> None:
 
     if args.chain == "scf":
         _scf(args)
+        return
+
+    if args.chain == "adsb":
+        _adsb(args)
         return
 
     if args.chain == "mux":

@@ -527,3 +527,31 @@ def test_cli_fec_conv_and_rs_roundtrip(tmp_path):
     rdf = str(tmp_path / "rd.u8")
     cli_main(["fecdec", rnf, rdf, "--code", "rs"])
     assert np.array_equal(np.fromfile(rdf, np.uint8)[:300], msg)
+
+
+def test_cli_adsb_decodes_frames(tmp_path):
+    """adsb subcommand: two Mode S frames in a noisy IQ capture come out
+    as CRC-clean hex JSON lines."""
+    import json
+    from srcdsp_tpu.chains.adsb import build_frame, modulate
+
+    rng = np.random.default_rng(6)
+    sps = 2
+    frames = [build_frame(rng.integers(0, 2, 88).astype(np.int32))
+              for _ in range(2)]
+    cap = (0.06 * (rng.standard_normal(12000)
+                   + 1j * rng.standard_normal(12000))).astype(np.complex64)
+    offs = [1500, 7000]
+    for f, off in zip(frames, offs):
+        w = modulate(f, sps_half=sps)
+        cap[off: off + w.size] += w.astype(np.complex64)
+    capf = str(tmp_path / "es.cf32")
+    write_capture(capf, cap, CaptureMeta(fmt="cf32"))
+    out = str(tmp_path / "frames.jsonl")
+    cli_main(["adsb", capf, out, "--sps-half", str(sps)])
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 2
+    for rec, f, off in zip(recs, frames, offs):
+        assert rec["start"] == off
+        assert bytes.fromhex(rec["hex"]) == np.packbits(
+            f.reshape(-1, 8)).tobytes()
