@@ -29,6 +29,81 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _qc(args):
+    """QC layered Pallas kernel probe (the round-3 1.9 Gb/s measurement,
+    now reproducible): dual-diagonal base (802.11n-shaped), O(N) encode,
+    make_qc_decoder serving path, decisions vs the CPU layered tier."""
+    import jax
+    import jax.numpy as jnp
+
+    from srcdsp_tpu.kernels.ldpc_pallas import make_qc_decoder, plan_qc
+    from srcdsp_tpu.ldpc import make_ldpc_code
+    from srcdsp_tpu.qcldpc import (make_dual_diagonal_base, make_qc_ldpc,
+                                   qc_encode_dual_diagonal)
+
+    z, mb, nb = 128, 4, 12
+    base = make_dual_diagonal_base(mb, nb, z, seed=0)
+    code = make_qc_ldpc(base, z)
+    plan = plan_qc(base, z)
+    rng = np.random.default_rng(0)
+    u = rng.integers(0, 2, (args.batch, code.k))
+    cw = np.asarray(qc_encode_dual_diagonal(base, z, jnp.asarray(u)))
+    sigma = 0.5
+    y = (1.0 - 2.0 * cw) + sigma * rng.standard_normal(cw.shape)
+    llr = jnp.asarray(2.0 / sigma ** 2 * y, jnp.float32)
+
+    interp = jax.devices()[0].platform == "cpu"
+    dec = make_qc_decoder(code, plan, iters=args.qc_iters,
+                          b_tile=args.b_tile, interpret=interp)
+    bits, info, ok = dec(llr)
+    np.asarray(bits[:1, :1])
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        from srcdsp_tpu.qcldpc import ldpc_decode_layered
+        b2, _, ok2 = jax.jit(lambda l: ldpc_decode_layered(
+            code, l, plan.z, iters=args.qc_iters))(
+                jax.device_put(llr, cpu))
+    match = bool(np.array_equal(np.asarray(bits), np.asarray(b2)))
+
+    def region(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            r = dec(llr)
+        np.asarray(r[0][:1, :1])
+        return time.perf_counter() - t0
+
+    region(1)
+    # calibrated region length (bench/polar_onchip.py pattern): the
+    # k-vs-2k difference must dominate the +-5-30 ms sync jitter
+    est = max((region(16) - region(8)) / 8.0, 1e-5)
+    kk = int(min(384, max(4, np.ceil(0.08 / est))))
+    slopes = []
+    for _ in range(args.trials):
+        t1 = region(kk)
+        t2 = region(2 * kk)
+        slopes.append((t2 - t1) / kk)
+    med = float(np.median(slopes))
+    if med <= 0 or med * kk < 0.02:
+        print(json.dumps({
+            "metric": f"qcldpc_z{z}_{mb}x{nb}_it{args.qc_iters}"
+                      f"_b{args.batch}_pallas_decode",
+            "status": "measurement_unresolved", "kk": kk,
+            "median_slope_s": med,
+            "decisions_match_cpu_layered": match,
+            "backend": jax.default_backend()}))
+        return
+    print(json.dumps({
+        "metric": f"qcldpc_z{z}_{mb}x{nb}_it{args.qc_iters}"
+                  f"_b{args.batch}_pallas_decode",
+        "kk": kk,
+        "coded_bits_per_s": args.batch * code.n / med,
+        "ms_per_codeword": med * 1e3 / args.batch,
+        "batch": args.batch, "ok": bool(np.asarray(ok).all()),
+        "decisions_match_cpu_layered": match,
+        "backend": jax.default_backend(),
+    }), flush=True)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=504)
@@ -43,6 +118,13 @@ def main(argv=None):
                          "jnp reference tier on CPU")
     ap.add_argument("--b-tile", type=int, default=128,
                     help="kernel batch tile (codewords per grid step)")
+    ap.add_argument("--qc", action="store_true",
+                    help="use the QC LAYERED Pallas kernel on a "
+                         "dual-diagonal standards-shaped code (z=128, "
+                         "4x12 base, rate 2/3) instead of the (3,6) "
+                         "regular edge kernel; decisions cross-checked "
+                         "vs the jnp layered reference on CPU")
+    ap.add_argument("--qc-iters", type=int, default=6)
     ap.add_argument("--platform", default=None,
                     help="override backend (e.g. cpu for a dry run)")
     args = ap.parse_args(argv)
@@ -54,6 +136,10 @@ def main(argv=None):
 
     from srcdsp_tpu.ldpc import ldpc_decode, ldpc_encode, make_ldpc_code, \
         make_regular_ldpc
+
+    if args.qc:
+        _qc(args)
+        return
 
     h = make_regular_ldpc(args.n, 3, 6, seed=0)
     code = make_ldpc_code(h)
