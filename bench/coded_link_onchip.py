@@ -152,11 +152,16 @@ def main(argv=None):
         return time.perf_counter() - t0
 
     region(1)
+    # calibrated region (polar_onchip pattern): the per-call time here is
+    # ~1.5-2 ms, so 2-call regions sit inside the sync jitter — size the
+    # region from a differenced burst estimate instead
+    est = max((region(16) - region(8)) / 8.0, 1e-5)
+    kreg = int(min(192, max(4, __import__("numpy").ceil(0.08 / est))))
     slopes = []
     for _ in range(args.trials):
-        t1 = region(2)
-        t2 = region(4)
-        slopes.append((t2 - t1) / 2)
+        t1 = region(kreg)
+        t2 = region(2 * kreg)
+        slopes.append((t2 - t1) / kreg)
     med = float(np.median(slopes))
     result.update({
         "ms_per_call": med * 1e3,
