@@ -32,7 +32,9 @@ def _force(y):
         return np.asarray(leaf)
 
 
-def _slope(step, args, iters=2, trials=5):
+def _slope(step, args, trials=5):
+    from slope import calibrated_slope
+
     def region(k):
         t0 = time.perf_counter()
         y = None
@@ -41,12 +43,11 @@ def _slope(step, args, iters=2, trials=5):
         _force(y)
         return time.perf_counter() - t0
 
-    region(1)
-    ts = []
-    for _ in range(trials):
-        t1, t2 = region(iters), region(2 * iters)
-        ts.append((t2 - t1) / iters)
-    return statistics.median(ts)
+    med, k = calibrated_slope(region, trials=trials)
+    if med is None:
+        raise SystemExit(f"slope unresolved at k={k} — workload too "
+                         f"cheap for the sync jitter; raise the batch")
+    return med
 
 
 def viterbi(batch=512, t=512, noise_std=0.6):

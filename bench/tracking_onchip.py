@@ -121,11 +121,10 @@ def main(which="fsk", channels=8, blocks=8):
             _force(y)
             return time.perf_counter() - t0
 
-        ts = []
-        for _ in range(5):
-            t1, t2 = region(2), region(4)
-            ts.append((t2 - t1) / 2)
-        t = statistics.median(ts)
+        from slope import calibrated_slope
+        t, _k = calibrated_slope(region, trials=5)
+        if t is None:
+            t = float("nan")
     msps = channels * block / t / 1e6
     print(json.dumps({
         "probe": f"tracking_{which}_onchip", "channels": channels,
