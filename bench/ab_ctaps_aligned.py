@@ -30,7 +30,13 @@ def _force(y):
         return np.asarray(leaf)
 
 
-def _median_ab(fa, fb, args_a, args_b, iters=2, trials=7):
+def _median_ab(fa, fb, args_a, args_b, iters=None, trials=7):
+    """Interleaved SLOPE medians with CALIBRATED region length (see
+    bench/slope.py): each trial times k and 2k dispatches per arm, both
+    force-drained; the fixed enqueue+sync cost cancels in the
+    difference, and k is sized so the difference dominates the jitter."""
+    import numpy as _np
+
     def region(f, args, k):
         t0 = time.perf_counter()
         y = None
@@ -39,6 +45,10 @@ def _median_ab(fa, fb, args_a, args_b, iters=2, trials=7):
         _force(y)
         return time.perf_counter() - t0
 
+    if iters is None:
+        est = max((region(fa, args_a, 8) - region(fa, args_a, 4)) / 4.0,
+                  1e-5)
+        iters = int(min(96, max(3, _np.ceil(0.08 / est))))
     ta, tb = [], []
     for _ in range(trials):
         for f, args, t in ((fa, args_a, ta), (fb, args_b, tb)):
