@@ -16,6 +16,8 @@ log=bench/hw_refresh_${ts}.log
   timeout 2400 python bench/run.py config2_onchip_bf16
   echo "== Pallas LDPC (edge kernel, bit-exact vs CPU tier) =="
   timeout 1800 python bench/ldpc_onchip.py --kernel --batch 16384
+  echo "== Pallas QC layered kernel (round 4) =="
+  timeout 2400 python bench/ldpc_onchip.py --qc --batch 4096
   echo "== on-chip turbo max-log BCJR =="
   timeout 2400 python bench/turbo_onchip.py --batch 1024
   echo "== on-chip polar SC + one-hot SCL (+fast rate-0/REP) =="

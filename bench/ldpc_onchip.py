@@ -195,14 +195,17 @@ def main(argv=None):
         np.asarray(r[0][:1, :1])
         return time.perf_counter() - t0
 
-    k = 4
-    slopes = []
-    for _ in range(args.trials):
-        t1 = region(k)
-        t2 = region(2 * k)
-        slopes.append((t2 - t1) / k)
-    med = float(np.median(slopes))
+    from slope import calibrated_slope
+    med, k = calibrated_slope(region, trials=args.trials)
     tag = "pallas" if args.kernel else "xla"
+    if med is None:
+        print(json.dumps({
+            "metric": f"ldpc_n{args.n}_it{args.iters}_b{args.batch}"
+                      f"_{tag}_decode",
+            "status": "measurement_unresolved", "kk": k,
+            "matches_cpu": match,
+            "backend": jax.devices()[0].platform}))
+        return
     print(json.dumps({
         "metric": f"ldpc_n{args.n}_it{args.iters}_b{args.batch}_{tag}_decode",
         "coded_bits_per_s": args.batch * code.n / med,
