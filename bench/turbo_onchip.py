@@ -97,13 +97,15 @@ def main(argv=None):
         np.asarray(r[0][:1, :1])
         return time.perf_counter() - t0
 
-    k = 3
-    slopes = []
-    for _ in range(args.trials):
-        t1 = region(k)
-        t2 = region(2 * k)
-        slopes.append((t2 - t1) / k)
-    med = float(np.median(slopes))
+    from slope import calibrated_slope
+    med, k = calibrated_slope(region, trials=args.trials)
+    if med is None:
+        print(json.dumps({
+            "metric": f"turbo_t{args.t}_it{args.iters}_b{args.batch}"
+                      f"_{args.layout}_decode",
+            "status": "measurement_unresolved", "kk": k,
+            "matches_cpu": match, "backend": jax.default_backend()}))
+        return
     print(json.dumps({
         "metric": f"turbo_t{args.t}_it{args.iters}_b{args.batch}"
                   f"_{args.layout}_decode",
