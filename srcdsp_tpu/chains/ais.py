@@ -1,0 +1,99 @@
+"""AIS (ITU-R M.1371) frame layer (beyond parity): the third real
+protocol composed from framework layers — GMSK BT=0.4 at 9600 bd
+(testing.signals.gmsk_baseband / the chains.fsk discriminator), NRZI
+line coding (vectorized: a cumulative XOR, no scans), HDLC flags + bit
+stuffing (srcdsp_tpu.hdlc), and the X-25/HDLC FCS (CRC-16, poly 0x1021
+reflected, init/xorout 0xFFFF) via the gf2 machine.
+
+Air order: bytes LSB-first; FCS appended LSB-first of the 16-bit value;
+NRZI-S (a 0 bit toggles the line level, a 1 holds it), so the decode is
+insensitive to a global demod polarity flip — only transitions matter.
+
+Like chains/ble.py: offline environment, so conformance rests on
+independent loop twins in the tests plus the full modulate -> impaired
+channel -> demodulate -> deframe -> FCS round trip.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from srcdsp_tpu.gf2 import (bytes_to_bits, crc_init, crc_update, crc_value,
+                            make_crc)
+from srcdsp_tpu.hdlc import (FLAG, compact_bits, destuff_bits, find_flags,
+                             stuff_bits)
+
+_FCS = make_crc(0x1021, 16, init=0xFFFF, xorout=0xFFFF, reflect=True)
+
+TRAINING = np.tile([0, 1], 12).astype(np.int32)       # 24-bit preamble
+
+
+def ais_fcs(bits) -> int:
+    """X-25 FCS over air bits (LSB-first per byte)."""
+    s = crc_init(_FCS)
+    s = crc_update(_FCS, s, jnp.asarray(np.asarray(bits, np.int32)))
+    return int(np.asarray(crc_value(_FCS, s)))
+
+
+def nrzi_encode(bits, level0: int = 0) -> np.ndarray:
+    """NRZI-S: a 0 toggles the level, a 1 holds it. Vectorized as a
+    cumulative XOR (mod-2 cumsum of the toggles) — no per-bit loop."""
+    bits = np.asarray(bits, np.int32)
+    toggles = 1 - bits
+    lvl = (level0 + np.cumsum(toggles)) % 2
+    return lvl.astype(np.int32)
+
+
+def nrzi_decode(levels) -> np.ndarray:
+    """Levels -> bits: 1 where the level held, 0 where it toggled. The
+    first bit needs the pre-stream level; AIS preamble absorbs it."""
+    lv = np.asarray(levels, np.int32)
+    d = np.concatenate([[lv[0]], lv])
+    return (1 - (d[1:] ^ d[:-1])).astype(np.int32)
+
+
+def build_ais_frame(payload: bytes, level0: int = 0) -> np.ndarray:
+    """Payload bytes -> NRZI line LEVELS ready for gmsk_baseband:
+    training | flag | stuffed(payload + FCS) | flag, NRZI-encoded."""
+    pb = bytes_to_bits(payload, lsb_first=True)
+    fcs = ais_fcs(pb)
+    fcs_bits = ((fcs >> np.arange(16)) & 1).astype(np.int32)
+    body = np.concatenate([pb, fcs_bits])
+    ob, vb, _ = stuff_bits(jnp.asarray(body))
+    stuffed = compact_bits(ob, vb)
+    air = np.concatenate([TRAINING, FLAG, stuffed, FLAG]).astype(np.int32)
+    return nrzi_encode(air, level0)
+
+
+def decode_ais_frame(levels):
+    """Demodulated line levels -> (payload bytes | None, fcs_ok,
+    flag_index). Host-side sink: NRZI-decode, locate the flag pair,
+    destuff, split FCS, verify."""
+    bits = nrzi_decode(levels)
+    hits = np.flatnonzero(np.asarray(find_flags(jnp.asarray(bits))))
+    if hits.size < 2:
+        return None, False, -1
+    # first flag pair with a plausible body between them
+    start = int(hits[0])
+    ends = hits[hits > start + 8]
+    if ends.size == 0:
+        return None, False, start
+    end = int(ends[0])
+    span = bits[start + 8: end]
+    if span.size < 24:
+        return None, False, start
+    ob, vb, _ = destuff_bits(jnp.asarray(span))
+    body = compact_bits(ob, vb)
+    if body.size < 24 or (body.size - 16) % 8:
+        return None, False, start
+    pb, fcs_bits = body[:-16], body[-16:]
+    fcs_rx = int((fcs_bits * (1 << np.arange(16))).sum())
+    ok = ais_fcs(pb) == fcs_rx
+    payload = np.packbits(pb.reshape(-1, 8)[:, ::-1]).tobytes()
+    return payload, bool(ok), start
+
+
+__all__ = ["TRAINING", "ais_fcs", "nrzi_encode", "nrzi_decode",
+           "build_ais_frame", "decode_ais_frame"]
