@@ -72,23 +72,13 @@ def _qc(args):
         np.asarray(r[0][:1, :1])
         return time.perf_counter() - t0
 
-    region(1)
-    # calibrated region length (bench/polar_onchip.py pattern): the
-    # k-vs-2k difference must dominate the +-5-30 ms sync jitter
-    est = max((region(16) - region(8)) / 8.0, 1e-5)
-    kk = int(min(384, max(4, np.ceil(0.08 / est))))
-    slopes = []
-    for _ in range(args.trials):
-        t1 = region(kk)
-        t2 = region(2 * kk)
-        slopes.append((t2 - t1) / kk)
-    med = float(np.median(slopes))
-    if med <= 0 or med * kk < 0.02:
+    from slope import calibrated_slope
+    med, kk = calibrated_slope(region, trials=args.trials)
+    if med is None:
         print(json.dumps({
             "metric": f"qcldpc_z{z}_{mb}x{nb}_it{args.qc_iters}"
                       f"_b{args.batch}_pallas_decode",
             "status": "measurement_unresolved", "kk": kk,
-            "median_slope_s": med,
             "decisions_match_cpu_layered": match,
             "backend": jax.default_backend()}))
         return

@@ -69,30 +69,36 @@ def build_ais_frame(payload: bytes, level0: int = 0) -> np.ndarray:
 
 def decode_ais_frame(levels):
     """Demodulated line levels -> (payload bytes | None, fcs_ok,
-    flag_index). Host-side sink: NRZI-decode, locate the flag pair,
-    destuff, split FCS, verify."""
+    flag_index). Host-side sink: NRZI-decode, then try EVERY candidate
+    flag pair (random padding/noise produces spurious 01111110 patterns
+    ~once per ~64 noise bits, so anchoring on the first hit would abort
+    intact frames — round-4 review finding); the first FCS-clean decode
+    wins, else the best-formed failed attempt is reported."""
     bits = nrzi_decode(levels)
     hits = np.flatnonzero(np.asarray(find_flags(jnp.asarray(bits))))
     if hits.size < 2:
         return None, False, -1
-    # first flag pair with a plausible body between them
-    start = int(hits[0])
-    ends = hits[hits > start + 8]
-    if ends.size == 0:
-        return None, False, start
-    end = int(ends[0])
-    span = bits[start + 8: end]
-    if span.size < 24:
-        return None, False, start
-    ob, vb, _ = destuff_bits(jnp.asarray(span))
-    body = compact_bits(ob, vb)
-    if body.size < 24 or (body.size - 16) % 8:
-        return None, False, start
-    pb, fcs_bits = body[:-16], body[-16:]
-    fcs_rx = int((fcs_bits * (1 << np.arange(16))).sum())
-    ok = ais_fcs(pb) == fcs_rx
-    payload = np.packbits(pb.reshape(-1, 8)[:, ::-1]).tobytes()
-    return payload, bool(ok), start
+    best = (None, False, int(hits[0]))
+    for start in (int(h) for h in hits):
+        ends = hits[hits > start + 8]
+        if ends.size == 0:
+            continue
+        for end in (int(e) for e in ends[:4]):
+            span = bits[start + 8: end]
+            if span.size < 24:
+                continue
+            ob, vb, _ = destuff_bits(jnp.asarray(span))
+            body = compact_bits(ob, vb)
+            if body.size < 24 or (body.size - 16) % 8:
+                continue
+            pb, fcs_bits = body[:-16], body[-16:]
+            fcs_rx = int((fcs_bits * (1 << np.arange(16))).sum())
+            payload = np.packbits(pb.reshape(-1, 8)[:, ::-1]).tobytes()
+            if ais_fcs(pb) == fcs_rx:
+                return payload, True, start
+            if best[0] is None:
+                best = (payload, False, start)
+    return best
 
 
 __all__ = ["TRAINING", "ais_fcs", "nrzi_encode", "nrzi_decode",

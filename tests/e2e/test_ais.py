@@ -82,7 +82,10 @@ def test_ais_gmsk_link_over_impaired_channel():
                      + 1j * rng.standard_normal(x.size))
          ).astype(np.complex64)
 
-    params = make_fsk_params(cfo, 64, 0.45 / decim, decim=decim, sps=sps,
+    # receiver does NOT know the CFO (center 0): the discriminator sees
+    # it as a constant d offset (~10% of the eye at 0.003) and NRZI's
+    # transition coding absorbs the bias — a genuine robustness claim
+    params = make_fsk_params(0.0, 64, 0.45 / decim, decim=decim, sps=sps,
                              dev=0.25 / sps, timing_forget=0.95)
     n = (x.size // (decim * sps)) * decim * sps
     st = fsk_init(params)
@@ -93,3 +96,17 @@ def test_ais_gmsk_link_over_impaired_channel():
     got, ok, idx = decode_ais_frame(lv_hat)
     assert ok, "FCS failed through the impaired channel"
     assert got == payload
+
+
+def test_decode_survives_spurious_flags_in_padding():
+    """Random padding contains spurious 01111110 patterns (~1 per 64
+    noise bits): the decoder must iterate candidate flag pairs, not
+    anchor on the first hit (round-4 review repro, seed 11)."""
+    payload = bytes(range(10))
+    lv = build_ais_frame(payload)
+    for seed in range(12):
+        rng = np.random.default_rng(seed)
+        line = np.concatenate([rng.integers(0, 2, 48), lv,
+                               rng.integers(0, 2, 48)]).astype(np.int32)
+        got, ok, _ = decode_ais_frame(line)
+        assert ok and got == payload, seed
