@@ -81,12 +81,15 @@ def detect_preambles(mag, sps_half: int = 1, thresh: float = 3.0
     first so decode_frame tries the best alignment first."""
     mag = np.asarray(mag, np.float64)
     quiet = sorted(set(range(_PREAMBLE_LEN)) - set(_PREAMBLE_HALVES))
-    floor = np.median(_half_sums(mag, sps_half)) + 1e-12
     cands: list[tuple[float, int]] = []
     for ph in range(sps_half):
         hs = _half_sums(mag[ph:], sps_half)
         if hs.size < _PREAMBLE_LEN + 4:
             continue
+        # per-phase floor: at larger sps_half a pulse-aligned phase has a
+        # different half-bit-sum distribution than phase 0, so a shared
+        # floor would bias thresholds between phases (round-5 advisor fix)
+        floor = np.median(hs) + 1e-12
         n = hs.size - _PREAMBLE_LEN
         idx = np.arange(n)
         on = sum(hs[idx + h] for h in _PREAMBLE_HALVES) \

@@ -67,13 +67,19 @@ def build_ais_frame(payload: bytes, level0: int = 0) -> np.ndarray:
     return nrzi_encode(air, level0)
 
 
-def decode_ais_frame(levels):
+def decode_ais_frame(levels, max_ends_per_start: int | None = None):
     """Demodulated line levels -> (payload bytes | None, fcs_ok,
     flag_index). Host-side sink: NRZI-decode, then try EVERY candidate
     flag pair (random padding/noise produces spurious 01111110 patterns
     ~once per ~64 noise bits, so anchoring on the first hit would abort
     intact frames — round-4 review finding); the first FCS-clean decode
-    wins, else the best-formed failed attempt is reported."""
+    wins, else the best-formed failed attempt is reported.
+
+    max_ends_per_start optionally bounds the end-flag candidates tried
+    per start (cost control for pathological captures); default None =
+    unbounded, so a long noise tail full of spurious flags cannot mask
+    the true closing flag (round-5 advisor finding — the FCS check
+    rejects wrong pairings cheaply)."""
     bits = nrzi_decode(levels)
     hits = np.flatnonzero(np.asarray(find_flags(jnp.asarray(bits))))
     if hits.size < 2:
@@ -83,7 +89,9 @@ def decode_ais_frame(levels):
         ends = hits[hits > start + 8]
         if ends.size == 0:
             continue
-        for end in (int(e) for e in ends[:4]):
+        if max_ends_per_start is not None:
+            ends = ends[:max_ends_per_start]
+        for end in (int(e) for e in ends):
             span = bits[start + 8: end]
             if span.size < 24:
                 continue

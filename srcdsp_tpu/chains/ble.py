@@ -127,8 +127,11 @@ def decode_adv_frame(bits, channel: int = 37,
     """Host-side sink: recover the payload from demodulated hard bits.
 
     bits: [N] 0/1 from any demod (the FSK chain's output). Correlates
-    the access-address pattern over all offsets, de-whitens the PDU,
-    reads the length header, and re-checks the CRC. Returns
+    the access-address pattern over all offsets and tries every
+    candidate above the error threshold in descending correlation
+    order — the first CRC-clean decode wins (same candidate-anchoring
+    fix as decode_ais_frame: a spurious stronger correlation elsewhere
+    in the capture must not mask the real frame). Returns
     (payload bytes | None, crc_ok, aa_index) — aa_index = offset of the
     first PDU bit; None payload if no AA match within max_aa_errors."""
     bits = np.asarray(bits, np.int32).ravel()
@@ -137,25 +140,38 @@ def decode_adv_frame(bits, channel: int = 37,
     if sig.size < pat.size + 40:
         return None, False, -1
     corr = np.correlate(sig, pat, mode="valid")
-    idx = int(np.argmax(corr))
-    if corr[idx] < 32 - 2 * max_aa_errors:
+    thresh = 32 - 2 * max_aa_errors
+    cand = np.flatnonzero(corr >= thresh)
+    if cand.size == 0:
         return None, False, -1
-    start = idx + 32
-    avail = bits.size - start
-    if avail < 40:
-        return None, False, start
-    # de-whiten enough for the header, read the length, then the rest
-    w = whiten_bits(bits[start: start + avail], channel)
-    length = int(np.packbits(w[8:16][::-1])[0])
-    need = (2 + length + 3) * 8
-    if avail < need:
-        return None, False, start
-    pdu = w[: (2 + length) * 8]
-    crc_rx = w[(2 + length) * 8: need]
-    ok = bool(np.array_equal(crc24(pdu), crc_rx))
-    payload = np.packbits(
-        w[16: (2 + length) * 8].reshape(-1, 8)[:, ::-1]).tobytes()
-    return payload, ok, start
+    cand = cand[np.argsort(corr[cand])[::-1]]  # best correlation first
+
+    def _try(idx):
+        start = idx + 32
+        avail = bits.size - start
+        if avail < 40:
+            return None, False, start
+        # de-whiten enough for the header, read the length, then the rest
+        w = whiten_bits(bits[start: start + avail], channel)
+        length = int(np.packbits(w[8:16][::-1])[0])
+        need = (2 + length + 3) * 8
+        if avail < need:
+            return None, False, start
+        pdu = w[: (2 + length) * 8]
+        crc_rx = w[(2 + length) * 8: need]
+        ok = bool(np.array_equal(crc24(pdu), crc_rx))
+        payload = np.packbits(
+            w[16: (2 + length) * 8].reshape(-1, 8)[:, ::-1]).tobytes()
+        return payload, ok, start
+
+    best = None
+    for idx in cand:
+        payload, ok, start = _try(int(idx))
+        if ok:
+            return payload, ok, start
+        if best is None:
+            best = (payload, ok, start)  # argmax fallback when none pass CRC
+    return best
 
 
 __all__ = ["ADV_ACCESS_ADDRESS", "ADV_CHANNELS", "access_address_bits",

@@ -215,11 +215,18 @@ def make_fsk_ctaps_kernel(taps, dwords, decim: int, sps: int,
         # traffic + window-copy bytes); keep the MXU pass homogeneous
         hsubs = hsubs.astype(jnp.bfloat16)
     deltas = jnp.asarray(deltas)
-    # lane permutation matrix: row i -> col (i%sps)*(OT/sps) + i//sps
-    pm = np.zeros((out_tile, out_tile), np.float32)
-    for i_ in range(out_tile):
-        pm[i_, (i_ % sps) * (out_tile // sps) + i_ // sps] = 1.0
+    if class_major:
+        # lane permutation matrix: row i -> col (i%sps)*(OT/sps) + i//sps
+        pm = np.zeros((out_tile, out_tile), np.float32)
+        for i_ in range(out_tile):
+            pm[i_, (i_ % sps) * (out_tile // sps) + i_ // sps] = 1.0
+    else:
+        # never read by the kernel when class_major is False — ship the
+        # smallest tiling-legal dummy (8x128 = 4 KB vs 1 MB at OT=512;
+        # round-5 advisor finding: reclaims VMEM + HBM traffic)
+        pm = np.zeros((8, LANE), np.float32)
     perm = jnp.asarray(pm)
+    perm_block = pm.shape
     stride = out_tile * decim
     bstride = b_rows * stride
     slab_len = bstride + hist
@@ -271,7 +278,7 @@ def make_fsk_ctaps_kernel(taps, dwords, decim: int, sps: int,
                 pl.BlockSpec((1, nb, bspan, 3 * block_cols),
                              lambda c, i: (c, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((out_tile, out_tile), lambda c, i: (0, 0),
+                pl.BlockSpec(perm_block, lambda c, i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[

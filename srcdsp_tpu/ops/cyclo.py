@@ -45,11 +45,18 @@ class ScfResult(NamedTuple):
 def _frames(x: jax.Array, np_: int, hop: int, p: int) -> jax.Array:
     """[P, Np] strided frames (gather-free when hop | Np: reshape +
     static shifts; general case uses one take of a [P, Np] index grid)."""
-    idx = (np.arange(p)[:, None] * hop + np.arange(np_)[None, :])
-    need = int(idx[-1, -1]) + 1
+    need = (p - 1) * hop + np_
     if x.shape[-1] < need:
         raise ValueError(f"need {need} samples for Np={np_}, P={p}, "
                          f"hop={hop}; got {x.shape[-1]}")
+    if np_ % hop == 0:
+        # gather-free: hop-sized rows, frame i = rows [i, i+k) concatenated
+        k = np_ // hop
+        rows = x[..., : (p + k - 1) * hop].reshape(
+            *x.shape[:-1], p + k - 1, hop)
+        return jnp.concatenate([rows[..., j: j + p, :] for j in range(k)],
+                               axis=-1)
+    idx = (np.arange(p)[:, None] * hop + np.arange(np_)[None, :])
     return jnp.take(x, jnp.asarray(idx), axis=-1)
 
 
