@@ -109,5 +109,48 @@ def decode_ais_frame(levels, max_ends_per_start: int | None = None):
     return best
 
 
+def decode_all_ais_frames(levels, max_ends_per_start: int | None = None
+                          ) -> list[tuple[bytes, int]]:
+    """Greedy multi-frame stream decode: every FCS-clean frame in the
+    capture, in stream order, as [(payload bytes, start_flag_index)].
+
+    Same candidate-flag-pair logic as decode_ais_frame, scanning left to
+    right; after accepting a frame the scan resumes AT its closing flag
+    (back-to-back AIS shares one flag between frames, so the closing
+    flag may open the next). Within one start, candidate ends are tried
+    nearest-first and the first FCS-clean pairing wins — the greedy
+    shortest-valid-frame rule of HDLC framing."""
+    bits = nrzi_decode(levels)
+    hits = np.flatnonzero(np.asarray(find_flags(jnp.asarray(bits))))
+    out: list[tuple[bytes, int]] = []
+    hi = 0
+    while hi < hits.size:
+        start = int(hits[hi])
+        ends = hits[hits > start + 8]
+        if max_ends_per_start is not None:
+            ends = ends[:max_ends_per_start]
+        matched = False
+        for end in (int(e) for e in ends):
+            span = bits[start + 8: end]
+            if span.size < 24:
+                continue
+            ob, vb, _ = destuff_bits(jnp.asarray(span))
+            body = compact_bits(ob, vb)
+            if body.size < 24 or (body.size - 16) % 8:
+                continue
+            pb, fcs_bits = body[:-16], body[-16:]
+            fcs_rx = int((fcs_bits * (1 << np.arange(16))).sum())
+            if ais_fcs(pb) == fcs_rx:
+                out.append((np.packbits(
+                    pb.reshape(-1, 8)[:, ::-1]).tobytes(), start))
+                # resume at the closing flag (shared-flag back-to-back)
+                hi = int(np.searchsorted(hits, end))
+                matched = True
+                break
+        if not matched:
+            hi += 1
+    return out
+
+
 __all__ = ["TRAINING", "ais_fcs", "nrzi_encode", "nrzi_decode",
-           "build_ais_frame", "decode_ais_frame"]
+           "build_ais_frame", "decode_ais_frame", "decode_all_ais_frames"]

@@ -19,6 +19,7 @@ through a demod chain and write the result. Equivalent here:
     python -m srcdsp_tpu.cli fecdec llrs.f32 bits.u8 --code ldpc [--hard]
     python -m srcdsp_tpu.cli scf  in.iq lines.jsonl [--conj]
     python -m srcdsp_tpu.cli adsb es.iq frames.jsonl --sps-half 1
+    python -m srcdsp_tpu.cli ais  vhf.iq msgs.jsonl --decim 2 --sps 4
 
 Streams in fixed blocks with carried state (bit-exact vs one-shot), writes
 output incrementally per block, checkpoints every --ckpt-every blocks, and
@@ -509,12 +510,49 @@ def _adsb(args) -> None:
           file=sys.stderr)
 
 
+def _ais(args) -> None:
+    """AIS driver: IQ capture -> GMSK/FSK discriminator demod (unknown
+    CFO: NRZI absorbs the discriminator bias, chains/ais.py docstring)
+    -> multi-frame HDLC/FCS stream decode -> JSON lines, one per
+    FCS-clean frame (hex payload + flag bit offset)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from srcdsp_tpu.chains.ais import decode_all_ais_frames
+    from srcdsp_tpu.chains.fsk import fsk_apply, fsk_init, make_fsk_params
+    from srcdsp_tpu.io.capture import read_capture
+
+    x, _meta = read_capture(args.infile)
+    x = np.asarray(x)
+    decim, sps = args.decim, args.sps
+    params = make_fsk_params(args.center, args.taps, 0.45 / decim,
+                             decim=decim, sps=sps, dev=0.25 / sps,
+                             timing_forget=0.95)   # GMSK needs long memory
+    n = (x.size // (decim * sps)) * decim * sps
+    if n == 0:
+        raise SystemExit("capture shorter than one symbol block")
+    st = fsk_init(params)
+    _, (lv_hat, _) = jax.jit(
+        lambda s, v: fsk_apply(params, s, v))(st, jnp.asarray(x[:n]))
+    frames = decode_all_ais_frames(np.asarray(lv_hat).reshape(-1))
+    out = open(args.outfile, "w") if args.outfile != "-" else sys.stdout
+    for payload, start in frames:
+        out.write(json.dumps({"start_bit": int(start),
+                              "hex": payload.hex()}) + "\n")
+    if out is not sys.stdout:
+        out.close()
+    print(f"decoded {len(frames)} FCS-clean AIS frames", file=sys.stderr)
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="srcdsp_tpu.cli", description=__doc__)
     p.add_argument("chain", choices=["fsk", "psk", "dqpsk", "qam", "fir",
                                      "fm", "am", "channelize", "mod",
                                      "scan", "mux", "resample", "gen",
-                                     "fecenc", "fecdec", "scf", "adsb"])
+                                     "fecenc", "fecdec", "scf", "adsb",
+                                     "ais"])
     p.add_argument("infile")
     p.add_argument("outfile", nargs="?", default=None,
                    help="output path (optional for `gen`, whose single "
@@ -656,6 +694,10 @@ def main(argv=None) -> None:
 
     if args.chain == "adsb":
         _adsb(args)
+        return
+
+    if args.chain == "ais":
+        _ais(args)
         return
 
     if args.chain == "mux":

@@ -110,3 +110,53 @@ def test_decode_survives_spurious_flags_in_padding():
                                rng.integers(0, 2, 48)]).astype(np.int32)
         got, ok, _ = decode_ais_frame(line)
         assert ok and got == payload, seed
+
+
+def test_decode_all_frames_multi_and_shared_flag():
+    """Stream decode: three frames in one capture, the middle pair
+    back-to-back sharing one flag, plus noise padding between/around —
+    all three come out in order with correct payloads."""
+    from srcdsp_tpu.chains.ais import decode_all_ais_frames
+
+    p1, p2, p3 = b"frame-one!", bytes(range(16)), b"third\x00pay"
+    lv1 = build_ais_frame(p1)
+    # back-to-back: frame 2's closing flag == frame 3's opening flag.
+    # NRZI level continuity: start frame 3's encode from frame 2's final
+    # level, and drop the duplicated flag (8 line bits).
+    lv23_a = build_ais_frame(p2)
+    lv23_b = build_ais_frame(p3, level0=int(lv23_a[-1]))
+    rng = np.random.default_rng(3)
+    line = np.concatenate([
+        rng.integers(0, 2, 40), lv1, rng.integers(0, 2, 64),
+        lv23_a, lv23_b[8:], rng.integers(0, 2, 40)]).astype(np.int32)
+    got = decode_all_ais_frames(line)
+    assert [g[0] for g in got] == [p1, p2, p3]
+    assert got[0][1] < got[1][1] < got[2][1]
+
+
+def test_ais_cli_decodes_capture(tmp_path):
+    """ais CLI subcommand: a generated GMSK capture with two frames and
+    an unknown CFO decodes to two FCS-clean JSON lines."""
+    import json
+
+    from srcdsp_tpu.cli import main as cli_main
+    from srcdsp_tpu.io.capture import CaptureMeta, write_capture
+    from srcdsp_tpu.testing.signals import gmsk_baseband, tone
+
+    p1, p2 = b"ais-cli-#1", b"ais-cli-#2!!"
+    rng = np.random.default_rng(4)
+    line = np.concatenate([
+        rng.integers(0, 2, 48), build_ais_frame(p1),
+        rng.integers(0, 2, 200), build_ais_frame(p2),
+        rng.integers(0, 2, 48)]).astype(np.int32)
+    decim, sps = 2, 4
+    x = np.asarray(gmsk_baseband(jnp.asarray(line), decim * sps, bt=0.4))
+    x = x * np.asarray(tone(x.size, 0.002))      # receiver won't know this
+    x = (x + 0.04 * (rng.standard_normal(x.size)
+                     + 1j * rng.standard_normal(x.size))).astype(np.complex64)
+    capf = str(tmp_path / "vhf.cf32")
+    write_capture(capf, x, CaptureMeta(fmt="cf32"))
+    out = str(tmp_path / "msgs.jsonl")
+    cli_main(["ais", capf, out, "--decim", str(decim), "--sps", str(sps)])
+    recs = [json.loads(l) for l in open(out)]
+    assert [bytes.fromhex(r["hex"]) for r in recs] == [p1, p2]
