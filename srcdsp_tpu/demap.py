@@ -19,6 +19,8 @@ with the tx mappers in chains/tx.py.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,7 +30,7 @@ from srcdsp_tpu.chains.qam import qam_constellation
 from srcdsp_tpu.types import F32, F32_BIG
 
 __all__ = ["maxlog_llr", "psk_llr", "qam_llr", "psk_points",
-           "apsk_constellation"]
+           "apsk_constellation", "qam_llr_planes", "qam_llr_bitplanes"]
 
 
 def psk_points(order: int) -> jnp.ndarray:
@@ -78,6 +80,62 @@ def qam_llr(y: jax.Array, order: int, sigma2) -> jnp.ndarray:
     Gray symbol label, so index labels already realize Gray demapping
     (adjacent points differ in one bit)."""
     return maxlog_llr(y, qam_constellation(order), sigma2)
+
+
+def qam_llr_bitplanes(yr: jax.Array, yi: jax.Array, order: int,
+                      sigma2=1.0) -> list:
+    """Exact max-log square-QAM LLRs as log2(order) separate PLANES —
+    the on-chip demap form (no complex dtype, no gather; 2-D elementwise
+    ops only, so it runs on the restricted axon op set and inside
+    serving pipelines). plane[b] has yr's shape and holds the LLR of
+    label bit b (MSB first) for every symbol — concatenate/stack however
+    the consumer's layout wants (chains/modem.py concatenates them on
+    the codeword axis; qam_llr_planes stacks them minor-most).
+
+    Exactness: chains.qam's Gray labeling splits the symbol index as
+    (gi << bits_ax) | gq, so label bits [0, bits_ax) depend ONLY on the I
+    level and the rest ONLY on Q. In max-log, the constellation min of
+    dI + dQ separates into min_I dI + min_Q dQ; for an I bit the Q term
+    is identical under both hypotheses and cancels exactly, leaving the
+    1-D PAM LLR per axis (same argument for Q). Equal to qam_llr up to
+    f32 rounding of that cancelled term (hard decisions identical off
+    exact ties; unit-tested). sigma2 as in qam_llr — decisions under
+    normalized min-sum are invariant to it.
+    """
+    from srcdsp_tpu.chains.qam import _axis_levels, qam_scale
+    l = _axis_levels(order)
+    bits_ax = l.bit_length() - 1
+    s = qam_scale(order)
+    # per-axis level for Gray label g: x_g = (2*inv_gray(g) - (l-1)) * s
+    inv = np.zeros(l, np.int64)
+    for g in range(l):
+        b, sh = g, 1
+        while sh < l.bit_length():
+            b ^= b >> sh
+            sh <<= 1
+        inv[g] = b
+    lev = ((2 * inv - (l - 1)) * s).astype(np.float32)
+
+    inv_s2 = jnp.asarray(1.0 / np.float32(sigma2), F32)
+
+    def axis_cols(y):
+        d2 = [(y - F32(lev[g])) ** 2 for g in range(l)]     # l planes
+        cols = []
+        for b in range(bits_ax):
+            ones = [g for g in range(l) if (g >> (bits_ax - 1 - b)) & 1]
+            zeros = [g for g in range(l) if g not in ones]
+            d1 = functools.reduce(jnp.minimum, [d2[g] for g in ones])
+            d0 = functools.reduce(jnp.minimum, [d2[g] for g in zeros])
+            cols.append(((d1 - d0) * inv_s2).astype(F32))
+        return cols
+    return axis_cols(yr) + axis_cols(yi)
+
+
+def qam_llr_planes(yr: jax.Array, yi: jax.Array, order: int,
+                   sigma2=1.0) -> jnp.ndarray:
+    """qam_llr_bitplanes stacked minor-most: [..., N, log2(order)] f32,
+    bit 0 = label MSB (maxlog_llr's convention and return layout)."""
+    return jnp.stack(qam_llr_bitplanes(yr, yi, order, sigma2), axis=-1)
 
 
 def apsk_constellation(order: int, gamma=None) -> jnp.ndarray:

@@ -66,7 +66,7 @@ __all__ = [
     "EdgePlan", "plan_edges", "ldpc_decode_edges_ref", "ldpc_decode_pallas",
     "make_ldpc_kernel", "make_ldpc_decoder",
     "QcPlan", "plan_qc", "qc_decode_layered_ref", "qc_decode_layered_pallas",
-    "make_qc_kernel", "make_qc_decoder",
+    "make_qc_kernel", "make_qc_decoder", "make_qc_decoder_t",
 ]
 
 BIG = 1e30  # finite mask value (matches ldpc.minsum_c2v's F32_BIG role)
@@ -585,6 +585,55 @@ def make_qc_decoder(code: LdpcCode, plan: QcPlan, iters: int = 6,
 
     _dec = jax.jit(_dec)
     return lambda llr: _dec(llr, ht, info_idx)
+
+
+def make_qc_decoder_t(code: LdpcCode, plan: QcPlan, iters: int = 6,
+                      alpha: float = 0.8125, b_tile: int = 128,
+                      interpret: bool = False):
+    """Column-major serving QC decode: llr_t [N, B] -> (bits_t [N, B]
+    int32, ok [B]).
+
+    The row-major make_qc_decoder spends more device time on its
+    pad + [B,N]->[N,B] transpose + bits-transpose-back relayouts than on
+    the decode itself when fed from a plane-form demod (profiled on the
+    coherent modem: 0.69 ms decode vs ~2.3 ms layout at B=4096 n=1536).
+    This entry takes LLRs already column-major — the natural layout out
+    of demap bit-planes — runs the same kernel, and returns decisions
+    column-major; the syndrome check runs as one [M, N] x [N, B] matmul
+    with no transposes anywhere. B must be a multiple of b_tile."""
+    n = plan.nb * plan.z
+    kern = functools.partial(_qc_kernel, plan=plan, iters=iters,
+                             alpha=alpha)
+    h = jnp.asarray(code.h, F32)
+
+    def _dec(llr_t, h):
+        b = llr_t.shape[1]
+        post = pl.pallas_call(
+            kern,
+            grid=(b // b_tile,),
+            in_specs=[pl.BlockSpec((n, b_tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((n, b_tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, b), F32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(llr_t.astype(F32))
+        bits_t = (post < 0).astype(jnp.int32)
+        syn = jnp.mod(h @ bits_t.astype(F32), F32(2.0))     # [M, B]
+        ok = jnp.all(syn == 0, axis=0)
+        return bits_t, ok
+
+    _dec = jax.jit(_dec)
+
+    def run(llr_t: jax.Array):
+        nn, b = llr_t.shape
+        if nn != n or b % b_tile:
+            raise ValueError(f"llr_t [{nn},{b}] vs n={n}, tile {b_tile}")
+        return _dec(llr_t, h)
+
+    return run
 
 
 def qc_decode_layered_pallas(code: LdpcCode, plan: QcPlan, llr: jax.Array,
