@@ -34,9 +34,12 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--trials", type=int, default=5)
     ap.add_argument("--snr-db", type=float, default=1.5, dest="snr_db")
-    ap.add_argument("--layout", choices=["vmap", "batch"], default="vmap",
+    ap.add_argument("--layout", choices=["vmap", "batch", "pallas"],
+                    default="vmap",
                     help="batch = lane-native [T, B] BCJR "
-                         "(turbo_decode_batch; bit-identical decisions)")
+                         "(turbo_decode_batch; bit-identical decisions); "
+                         "pallas = VMEM-resident BCJR kernels "
+                         "(kernels/bcjr_pallas.py, bit-identical to batch)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args(argv)
 
@@ -67,6 +70,12 @@ def main(argv=None):
     if args.layout == "batch":
         dec = jax.jit(lambda a, b, c: turbo_decode_batch(
             tc, a, b, c, iters=args.iters))
+    elif args.layout == "pallas":
+        from srcdsp_tpu.kernels.bcjr_pallas import turbo_decode_pallas
+        interp = jax.devices()[0].platform == "cpu"
+        dec = jax.jit(lambda a, b, c: turbo_decode_pallas(
+            tc, a, b, c, iters=args.iters,
+            b_tile=min(128, args.batch), interpret=interp))
     else:
         dec = jax.jit(jax.vmap(
             lambda a, b, c: turbo_decode(tc, a, b, c, iters=args.iters)))
