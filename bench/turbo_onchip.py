@@ -40,6 +40,8 @@ def main(argv=None):
                          "(turbo_decode_batch; bit-identical decisions); "
                          "pallas = VMEM-resident BCJR kernels "
                          "(kernels/bcjr_pallas.py, bit-identical to batch)")
+    ap.add_argument("--b-tile", type=int, default=128, dest="b_tile",
+                    help="pallas layout: lanes per kernel tile")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args(argv)
 
@@ -75,7 +77,7 @@ def main(argv=None):
         interp = jax.devices()[0].platform == "cpu"
         dec = jax.jit(lambda a, b, c: turbo_decode_pallas(
             tc, a, b, c, iters=args.iters,
-            b_tile=min(128, args.batch), interpret=interp))
+            b_tile=min(args.b_tile, args.batch), interpret=interp))
     else:
         dec = jax.jit(jax.vmap(
             lambda a, b, c: turbo_decode(tc, a, b, c, iters=args.iters)))

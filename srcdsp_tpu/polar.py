@@ -286,18 +286,30 @@ def polar_decode_list_onehot(code: PolarCode, llr: jax.Array,
         return jnp.einsum("op,ps->os", p, arr,
                           precision=jax.lax.Precision.HIGHEST)
 
+    def apply_p2(p, a, b):
+        """Two same-shape reorders fused into ONE einsum on the lane
+        concat (round-5: halves the einsum count at every internal node;
+        bit-identical — each output element is the same single-term
+        selection either way)."""
+        s = a.shape[-1]
+        both = jnp.concatenate([a.astype(F32), b.astype(F32)], axis=-1)
+        out = jnp.einsum("op,ps->os", p, both,
+                         precision=jax.lax.Precision.HIGHEST)
+        return out[:, :s], out[:, s:]
+
     def fork(lv, pm):
         """Data-bit fork + top-L survivor selection. lv: [L] leaf llr."""
         pen = jnp.abs(lv)
         follow = (lv < 0).astype(F32)
         pm_cand = jnp.concatenate([pm, pm + pen])              # [2L]
         s = _top_l_onehot(pm_cand, lsz)                        # [L, 2L]
-        pm2 = jnp.einsum("oi,i->o", s, pm_cand,
-                         precision=jax.lax.Precision.HIGHEST)
-        p_src = s[:, :lsz] + s[:, lsz:]                        # [L, L]
+        # pm and u selections fused into one [L,2L]@[2L,2] einsum
         u_cand = jnp.concatenate([follow, 1.0 - follow])
-        u_bit = jnp.einsum("oi,i->o", s, u_cand,
-                           precision=jax.lax.Precision.HIGHEST)
+        sel = jnp.einsum("oi,ic->oc",
+                         s, jnp.stack([pm_cand, u_cand], axis=-1),
+                         precision=jax.lax.Precision.HIGHEST)
+        pm2, u_bit = sel[:, 0], sel[:, 1]
+        p_src = s[:, :lsz] + s[:, lsz:]                        # [L, L]
         return (u_bit[:, None] > 0.5).astype(jnp.int32), pm2, p_src
 
     def leaf(l, pm, lo):
@@ -339,10 +351,12 @@ def polar_decode_list_onehot(code: PolarCode, llr: jax.Array,
         half = size // 2
         a, b = l[:, :half], l[:, half:]
         u_l, x_l, pm, p_l = dec(_f(a, b), pm, lo, half)
-        a2, b2 = apply_p(p_l, a), apply_p(p_l, b)
+        a2, b2 = apply_p2(p_l, a, b)
         u_r, x_r, pm, p_r = dec(_g(a2, b2, x_l.astype(F32)),
                                 pm, lo + half, half)
-        u_l2, x_l2 = apply_p(p_r, u_l), apply_p(p_r, x_l)
+        u_lf, x_lf = apply_p2(p_r, u_l, x_l)
+        u_l2 = u_lf.astype(jnp.int32)
+        x_l2 = x_lf.astype(jnp.int32)
         u = jnp.concatenate([u_l2, u_r], axis=-1)
         x = jnp.concatenate([jnp.bitwise_xor(x_l2, x_r), x_r], axis=-1)
         p = jnp.einsum("or,rp->op", p_r, p_l,
