@@ -27,6 +27,45 @@ os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
 TARGET_MS_PER_CHIP = 125.0  # Msamples/s/chip <- 1 Gs/s / 8 chips north star
 # 64M samples/call: the chain carries ~2-3 ms of fixed per-call overhead
 # through the tunnel (several dispatches per call), so throughput is
+def _make_preframed(n: int, bf16_io: bool = False):
+    """Producer-pre-framed variant (round 5): the host reader ships
+    [NT, span] frames (each row one output tile's full input window,
+    ~12.5% duplicated bytes at this shape) and the serving kernel is
+    PURE banded matmuls + phasor — zero in-kernel window ops. The
+    round-5 A/B (bench/ab_preframed.py) confirmed the window-copy
+    hypothesis on the fourth framing experiment: bf16 54.6 vs 33.1 Gs/s
+    fused (+65%, 84% of the 65 Gs/s HBM SOL), f32 24.0 vs 17.8 (+35%),
+    outputs bit-identical. Framing is ingest-side (numpy strided copy
+    at file read — io.capture convention), not device work."""
+    import jax
+    import jax.numpy as jnp
+    from srcdsp_tpu.kernels.mixfir_preframed import (
+        frame_planes, make_ctaps_preframed_kernel)
+    from srcdsp_tpu.ops.nco import freq_to_word
+    from srcdsp_tpu.ops.window import lowpass
+
+    t, m = 64, 2
+    taps = lowpass(t, 0.2)
+    word = int(freq_to_word(0.11))
+    dt = jnp.bfloat16 if bf16_io else jnp.float32
+    fn, hist, stride, span = make_ctaps_preframed_kernel(
+        taps, word, m, out_tile=512, b_rows=32,
+        precision=jax.lax.Precision.DEFAULT, in_dtype=dt)
+    blk = 32 * stride
+    n = (n // blk) * blk
+    word0 = (-hist * word) % (1 << 32)
+    rng = np.random.default_rng(0)
+    planes = rng.standard_normal((2, hist + n)).astype(np.float32)
+    # host-side framing (ingest-path work, outside the timed region —
+    # all variants prepare their device-resident input at build time)
+    fr = np.asarray(frame_planes(jnp.asarray(planes), stride, span))
+    xr_f = jax.device_put(jnp.asarray(fr[0], dt))
+    xi_f = jax.device_put(jnp.asarray(fr[1], dt))
+    w0 = jnp.asarray(np.asarray([[word0]], np.uint32).view(np.int32))
+    step = jax.jit(fn)
+    return step, (w0, xr_f, xi_f), n
+
+
 # dispatch-bound below ~32M samples/call (8M: 2614, 16M: 4289, 32M: 6211,
 # 64M: 7537 Ms/s f32 medians, 2026-08-17). 128M hit a >10 min remote
 # compile; 64M is the serving call size.
@@ -187,6 +226,12 @@ def main() -> None:
             step, args, n = _make_ctaps(N_SAMPLES, bf16_io=True)
             _force(step(*args))
             variants["pallas_ctaps_bf16io"] = (step, args, n)
+        except Exception:
+            pass
+        try:
+            step, args, n = _make_preframed(N_SAMPLES, bf16_io=True)
+            _force(step(*args))
+            variants["pallas_preframed_bf16io"] = (step, args, n)
         except Exception:
             pass
 

@@ -39,6 +39,77 @@ def _warp_clock(x, amp, period):
     return ((1 - f) * x[i0] + f * x[i0 + 1]).astype(np.complex64)
 
 
+def main_ffpsk(channels=8, blocks=8):
+    """Feedforward block-parallel tracker (chains/feedforward.py): the
+    open-loop serving-rate alternative to the per-symbol scans. Same
+    fixture class (sinusoidally warped clock + CFO), chip decisions
+    gated against the same graph on CPU, slope-timed aggregate rate."""
+    from srcdsp_tpu.chains.feedforward import ff_psk_demod_planes
+    from srcdsp_tpu.chains.psk import make_psk_params
+    from srcdsp_tpu.ops.fir import fir_full
+    from srcdsp_tpu.ops.resample import resample_full
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    order, sps, block_est = 4, 4, 128
+    n = blocks * (1 << 16)
+    params = make_psk_params(0.0, decim=1, sps=sps, order=order)
+    with jax.default_device(cpu):
+        rng = np.random.default_rng(0)
+        nsym = n // sps + 64
+        data = rng.integers(0, order, (channels, nsym))
+        sym = np.exp(2j * np.pi * (data + 0.5) / order)
+        shaped = np.asarray(jax.vmap(
+            lambda s: resample_full(params.taps, s, up=sps, down=1))(
+                jnp.asarray(sym.astype(np.complex64))))
+        x = np.stack([_warp_clock(shaped[c], 1.5, 2048.0)
+                      for c in range(channels)])
+        x = x * np.exp(2j * np.pi * 1e-4
+                       * np.arange(x.shape[-1]))[None, :]
+        y = np.asarray(jax.vmap(
+            lambda v: fir_full(params.taps, v, decim=1))(jnp.asarray(
+                x.astype(np.complex64))))
+    k = (y.shape[-1] // block_est) * block_est
+    yr = np.ascontiguousarray(y.real[:, :k]).astype(np.float32)
+    yi = np.ascontiguousarray(y.imag[:, :k]).astype(np.float32)
+
+    fn = jax.jit(lambda a, b: ff_psk_demod_planes(
+        a, b, sps, order, block=block_est)[0])
+    tpu = jax.devices()[0]
+    args_t = tuple(jax.device_put(jnp.asarray(v), tpu) for v in (yr, yi))
+    idx_t = np.asarray(fn(*args_t))
+    args_c = tuple(jax.device_put(jnp.asarray(v), cpu) for v in (yr, yi))
+    idx_c = np.asarray(fn(*args_c))
+    match = bool(np.array_equal(idx_t, idx_c))
+    # SER vs tx (resolve rotation + whole-symbol lag on one channel)
+    best = None
+    for lag in range(0, 24):
+        m = min(idx_t.shape[-1] - lag, nsym) - 16
+        for rot in range(order):
+            err = int(((idx_t[0, lag: lag + m] + rot) % order
+                       != data[0, :m]).sum())
+            if best is None or err < best[0]:
+                best = (err, m)
+    ser = best[0] / best[1]
+
+    def region(kc):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(kc):
+            out = fn(*args_t)
+        _force(out)
+        return time.perf_counter() - t0
+
+    from slope import calibrated_slope
+    t, _k = calibrated_slope(region, trials=5)
+    msps = channels * k / t / 1e6 if t else float("nan")
+    print(json.dumps({
+        "probe": "tracking_ffpsk_onchip", "channels": channels,
+        "samples_per_call": k, "decisions_match_cpu": match,
+        "ser_ch0": ser, "ms_per_call": round((t or 0) * 1e3, 3),
+        "aggregate_msamples_per_s": round(msps, 2),
+    }), flush=True)
+
+
 def main(which="fsk", channels=8, blocks=8):
     from srcdsp_tpu.chains.fsk import make_fsk_params
     from srcdsp_tpu.chains.psk import make_psk_params
@@ -138,4 +209,7 @@ if __name__ == "__main__":
     channels = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     blocks = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     print("backend:", jax.default_backend(), flush=True)
-    main(which, channels, blocks)
+    if which == "ffpsk":
+        main_ffpsk(channels, blocks)
+    else:
+        main(which, channels, blocks)
