@@ -6,31 +6,40 @@ lax.scan — correct under arbitrary dynamics but latency-bound by
 construction (8-35 Ms/s aggregate on-chip, three orders below the
 stationary-clock kernels). This module is the classic estimate-then-
 correct receiver instead: ALL blocks' parameters are estimated in
-parallel (one pass of big tensor ops), the per-sample timing/phase
+parallel (one pass of big tensor ops), the per-symbol timing/phase
 trajectories are interpolated, and the correction is applied as one
-batched fractional-delay gather + derotation:
+batched windowed select + derotation:
 
     matched-filtered planes [C, K]
       -> per-block O&M timing DFT          (reshape + two reductions)
-      -> unwrap tau across blocks          (tiny scan over NB blocks)
-      -> per-symbol tau by linear interp   (elementwise)
-      -> fractional symbol pick            (take_along_axis + lerp)
+      -> unwrap tau across blocks          (one triangular-matmul cumsum)
+      -> per-symbol tau by linear interp   (shifted copies, static
+                                            per-slot weights)
+      -> fractional symbol pick            (windowed one-hot + lerp)
       -> per-block V&V phase, unwrap, per-symbol interp, derotate
       -> slice
 
-Everything is a wide tensor op except two O(NB) unwrap scans (NB =
-K/block, typically 10^2) — the sequential depth collapses from K/sps
-symbol steps to NB block steps. The tradeoff is the standard open-loop
-one: the clock/phase must be quasi-static over one `block` (bandwidth
-~1/(2*block) vs the loop's ~loop-bw/symbol); for faster dynamics,
-shrink `block` (estimator noise grows) or fall back to the closed-loop
-tier. Gathers in the correction are fence-green on the chip
-(GATHER_FENCE_r05: take_along_axis green to 16384 lanes).
+GATHER-FREE BY DESIGN: the first cut used take_along_axis for the pick
+and the trajectory interps — measured ~17 ms per gather pair at
+[8, 512K] on the chip (lane-axis gathers at wide lanes are pathological;
+elementwise on the same shape is 0.43 ms). Every data-dependent access
+is now a bounded-window one-hot select (the timing trajectory is
+near-diagonal: each symbol's sample lies within a static window `w` of
+its nominal slot), and the prefix sums run as one upper-triangular
+matmul (cumsum is unimplemented on the axon backend anyway; a lax.scan
+over NB blocks costs ~10 us/step through this stack).
 
-Ambiguities: timing is estimated mod sps and unwrapped by nearest-wrap
-across blocks; phase mod 2*pi/order likewise. A residual CFO appears
-as a phase ramp the per-block V&V track absorbs (within the same
-quasi-static limit); coarse CFO removal belongs upstream (ops/afc.py).
+Sequential depth: zero scans — two matmul cumsums + wide tensor ops.
+
+Limits (the standard open-loop ones, documented not hidden):
+- clock/phase quasi-static over one `block` (estimator bandwidth
+  ~1/(2*block) vs the loop's per-symbol bandwidth);
+- total unwrapped timing EXCURSION within one call must fit the static
+  window: |tau - min(tau)| < w - sps samples (default w = 4*sps covers
+  ~3 symbol periods of drift; a net ppm offset over a long capture
+  needs the ragged closed-loop tier or a coarse resampler upstream);
+- phase is interpolated on the nominal symbol grid (the tau-shifted
+  evaluation differs by CFO*tau ~ 1e-3 rad at 100 ppm-class CFOs).
 """
 
 from __future__ import annotations
@@ -48,51 +57,69 @@ __all__ = ["ff_psk_demod_planes"]
 
 def _unwrap_blocks(vals: jax.Array, period: float) -> jax.Array:
     """[C, NB] wrapped block estimates -> unwrapped (nearest-wrap
-    continuation, cumulative via a tiny scan over the block axis)."""
+    continuation; prefix sum as ONE upper-triangular matmul — the
+    supported/fast form of cumsum on this backend)."""
     p = F32(period)
     d = vals[:, 1:] - vals[:, :-1]
     d = d - p * jnp.round(d / p)
+    nb1 = d.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb1, nb1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb1, nb1), 1)
+    tri = (rows <= cols).astype(F32)
+    cums = jnp.dot(d, tri, precision=jax.lax.Precision.HIGHEST)
+    return jnp.concatenate([vals[:, :1], vals[:, :1] + cums], axis=1)
 
-    def step(carry, dv):
-        carry = carry + dv
-        return carry, carry
 
-    _, cums = jax.lax.scan(step, jnp.zeros(vals.shape[0], F32), d.T)
-    return jnp.concatenate([vals[:, :1], vals[:, :1] + cums.T], axis=1)
+def _interp_to_slots(traj: jax.Array, spb: int) -> jax.Array:
+    """Per-block trajectory [C, NB] (values at block centers) -> per-
+    symbol values [C, NB*spb] by exact linear interpolation, GATHER-FREE:
+    symbol slot s of block b sits at fraction (s + 0.5)/spb of the block,
+    i.e. between centers (b-1, b) for the first half and (b, b+1) for
+    the second — +-1 shifted copies of the trajectory with STATIC
+    per-slot weights (edges clamped)."""
+    c, nb = traj.shape
+    prev = jnp.concatenate([traj[:, :1], traj[:, :-1]], axis=1)
+    nxt = jnp.concatenate([traj[:, 1:], traj[:, -1:]], axis=1)
+    # slot fraction relative to the block center, in block units
+    f = (np.arange(spb, dtype=np.float32) + 0.5) / spb - 0.5   # [-.5, .5)
+    w_prev = np.where(f < 0, -f, 0.0).astype(np.float32)
+    w_next = np.where(f > 0, f, 0.0).astype(np.float32)
+    w_cur = (1.0 - w_prev - w_next).astype(np.float32)
+    out = (prev[:, :, None] * jnp.asarray(w_prev)
+           + traj[:, :, None] * jnp.asarray(w_cur)
+           + nxt[:, :, None] * jnp.asarray(w_next))            # [C,NB,spb]
+    return out.reshape(c, nb * spb)
 
 
-def _interp_at(traj: jax.Array, centers_step: float, pos: jax.Array
-               ) -> jax.Array:
-    """Linearly interpolate per-block trajectory traj [C, NB] (samples at
-    block centers spaced `centers_step`, first at centers_step/2) at
-    positions pos [C, M] (samples), clamped at the ends."""
-    nb = traj.shape[1]
-    f = pos / F32(centers_step) - F32(0.5)
-    f = jnp.clip(f, 0.0, nb - 1.0)
-    i0 = jnp.floor(f)
-    frac = f - i0
-    i0 = i0.astype(jnp.int32)
-    i1 = jnp.minimum(i0 + 1, nb - 1)
-    lo = jnp.take_along_axis(traj, i0, axis=-1)
-    hi = jnp.take_along_axis(traj, i1, axis=-1)
-    return lo * (1.0 - frac) + hi * frac
+def _windows(y: jax.Array, sps: int, w: int) -> jax.Array:
+    """[C, K] -> [C, K/sps, w]: symbol slot k's window
+    y[k*sps : k*sps + w], gather-free (w/sps shifted reshapes)."""
+    c, k = y.shape
+    ns = k // sps
+    m = w // sps
+    ypad = jnp.concatenate([y, jnp.zeros((c, w), y.dtype)], axis=-1)
+    parts = [ypad[:, i * sps: i * sps + k].reshape(c, ns, sps)
+             for i in range(m)]
+    return jnp.concatenate(parts, axis=-1)
 
 
 def ff_psk_demod_planes(yr: jax.Array, yi: jax.Array, sps: int,
                         order: int, block: int = 512,
-                        offset: float = 0.0):
+                        offset: float = 0.0, window_syms: int = 4):
     """Open-loop tracked M-PSK demod of matched-filtered planes.
 
     yr/yi: [C, K] with K % block == 0, block % sps == 0. Returns
     (idx [C, K//sps] int32, (dr, di) derotated soft symbols,
     diag dict with tau/phi block trajectories). `offset` is the
-    constellation offset convention of chains.psk.
+    constellation offset convention of chains.psk; `window_syms` sets
+    the pick window w = window_syms*sps (see module-docstring limits).
     """
     c, k = yr.shape
     if k % block or block % sps:
         raise ValueError(f"K={k} % block={block} or block % sps={sps}")
     nb = k // block
     spb = block // sps                    # symbols per block
+    w = window_syms * sps
 
     # --- per-block O&M timing (all blocks at once)
     power = (yr * yr + yi * yi).reshape(c, nb, block)
@@ -104,21 +131,30 @@ def ff_psk_demod_planes(yr: jax.Array, yi: jax.Array, sps: int,
     tau_b = jnp.mod(-F32(sps / TWO_PI) * jnp.arctan2(ci, cr), F32(sps))
     tau_u = _unwrap_blocks(tau_b, float(sps))          # [C, NB]
 
-    # --- per-symbol timing: positions k*sps + tau interpolated there
-    ks = jnp.asarray((np.arange(k // sps) * sps).astype(np.float32))
-    pos0 = jnp.broadcast_to(ks[None, :], (c, k // sps))
-    tau_k = _interp_at(tau_u, float(block), pos0)
-    p = pos0 + tau_k
-    i0 = jnp.clip(jnp.floor(p), 0.0, k - 2.0).astype(jnp.int32)
-    frac = p - i0.astype(F32)
-    i1 = i0 + 1
+    # --- per-symbol tau on the nominal grid; rebase so the windowed
+    # pick sees tau' in [0, w-1). The shift must be a whole number of
+    # SYMBOL periods (shifting by arbitrary samples would move the pick
+    # off the symbol instants): base = sps * floor(min/sps) relabels
+    # symbols by an integer count and nothing else.
+    base = F32(sps) * jnp.floor(
+        jnp.min(tau_u, axis=-1, keepdims=True) / F32(sps))     # [C, 1]
+    tau_k = _interp_to_slots(tau_u, spb) - base        # [C, NS]
+    j = jnp.clip(jnp.floor(tau_k), 0.0, w - 2.0)
+    frac = jnp.clip(tau_k - j, 0.0, 1.0)
+    ji = j.astype(jnp.int32)
 
-    def lerp(y):
-        lo = jnp.take_along_axis(y, i0, axis=-1)
-        hi = jnp.take_along_axis(y, i1, axis=-1)
+    wr = _windows(yr, sps, w)
+    wi = _windows(yi, sps, w)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
+    oh0 = (lane == ji[:, :, None]).astype(F32)
+    oh1 = (lane == (ji + 1)[:, :, None]).astype(F32)
+
+    def pick(wv):
+        lo = jnp.sum(wv * oh0, axis=-1)
+        hi = jnp.sum(wv * oh1, axis=-1)
         return lo * (1.0 - frac) + hi * frac
 
-    sr, si = lerp(yr), lerp(yi)                        # [C, K/sps]
+    sr, si = pick(wr), pick(wi)                        # [C, K/sps]
 
     # --- per-block V&V carrier phase on normalized symbols
     sb_r = sr.reshape(c, nb, spb)
@@ -143,8 +179,8 @@ def ff_psk_demod_planes(yr: jax.Array, yi: jax.Array, sps: int,
     phi_b = jnp.arctan2(vi, vr) / order                # [C, NB]
     phi_u = _unwrap_blocks(phi_b, float(TWO_PI / order))
 
-    # --- per-symbol phase and derotation
-    phi_k = _interp_at(phi_u, float(block), p)
+    # --- per-symbol phase (nominal grid) and derotation
+    phi_k = _interp_to_slots(phi_u, spb)
     cp, sp_ = jnp.cos(phi_k), jnp.sin(phi_k)
     dr = sr * cp + si * sp_                            # s * e^{-j phi}
     di = si * cp - sr * sp_
