@@ -33,4 +33,14 @@ log=bench/hw_refresh_${ts}.log
   echo "== tracking loops on-chip (round 4) =="
   timeout 1800 python bench/tracking_onchip.py fsk 8 4
   timeout 1800 python bench/tracking_onchip.py psk 8 4
+  echo "== round 5: coherent coded modem e2e =="
+  timeout 2400 python bench/modem_onchip.py
+  timeout 2400 python bench/modem_onchip.py --order 64 --snr-db 19
+  echo "== round 5: Pallas BCJR turbo (b_tile sweet spot) =="
+  timeout 2400 python bench/turbo_onchip.py --layout pallas --batch 2048 --b-tile 1024
+  echo "== round 5: pre-framed serving A/Bs (config-1 + config-4) =="
+  timeout 2400 python bench/ab_preframed.py 25 --bf16
+  timeout 2400 python bench/ab_fsk_preframed.py 22 10
+  echo "== round 5: feedforward block-parallel tracker =="
+  timeout 1800 python bench/tracking_onchip.py ffpsk 8 8
 } 2>&1 | tee "$log"
