@@ -52,7 +52,7 @@ import jax.numpy as jnp
 from srcdsp_tpu.ops.nco import TWO_PI
 from srcdsp_tpu.types import F32
 
-__all__ = ["ff_psk_demod_planes"]
+__all__ = ["ff_psk_demod_planes", "ff_fsk_demod_planes"]
 
 
 def _unwrap_blocks(vals: jax.Array, period: float) -> jax.Array:
@@ -101,6 +101,54 @@ def _windows(y: jax.Array, sps: int, w: int) -> jax.Array:
     parts = [ypad[:, i * sps: i * sps + k].reshape(c, ns, sps)
              for i in range(m)]
     return jnp.concatenate(parts, axis=-1)
+
+
+def ff_fsk_demod_planes(d: jax.Array, sps: int, block: int = 512,
+                        window_syms: int = 4):
+    """Open-loop tracked binary-FSK slicer on discriminator planes.
+
+    The noncoherent sibling of ff_psk_demod_planes: the timing metric is
+    the squared discriminator (the O&M tone survives the square for
+    square-pulse FSK; for smooth CPM use longer blocks — the
+    timing_forget caveat in the verify skill applies here as block
+    choice), there is no carrier stage, and the decision is the sign.
+
+    d: [C, K] discriminator output (cycles/sample, e.g. the fsk_fused /
+    fsk_ctaps kernel's d planes or chains/fsk's soft stream BEFORE the
+    symbol pick). Returns (bits [C, K//sps] int32, soft [C, K//sps],
+    diag). Same gather-free machinery and open-loop limits as the PSK
+    form."""
+    c, k = d.shape
+    if k % block or block % sps:
+        raise ValueError(f"K={k} % block={block} or block % sps={sps}")
+    nb = k // block
+    spb = block // sps
+    w = window_syms * sps
+
+    met = (d * d).reshape(c, nb, block)
+    n = np.arange(block)
+    tc = jnp.asarray(np.cos(TWO_PI * (n % sps) / sps).astype(np.float32))
+    ts = jnp.asarray((-np.sin(TWO_PI * (n % sps) / sps)).astype(np.float32))
+    cr = jnp.sum(met * tc, axis=-1)
+    ci = jnp.sum(met * ts, axis=-1)
+    tau_b = jnp.mod(-F32(sps / TWO_PI) * jnp.arctan2(ci, cr), F32(sps))
+    tau_u = _unwrap_blocks(tau_b, float(sps))
+
+    base = F32(sps) * jnp.floor(
+        jnp.min(tau_u, axis=-1, keepdims=True) / F32(sps))
+    tau_k = _interp_to_slots(tau_u, spb) - base
+    j = jnp.clip(jnp.floor(tau_k), 0.0, w - 2.0)
+    frac = jnp.clip(tau_k - j, 0.0, 1.0)
+    ji = j.astype(jnp.int32)
+    wd = _windows(d, sps, w)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
+    oh0 = (lane == ji[:, :, None]).astype(F32)
+    oh1 = (lane == (ji + 1)[:, :, None]).astype(F32)
+    lo = jnp.sum(wd * oh0, axis=-1)
+    hi = jnp.sum(wd * oh1, axis=-1)
+    soft = lo * (1.0 - frac) + hi * frac
+    bits = (soft > 0).astype(jnp.int32)
+    return bits, soft, {"tau_blocks": tau_u}
 
 
 def ff_psk_demod_planes(yr: jax.Array, yi: jax.Array, sps: int,

@@ -70,3 +70,46 @@ def test_ff_psk_tracks_warped_clock():
     tau = np.asarray(diag["tau_blocks"])
     assert np.ptp(tau, axis=-1).min() > 2.0, \
         "tau trajectory did not follow the warp"
+
+
+def test_ff_fsk_tracks_warped_clock():
+    """Noncoherent twin: binary FSK discriminator planes with a warped
+    clock -> BER 0 through the open-loop slicer."""
+    from srcdsp_tpu.chains.feedforward import ff_fsk_demod_planes
+    from srcdsp_tpu.ops.fir import fir_full
+    from srcdsp_tpu.testing.signals import fsk_baseband
+
+    c, sps, dev = 2, 8, 0.04
+    rng = np.random.default_rng(9)
+    nsym = 4096 + 32
+    bits = rng.integers(0, 2, (c, nsym))
+    bb = np.asarray(fsk_baseband(jnp.asarray(bits), sps, dev))
+    x = np.stack([_warp_clock(bb[ch], 1.5, 2048.0) for ch in range(c)])
+    x = (x + 0.03 * (rng.standard_normal(x.shape)
+                     + 1j * rng.standard_normal(x.shape))
+         ).astype(np.complex64)
+    # discriminator on filtered planes (the chain's order of operations)
+    taps = jnp.asarray(np.ones(4, np.float32) / 4.0)  # short smoothing
+    y = np.asarray(jax.vmap(
+        lambda v: fir_full(taps, v, decim=1))(jnp.asarray(x)))
+    z = y[:, 1:] * np.conj(y[:, :-1])
+    d = (np.angle(z) / (2 * np.pi)).astype(np.float32)
+    k = (d.shape[-1] // 256) * 256
+    got, soft, diag = jax.jit(
+        lambda v: ff_fsk_demod_planes(v, sps, block=256))(
+        jnp.asarray(d[:, :k]))
+    got = np.asarray(got)
+    nsym_out = got.shape[-1]
+    total_err, total_cnt = 0, 0
+    for ch in range(c):
+        best = None
+        for lag in range(0, 12):
+            m = min(nsym_out - lag, nsym) - 8
+            err = int((got[ch, lag: lag + m] != bits[ch, :m]).sum())
+            if best is None or err < best[0]:
+                best = (err, m)
+        total_err += best[0]
+        total_cnt += best[1]
+    assert total_err / total_cnt == 0.0
+    tau = np.asarray(diag["tau_blocks"])
+    assert np.ptp(tau, axis=-1).min() > 2.0
