@@ -265,7 +265,8 @@ def run_config4_onchip(iters: int = 10, channels: int = 10,
 
 def run_config2_onchip(iters: int = 10, n: int = 1 << 25,
                        fused: bool = True, channels: int = 1,
-                       hist_round: int = 128, bf16: bool = False) -> dict:
+                       hist_round: int = 128, bf16: bool = False,
+                       preframed: bool = False) -> dict:
     """Config 2 on-chip. fused=True folds the whole chain (NCO mix +
     128-tap FIR + 3/4 resample) into ONE stride-L Toeplitz kernel via
     combined taps hc = h_resample conv up_3(h_fir) — one pallas_call, one
@@ -300,6 +301,49 @@ def run_config2_onchip(iters: int = 10, n: int = 1 << 25,
 
     word = int(freq_to_word(0.07))
     rng = np.random.default_rng(0)
+
+    if preframed:
+        # round-5 transfer #3 of the window-copy result: producer ships
+        # [NT, span] frames, kernel is pure stride-L banded matmuls + a
+        # per-ROW phasor (kernels/resample_preframed.py). Interleaved
+        # slope A/B (bench/ab_resample_preframed.py, 2026-08-20):
+        # bf16 43.4 Gs/s @out_tile=2304 (3.69x the fused leg same-run,
+        # 3.2x the round-4 13.7 Gs/s serving record, dup 8.3%);
+        # f32-HIGHEST 7.83 @1152 (+48%; 1536+ exceeds the 16M VMEM
+        # scoped limit at f32 band width). SNR 47.9 dB (bf16) / 132.9 dB
+        # (f32) vs the fused leg on the same stream.
+        from srcdsp_tpu.kernels.mixfir_preframed import frame_planes
+        from srcdsp_tpu.kernels.resample_preframed import (
+            make_resample_preframed_kernel)
+        hc = combine_fir_resample_taps(lowpass(128, 0.2), lowpass(48, 0.3),
+                                       up=3)
+        ot = 2304 if bf16 else 1152
+        prec2 = (jax.lax.Precision.DEFAULT if bf16
+                 else jax.lax.Precision.HIGHEST)
+        dt = jnp.bfloat16 if bf16 else jnp.float32
+        fn, hist, stride, span = make_resample_preframed_kernel(
+            hc, word, up=3, down=4, out_tile=ot, b_rows=32,
+            block_cols=192, precision=prec2, in_dtype=dt)
+        blk = 32 * stride
+        n = (n // blk) * blk
+        word0 = (-hist * word) % (1 << 32)
+        planes = jnp.asarray(
+            rng.standard_normal((2, hist + n)).astype(np.float32))
+        frames = jax.block_until_ready(jax.jit(
+            lambda p: frame_planes(p, stride, span).astype(dt))(planes))
+        w0 = jnp.asarray(np.asarray([[word0]], np.uint32).view(np.int32))
+        f = jax.jit(fn)
+        args = (w0, frames[0], frames[1])
+        best, _rng2 = _time_median(f, args, iters)
+        return {
+            "config": "config2_onchip",
+            "platform": jax.default_backend(),
+            "impl": ("preframed_ctaps_bf16" if bf16
+                     else "preframed_ctaps"),
+            "channels": 1,
+            "msamples_per_s": round(n / best / 1e6, 1),
+            "ms_per_iter": round(best * 1e3, 3),
+        }
 
     if fused and channels > 1:
         hc = combine_fir_resample_taps(lowpass(128, 0.2), lowpass(48, 0.3),
@@ -662,6 +706,7 @@ def main(argv=None) -> None:
     p.add_argument("config", choices=["config1", "config2", "config3",
                                       "config4", "config4_onchip", "config5",
                                       "config2_onchip", "config2_onchip_bf16",
+                                      "config2_onchip_preframed",
                                       "config3_onchip",
                                       "config5_onchip", "fft", "accuracy",
                                       "soak", "all"])
@@ -692,6 +737,9 @@ def main(argv=None) -> None:
                 rec = run_config2_onchip(iters=args.iters)
             elif name == "config2_onchip_bf16":
                 rec = run_config2_onchip(iters=args.iters, bf16=True)
+            elif name == "config2_onchip_preframed":
+                rec = run_config2_onchip(iters=args.iters, bf16=True,
+                                         preframed=True)
             elif name == "config3_onchip":
                 rec = run_config3_onchip(iters=args.iters)
             elif name == "config4_onchip":
