@@ -110,6 +110,87 @@ def main_ffpsk(channels=8, blocks=8):
     }), flush=True)
 
 
+def main_ffragged(channels=8, blocks=8):
+    """Ragged feedforward tracker under a SUSTAINED 3000-ppm clock (the
+    closed-loop skip/stuff tier's gate class, unbounded net drift): chip
+    decisions AND validity mask gated against the same graph on CPU,
+    compacted SER reported, slope-timed aggregate rate."""
+    from srcdsp_tpu.chains.feedforward import ff_psk_demod_ragged
+    from srcdsp_tpu.chains.psk import make_psk_params
+    from srcdsp_tpu.chains.tracking import compact_ragged
+    from srcdsp_tpu.ops.fir import fir_full
+    from srcdsp_tpu.ops.resample import resample_full
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    order, sps, block_est, rho = 4, 4, 128, 3e-3
+    n = blocks * (1 << 16)
+    params = make_psk_params(0.0, decim=1, sps=sps, order=order)
+    with jax.default_device(cpu):
+        rng = np.random.default_rng(0)
+        nsym = int(n * (1 + rho)) // sps + 64
+        data = rng.integers(0, order, (channels, nsym))
+        sym = np.exp(2j * np.pi * (data + 0.5) / order)
+        shaped = np.asarray(jax.vmap(
+            lambda s: resample_full(params.taps, s, up=sps, down=1))(
+                jnp.asarray(sym.astype(np.complex64))))
+
+        def sustained(v):
+            nmax = int((len(v) - 2) / (1 + rho))
+            t = np.arange(nmax, dtype=np.float64) * (1 + rho)
+            i0 = np.floor(t).astype(np.int64)
+            f = t - i0
+            return ((1 - f) * v[i0] + f * v[i0 + 1]).astype(np.complex64)
+
+        x = np.stack([sustained(shaped[c]) for c in range(channels)])
+        y = np.asarray(jax.vmap(
+            lambda v: fir_full(params.taps, v, decim=1))(jnp.asarray(
+                x.astype(np.complex64))))
+    k = (y.shape[-1] // block_est) * block_est
+    yr = np.ascontiguousarray(y.real[:, :k]).astype(np.float32)
+    yi = np.ascontiguousarray(y.imag[:, :k]).astype(np.float32)
+
+    fn = jax.jit(lambda a, b: ff_psk_demod_ragged(
+        a, b, sps, order, block=block_est)[:3:2])  # (idx, valid)
+    tpu = jax.devices()[0]
+    args_t = tuple(jax.device_put(jnp.asarray(v), tpu) for v in (yr, yi))
+    idx_t, val_t = (np.asarray(v) for v in fn(*args_t))
+    args_c = tuple(jax.device_put(jnp.asarray(v), cpu) for v in (yr, yi))
+    idx_c, val_c = (np.asarray(v) for v in fn(*args_c))
+    match = bool(np.array_equal(idx_t, idx_c)
+                 and np.array_equal(val_t, val_c))
+    got = compact_ragged(idx_t[0], val_t[0])
+    ragged_follows_clock = bool(got.size > k // sps + 10)
+    best = None
+    for lag in range(0, 24):
+        m = min(got.size - lag, nsym) - 16
+        for rot in range(order):
+            err = int(((got[lag: lag + m] + rot) % order
+                       != data[0, :m]).sum())
+            if best is None or err < best[0]:
+                best = (err, m)
+    ser = best[0] / best[1]
+
+    def region(kc):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(kc):
+            out = fn(*args_t)
+        _force(out)
+        return time.perf_counter() - t0
+
+    from slope import calibrated_slope
+    t, _k = calibrated_slope(region, trials=5)
+    msps = channels * k / t / 1e6 if t else float("nan")
+    print(json.dumps({
+        "probe": "tracking_ffpsk_ragged_onchip", "channels": channels,
+        "samples_per_call": k, "rho_ppm": rho * 1e6,
+        "decisions_match_cpu": match,
+        "ragged_count_follows_clock": ragged_follows_clock,
+        "ser_ch0": ser, "ms_per_call": round((t or 0) * 1e3, 3),
+        "aggregate_msamples_per_s": round(msps, 2),
+    }), flush=True)
+
+
 def main(which="fsk", channels=8, blocks=8):
     from srcdsp_tpu.chains.fsk import make_fsk_params
     from srcdsp_tpu.chains.psk import make_psk_params
@@ -211,5 +292,7 @@ if __name__ == "__main__":
     print("backend:", jax.default_backend(), flush=True)
     if which == "ffpsk":
         main_ffpsk(channels, blocks)
+    elif which == "ffragged":
+        main_ffragged(channels, blocks)
     else:
         main(which, channels, blocks)
