@@ -1,0 +1,146 @@
+"""GPS C/A code generation + acquisition (beyond parity — builds on the
+Gold-code machinery of chains/dsss.py X47; SURVEY.md C7/X15 class).
+
+The C/A coarse-acquisition problem is a 2-D search (code phase x
+Doppler) that maps perfectly onto the MXU: every Doppler hypothesis is
+a derotation of the same millisecond blocks, and ALL code phases at
+once are one matmul against the sampled-code all-shifts matrix (the
+dsss_acquire trick at N = 1023*sps). Noncoherent accumulation over
+milliseconds makes the metric immune to the 50-bps nav-data sign flips;
+fine Doppler comes from the phase slope of the per-ms coherent
+correlators (squared first, so bit flips cancel), fine code phase from
+parabolic interpolation of the metric peak.
+
+Code generator: the published C/A construction — G1 = x^10 + x^3 + 1
+(output tap 10), G2 = x^10 + x^9 + x^8 + x^6 + x^3 + x^2 + 1 with the
+per-PRN two-tap phase selector; chips in {+1, -1}, period 1023. The
+generator is an independent bit-loop twin of the gf2/dsss LFSR
+machinery (deliberately NOT built on pn_msequence, so the family
+property test cross-checks two implementations).
+
+Analysis tier (host/standard backend, like blindscan and ops.cyclo):
+acquisition is a capture-analysis stage, not the 30 Gs/s serving path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ca_code", "sample_ca", "GpsAcq", "make_gps_acq",
+           "acquire_ca", "fine_acquire"]
+
+# Per-PRN G2 phase-select taps (1-based), PRN 1..32 — the published
+# C/A assignment table.
+_G2_TAPS = {
+    1: (2, 6), 2: (3, 7), 3: (4, 8), 4: (5, 9), 5: (1, 9), 6: (2, 10),
+    7: (1, 8), 8: (2, 9), 9: (3, 10), 10: (2, 3), 11: (3, 4),
+    12: (5, 6), 13: (6, 7), 14: (7, 8), 15: (8, 9), 16: (9, 10),
+    17: (1, 4), 18: (2, 5), 19: (3, 6), 20: (4, 7), 21: (5, 8),
+    22: (6, 9), 23: (1, 3), 24: (4, 6), 25: (5, 7), 26: (6, 8),
+    27: (7, 9), 28: (8, 10), 29: (1, 6), 30: (2, 7), 31: (3, 8),
+    32: (4, 9),
+}
+
+
+def ca_code(prn: int) -> np.ndarray:
+    """C/A code for PRN 1..32: [1023] chips in {+1.0, -1.0}
+    (bit 0 -> +1, bit 1 -> -1, the dsss sign convention)."""
+    if prn not in _G2_TAPS:
+        raise ValueError(f"PRN must be 1..32, got {prn}")
+    t1, t2 = _G2_TAPS[prn]
+    g1 = [1] * 10
+    g2 = [1] * 10
+    out = []
+    for _ in range(1023):
+        out.append(g1[9] ^ (g2[t1 - 1] ^ g2[t2 - 1]))
+        f1 = g1[2] ^ g1[9]                        # x^10 + x^3 + 1
+        f2 = (g2[1] ^ g2[2] ^ g2[5] ^ g2[7]       # x^10+x^9+x^8+x^6
+              ^ g2[8] ^ g2[9])                    # +x^3+x^2+1
+        g1 = [f1] + g1[:9]
+        g2 = [f2] + g2[:9]
+    return (1.0 - 2.0 * np.asarray(out, np.float32)).astype(np.float32)
+
+
+def sample_ca(code: np.ndarray, sps: int) -> np.ndarray:
+    """[1023] chips -> [1023*sps] sample-rate replica (integer samples
+    per chip; rectangular chip pulse)."""
+    return np.repeat(np.asarray(code, np.float32), sps)
+
+
+class GpsAcq(NamedTuple):
+    shifts_t: jax.Array     # [N, N] column p = replica delayed p samples
+    n: int                  # 1023 * sps
+    sps: int
+    prn: int
+
+
+def make_gps_acq(prn: int, sps: int = 2) -> GpsAcq:
+    """Build the all-shifts acquisition operator for one PRN.
+
+    Column p of shifts_t is the sampled replica delayed by p samples, so
+    (x_block @ shifts_t)[p] is the coherent correlation against a signal
+    whose code period starts p samples into the block."""
+    cs = sample_ca(ca_code(prn), sps)
+    n = cs.size
+    sh = np.stack([np.roll(cs, p) for p in range(n)], axis=1)
+    return GpsAcq(shifts_t=jnp.asarray(sh), n=n, sps=sps, prn=prn)
+
+
+def acquire_ca(acq: GpsAcq, x: jax.Array, dopplers) -> dict:
+    """2-D C/A search: noncoherent-over-ms, all code phases per matmul.
+
+    x: [NB*N] complex baseband (NB whole code periods; NB >= 2
+    recommended). dopplers: array of normalized frequencies
+    (cycles/sample) to test. Returns dict with:
+      metric   [D, N] noncoherent power sums,
+      peak     (d_idx, p_idx), ratio peak/median (detection statistic),
+      corr     [NB] complex per-ms correlators at the peak cell (feed to
+               fine_acquire).
+    """
+    n = acq.n
+    nb = x.shape[-1] // n
+    xb = x[: nb * n].reshape(nb, n)
+    dop = jnp.asarray(np.asarray(dopplers, np.float32))
+    t = jnp.arange(n, dtype=jnp.float32)
+    # block-coherent phase must be continuous across blocks: e^{-j2pi f
+    # (b*N + t)} factors into a per-block constant that |.|^2 kills, so
+    # the in-block ramp alone is exact for the noncoherent metric
+    rot = jnp.exp(-2j * jnp.pi * dop[:, None] * t[None, :])
+    z = (xb[None, :, :] * rot[:, None, :].astype(jnp.complex64)
+         ) @ acq.shifts_t.astype(jnp.complex64)          # [D, NB, N]
+    metric = jnp.sum(jnp.abs(z) ** 2, axis=1)            # [D, N]
+    flat = jnp.argmax(metric)
+    d_idx = flat // n
+    p_idx = flat % n
+    ratio = metric[d_idx, p_idx] / jnp.median(metric)
+    return {"metric": metric, "d_idx": d_idx, "p_idx": p_idx,
+            "ratio": ratio, "corr": z[d_idx, :, p_idx],
+            "doppler": dop[d_idx]}
+
+
+def fine_acquire(acq: GpsAcq, res: dict) -> dict:
+    """Refine the coarse cell: sub-sample code phase by parabolic
+    interpolation of the metric row, fine Doppler from the per-ms
+    correlator phase slope (products squared first, so 50-bps nav-bit
+    sign flips between milliseconds cancel; the /2 halves the angle
+    back — unambiguous within +-1/(4N) cycles/sample, i.e. half the
+    coarse bin for the standard 500 Hz grid)."""
+    n = acq.n
+    m = res["metric"][res["d_idx"]]
+    p = res["p_idx"]
+    ym = m[(p - 1) % n]
+    y0 = m[p]
+    yp = m[(p + 1) % n]
+    denom = ym - 2 * y0 + yp
+    frac = jnp.where(jnp.abs(denom) > 1e-20,
+                     0.5 * (ym - yp) / denom, 0.0)
+    z = res["corr"]
+    prod = (z[1:] * jnp.conj(z[:-1])) ** 2
+    dfine = jnp.angle(jnp.sum(prod)) / (2 * 2 * jnp.pi * n)
+    return {"code_phase": (res["p_idx"].astype(jnp.float32) + frac),
+            "doppler": res["doppler"] + dfine}

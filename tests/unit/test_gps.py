@@ -1,0 +1,85 @@
+"""GPS C/A codes + acquisition (chains/gps.py): published-value and
+Gold-property checks on the generator (an independent bit-loop twin of
+the dsss LFSR machinery), then a full 2-D acquisition on a synthetic
+buried capture with off-grid Doppler and a nav-bit sign flip."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from srcdsp_tpu.chains.gps import (acquire_ca, ca_code, fine_acquire,
+                                   make_gps_acq, sample_ca)
+
+
+def _bits(chips):
+    return ((1.0 - chips) / 2.0).astype(int)
+
+
+def test_ca_code_published_values_and_balance():
+    # first 10 chips, published octal: PRN1 1440, PRN2 1620, PRN3 1710,
+    # PRN4 1744
+    expect = {1: "1100100000", 2: "1110010000",
+              3: "1111001000", 4: "1111100100"}
+    for prn, bits in expect.items():
+        c = ca_code(prn)
+        assert c.shape == (1023,)
+        assert set(np.unique(c)) <= {-1.0, 1.0}
+        got = "".join(str(b) for b in _bits(c[:10]))
+        assert got == bits, (prn, got)
+    # every C/A code is balanced: 512 ones -> chip sum = -1
+    for prn in range(1, 33):
+        assert ca_code(prn).sum() == -1.0, prn
+
+
+def test_ca_codes_are_gold_three_valued():
+    # autocorrelation: peak 1023, off-peak in {-65, -1, 63};
+    # cross-correlation (all shifts): only {-65, -1, 63}
+    allowed = {-65.0, -1.0, 63.0}
+    c7 = ca_code(7)
+    f = np.fft.fft(c7)
+    ac = np.round(np.real(np.fft.ifft(f * np.conj(f))))
+    assert ac[0] == 1023
+    assert set(np.unique(ac[1:])) <= allowed
+    for other in (1, 13, 29):
+        co = ca_code(other)
+        cc = np.round(np.real(np.fft.ifft(
+            np.fft.fft(c7) * np.conj(np.fft.fft(co)))))
+        assert set(np.unique(cc)) <= allowed, other
+    # distinct codes
+    assert not np.array_equal(ca_code(5), ca_code(6))
+
+
+def test_ca_acquisition_finds_buried_signal():
+    prn, sps, nb = 7, 2, 8
+    acq = make_gps_acq(prn, sps=sps)
+    n = acq.n
+    true_p = 777
+    true_f = 3.3 / (2 * n)              # off-grid (grid is k/(2N))
+    rng = np.random.default_rng(3)
+
+    base = np.roll(sample_ca(ca_code(prn), sps), true_p)
+    signs = np.ones(nb)
+    signs[4:] = -1.0                    # one nav-bit flip mid-capture
+    chips = np.concatenate([s * base for s in signs])
+    t = np.arange(nb * n)
+    x = chips * np.exp(2j * np.pi * true_f * t)
+    # chip SNR -20 dB: signal power 1, complex noise power 100
+    x = x + (rng.standard_normal(x.shape)
+             + 1j * rng.standard_normal(x.shape)) * np.sqrt(50.0)
+    x = jnp.asarray(x.astype(np.complex64))
+
+    dop = np.arange(-10, 11) / (2.0 * n)
+    res = jax.jit(lambda v: acquire_ca(acq, v, dop))(x)
+    assert int(res["p_idx"]) == true_p
+    assert abs(float(res["doppler"]) - true_f) <= 0.5 / (2 * n)
+    assert float(res["ratio"]) > 10.0
+
+    fine = fine_acquire(acq, res)
+    assert abs(float(fine["code_phase"]) - true_p) < 0.5
+    assert abs(float(fine["doppler"]) - true_f) < 0.3 / (2 * n)
+
+    # an absent PRN on the same capture stays below threshold
+    acq20 = make_gps_acq(20, sps=sps)
+    res20 = jax.jit(lambda v: acquire_ca(acq20, v, dop))(x)
+    assert float(res20["ratio"]) < 5.0
