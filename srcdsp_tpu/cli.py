@@ -20,6 +20,8 @@ through a demod chain and write the result. Equivalent here:
     python -m srcdsp_tpu.cli scf  in.iq lines.jsonl [--conj]
     python -m srcdsp_tpu.cli adsb es.iq frames.jsonl --sps-half 1
     python -m srcdsp_tpu.cli ais  vhf.iq msgs.jsonl --decim 2 --sps 4
+    python -m srcdsp_tpu.cli rds  fm.iq groups.jsonl --sps-half 96 --pilot 0.0833
+    python -m srcdsp_tpu.cli gps  l1.iq acq.jsonl --sps 2 [--prn 7]
 
 Streams in fixed blocks with carried state (bit-exact vs one-shot), writes
 output incrementally per block, checkpoints every --ckpt-every blocks, and
@@ -546,13 +548,82 @@ def _ais(args) -> None:
     print(f"decoded {len(frames)} FCS-clean AIS frames", file=sys.stderr)
 
 
+def _rds(args) -> None:
+    """RDS driver: FM IQ capture (or raw f32 MPX with --mpx) -> pilot-
+    cubed coherent 57 kHz demod -> block-code group decode -> JSON
+    lines, one per syndrome-clean group."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from srcdsp_tpu.chains.fsk import discriminate
+    from srcdsp_tpu.chains.rds import rds_demod_mpx, rds_sync_decode
+    from srcdsp_tpu.io.capture import read_capture
+
+    if args.mpx:
+        mpx = np.fromfile(args.infile, np.float32)
+    else:
+        x, _meta = read_capture(args.infile)
+        last = jnp.zeros((1,), jnp.complex64)
+        _, d = jax.jit(discriminate)(
+            last, jnp.asarray(np.asarray(x).astype(np.complex64)))
+        mpx = np.asarray(d) / args.dev
+    bits = rds_demod_mpx(jnp.asarray(mpx.astype(np.float32)),
+                         args.pilot, args.sps_half)
+    groups = rds_sync_decode(bits)
+    out = open(args.outfile, "w") if args.outfile != "-" else sys.stdout
+    for g in groups:
+        out.write(json.dumps({
+            "start_bit": g["start"], "version": g["version"],
+            "corrected": g["corrected"],
+            "words": [f"{w:04x}" for w in g["words"]]}) + "\n")
+    if out is not sys.stdout:
+        out.close()
+    print(f"decoded {len(groups)} RDS groups", file=sys.stderr)
+
+
+def _gps(args) -> None:
+    """GPS C/A driver: IQ capture -> 2-D acquisition per PRN -> JSON
+    lines for PRNs whose peak/median ratio clears --gps-thresh."""
+    import json
+
+    import jax.numpy as jnp
+
+    from srcdsp_tpu.chains.gps import acquire_ca, fine_acquire, make_gps_acq
+    from srcdsp_tpu.io.capture import read_capture
+
+    x, _meta = read_capture(args.infile)
+    x = np.asarray(x).astype(np.complex64)
+    prns = ([int(args.prn)] if args.prn != "all"
+            else list(range(1, 33)))
+    out = open(args.outfile, "w") if args.outfile != "-" else sys.stdout
+    found = 0
+    for prn in prns:
+        acq = make_gps_acq(prn, sps=args.sps)
+        dop = np.arange(-args.doppler_bins, args.doppler_bins + 1) \
+            / (2.0 * acq.n)
+        res = acquire_ca(acq, jnp.asarray(x), dop)
+        if float(res["ratio"]) < args.gps_thresh:
+            continue
+        fine = fine_acquire(acq, res)
+        out.write(json.dumps({
+            "prn": prn, "ratio": round(float(res["ratio"]), 2),
+            "code_phase_samples": round(float(fine["code_phase"]), 2),
+            "doppler_cps": float(fine["doppler"])}) + "\n")
+        found += 1
+    if out is not sys.stdout:
+        out.close()
+    print(f"acquired {found} PRNs", file=sys.stderr)
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="srcdsp_tpu.cli", description=__doc__)
     p.add_argument("chain", choices=["fsk", "psk", "dqpsk", "qam", "fir",
                                      "fm", "am", "channelize", "mod",
                                      "scan", "mux", "resample", "gen",
                                      "fecenc", "fecdec", "scf", "adsb",
-                                     "ais"])
+                                     "ais", "rds", "gps"])
     p.add_argument("infile")
     p.add_argument("outfile", nargs="?", default=None,
                    help="output path (optional for `gen`, whose single "
@@ -627,6 +698,16 @@ def main(argv=None) -> None:
                    help="adsb: preamble score threshold")
     p.add_argument("--scan-nfft", type=int, default=4096,
                    help="scan: Welch PSD size")
+    p.add_argument("--mpx", action="store_true",
+                   help="rds: input is raw f32 MPX, not FM IQ "
+                        "(--pilot gives the pilot freq in cycles/sample "
+                        "at the capture rate, shared with fm --stereo)")
+    p.add_argument("--prn", default="all",
+                   help="gps: PRN 1..32 or 'all'")
+    p.add_argument("--doppler-bins", type=int, default=10,
+                   help="gps: search +-K half-bins of 1/(2N) cyc/sample")
+    p.add_argument("--gps-thresh", type=float, default=6.0,
+                   help="gps: peak/median detection ratio")
     p.add_argument("--timing-forget", type=float, default=0.5,
                    help="O&M timing accumulator memory (fsk): ~0.95 for "
                         "smooth CPM (GMSK/MSK) whose d^2 timing tone is "
@@ -698,6 +779,14 @@ def main(argv=None) -> None:
 
     if args.chain == "ais":
         _ais(args)
+        return
+
+    if args.chain == "rds":
+        _rds(args)
+        return
+
+    if args.chain == "gps":
+        _gps(args)
         return
 
     if args.chain == "mux":

@@ -555,3 +555,65 @@ def test_cli_adsb_decodes_frames(tmp_path):
         assert rec["start"] == off
         assert bytes.fromhex(rec["hex"]) == np.packbits(
             f.reshape(-1, 8)).tobytes()
+
+
+def test_cli_rds_decodes_groups(tmp_path):
+    """rds subcommand: FM IQ capture with stereo + RDS -> group JSON."""
+    import json
+    import jax.numpy as jnp
+    from srcdsp_tpu.chains.analog import fm_modulate, fm_stereo_mpx
+    from srcdsp_tpu.chains.rds import rds_encode_group, rds_inject_mpx
+
+    fs = 228000.0
+    f_pilot = 19000.0 / fs
+    sps_half = 96
+    rng = np.random.default_rng(8)
+    words = [rng.integers(0, 1 << 16, 4).tolist() for _ in range(2)]
+    bits = np.concatenate(
+        [rds_encode_group(w, "A") for w in words]).astype(np.int32)
+    n = bits.size * 2 * sps_half + 8000
+    t = np.arange(n)
+    mpx = fm_stereo_mpx(0.3 * np.sin(2 * np.pi * 1000 / fs * t),
+                        0.3 * np.sin(2 * np.pi * 2500 / fs * t), f_pilot)
+    mpx = rds_inject_mpx(mpx, bits, f_pilot, sps_half, level=0.07)
+    iq = np.asarray(fm_modulate(jnp.asarray(mpx), 0.3)).astype(np.complex64)
+    capf = str(tmp_path / "fm.cf32")
+    write_capture(capf, iq, CaptureMeta(fmt="cf32"))
+    out = str(tmp_path / "groups.jsonl")
+    cli_main(["rds", capf, out, "--sps-half", str(sps_half),
+              "--pilot", str(f_pilot), "--dev", "0.3"])
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) >= 2
+    assert [[int(w, 16) for w in r["words"]] for r in recs[:2]] == [
+        [int(w) for w in ws] for ws in words]
+
+
+def test_cli_gps_acquires_prn(tmp_path):
+    """gps subcommand: buried C/A signal -> the right PRN's JSON line,
+    absent PRNs silent."""
+    import json
+    from srcdsp_tpu.chains.gps import ca_code, sample_ca
+
+    prn, sps, nb = 9, 2, 6
+    n1 = 1023 * sps
+    rng = np.random.default_rng(9)
+    base = np.roll(sample_ca(ca_code(prn), sps), 404)
+    chips = np.tile(base, nb)
+    t = np.arange(nb * n1)
+    truef = 4.0 / (2 * n1)
+    x = chips * np.exp(2j * np.pi * truef * t)
+    x = (x + np.sqrt(50.0) * (rng.standard_normal(x.shape)
+                              + 1j * rng.standard_normal(x.shape))
+         ).astype(np.complex64)
+    capf = str(tmp_path / "gps.cf32")
+    write_capture(capf, x, CaptureMeta(fmt="cf32"))
+    out = str(tmp_path / "acq.jsonl")
+    cli_main(["gps", capf, out, "--sps", str(sps), "--prn", str(prn)])
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 1
+    assert recs[0]["prn"] == prn
+    assert abs(recs[0]["code_phase_samples"] - 404) < 1.0
+    # absent PRN produces nothing
+    out2 = str(tmp_path / "acq2.jsonl")
+    cli_main(["gps", capf, out2, "--sps", str(sps), "--prn", "20"])
+    assert [l for l in open(out2)] == []
