@@ -55,7 +55,7 @@ from srcdsp_tpu.ops.nco import TWO_PI
 from srcdsp_tpu.types import F32
 
 __all__ = ["ff_psk_demod_planes", "ff_fsk_demod_planes",
-           "ff_psk_demod_ragged"]
+           "ff_psk_demod_ragged", "ff_fsk_demod_ragged"]
 
 
 def _unwrap_blocks(vals: jax.Array, period: float) -> jax.Array:
@@ -414,4 +414,71 @@ def ff_psk_demod_ragged(yr: jax.Array, yi: jax.Array, sps: int,
     diag = {"tau_blocks": tau_u, "phi_blocks": phi_u,
             "count": n_edge[:, -1] - n_edge[:, 0]}
     return (idx.reshape(c, ns), (dr.reshape(c, ns), di.reshape(c, ns)),
+            valid.reshape(c, ns), diag)
+
+
+def ff_fsk_demod_ragged(d: jax.Array, sps: int, block: int = 512,
+                        window_syms: int = 4, capacity_extra: int = 2):
+    """Open-loop binary-FSK slicer under UNBOUNDED sustained clock
+    offsets — the noncoherent twin of ff_psk_demod_ragged (same
+    per-block integer relabeling, same compact_ragged contract; the
+    timing metric is the squared discriminator and the decision is the
+    sign — no carrier stage).
+
+    d: [C, K] discriminator planes. Returns (bits [C, NB*cap] int32,
+    soft, valid, diag)."""
+    c, k = d.shape
+    if k % block or block % sps:
+        raise ValueError(f"K={k} % block={block} or block % sps={sps}")
+    nb = k // block
+    spb = block // sps
+    spb_cap = spb + capacity_extra
+    w = window_syms * sps
+
+    met = (d * d).reshape(c, nb, block)
+    n = np.arange(block)
+    tc = jnp.asarray(np.cos(TWO_PI * (n % sps) / sps).astype(np.float32))
+    ts = jnp.asarray((-np.sin(TWO_PI * (n % sps) / sps)).astype(np.float32))
+    cr = jnp.sum(met * tc, axis=-1)
+    ci = jnp.sum(met * ts, axis=-1)
+    tau_b = jnp.mod(-F32(sps / TWO_PI) * jnp.arctan2(ci, cr), F32(sps))
+    tau_u = _unwrap_blocks(tau_b, float(sps))
+
+    mid = 0.5 * (tau_u[:, :-1] + tau_u[:, 1:])
+    first = (1.5 * tau_u[:, :1] - 0.5 * tau_u[:, 1:2]) if nb > 1 \
+        else tau_u[:, :1]
+    last = (1.5 * tau_u[:, -1:] - 0.5 * tau_u[:, -2:-1]) if nb > 1 \
+        else tau_u[:, -1:]
+    t_edge = jnp.concatenate([first, mid, last], axis=1)
+    bpos = jnp.asarray((np.arange(nb + 1) * block).astype(np.float32))
+    n_edge = jnp.ceil((bpos[None, :] - t_edge) / F32(sps)).astype(jnp.int32)
+    e_b = n_edge[:, 1:] - n_edge[:, :-1]
+
+    tau_cap = _interp_capacity(tau_u, spb_cap, sps, block)
+    db = (n_edge[:, :-1].astype(F32) * F32(sps)
+          - jnp.asarray((np.arange(nb) * block).astype(np.float32))[None, :])
+    delta = db[:, :, None] + tau_cap
+    j = jnp.clip(jnp.floor(delta), 0.0, w - 2.0)
+    frac = jnp.clip(delta - j, 0.0, 1.0)
+    ji = j.astype(jnp.int32)
+
+    wd = _block_windows(d, block, sps, spb_cap, w)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, w), 3)
+    oh0 = (lane == ji[:, :, :, None]).astype(F32)
+    oh1 = (lane == (ji + 1)[:, :, :, None]).astype(F32)
+    lo = jnp.sum(wd * oh0, axis=-1)
+    hi = jnp.sum(wd * oh1, axis=-1)
+    soft = lo * (1.0 - frac) + hi * frac
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, nb, spb_cap), 2)
+    in_count = slot < e_b[:, :, None]
+    gpos = (np.arange(nb)[:, None] * block
+            + np.arange(spb_cap)[None, :] * sps + w)
+    in_data = jnp.asarray(gpos <= k)[None, :, :]
+    valid = jnp.logical_and(in_count, in_data)
+
+    bits = (soft > 0).astype(jnp.int32)
+    ns = nb * spb_cap
+    diag = {"tau_blocks": tau_u, "count": n_edge[:, -1] - n_edge[:, 0]}
+    return (bits.reshape(c, ns), soft.reshape(c, ns),
             valid.reshape(c, ns), diag)

@@ -178,3 +178,60 @@ def test_ff_psk_ragged_holds_ser_zero_on_sustained_ppm():
     # the trajectory really is unbounded at this scale (~90 samples)
     tau = np.asarray(diag["tau_blocks"])
     assert np.ptp(tau, axis=-1).min() > 4 * sps
+
+
+def test_ff_fsk_ragged_holds_ber_zero_on_sustained_ppm():
+    """Noncoherent ragged twin: binary FSK discriminator planes with a
+    sustained 3000-ppm clock -> BER 0 through the open-loop ragged
+    slicer with the actual bit count emitted."""
+    from srcdsp_tpu.chains.feedforward import ff_fsk_demod_ragged
+    from srcdsp_tpu.chains.tracking import compact_ragged
+    from srcdsp_tpu.testing.signals import fsk_baseband
+
+    c, sps = 2, 8
+    rng = np.random.default_rng(13)
+    nsym = 8192 + 32
+    bits = rng.integers(0, 2, (c, nsym))
+    bb = np.asarray(fsk_baseband(jnp.asarray(bits), sps, 0.04))
+
+    rho = 3e-3
+    def sustained(x):
+        nmax = int((len(x) - 2) / (1 + rho))
+        t = np.arange(nmax, dtype=np.float64) * (1 + rho)
+        i0 = np.floor(t).astype(np.int64)
+        f = t - i0
+        return ((1 - f) * x[i0] + f * x[i0 + 1]).astype(np.complex64)
+
+    x = np.stack([sustained(bb[ch]) for ch in range(c)])
+    x = (x + 0.02 * (rng.standard_normal(x.shape)
+                     + 1j * rng.standard_normal(x.shape))
+         ).astype(np.complex64)
+    taps = jnp.asarray(np.ones(4, np.float32) / 4.0)
+    y = np.asarray(jax.vmap(
+        lambda v: fir_full(taps, v, decim=1))(jnp.asarray(x)))
+    z = y[:, 1:] * np.conj(y[:, :-1])
+    d = (np.angle(z) / (2 * np.pi)).astype(np.float32)
+    block = 256
+    k = (d.shape[-1] // block) * block
+    got, _, valid, diag = jax.jit(
+        lambda v: ff_fsk_demod_ragged(v, sps, block=block))(
+        jnp.asarray(d[:, :k]))
+    got = np.asarray(got)
+    valid = np.asarray(valid)
+
+    nominal = k // sps
+    total_err, total_cnt = 0, 0
+    for ch in range(c):
+        g = compact_ragged(got[ch], valid[ch])
+        assert g.size > nominal + 10, (g.size, nominal)
+        best = None
+        for lag in range(0, 16):
+            m = min(g.size - lag, nsym) - 8
+            err = int((g[lag: lag + m] != bits[ch, :m]).sum())
+            if best is None or err < best[0]:
+                best = (err, m)
+        total_err += best[0]
+        total_cnt += best[1]
+    assert total_err / total_cnt == 0.0
+    tau = np.asarray(diag["tau_blocks"])
+    assert np.ptp(tau, axis=-1).min() > 4 * sps
