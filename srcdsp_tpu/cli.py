@@ -22,6 +22,7 @@ through a demod chain and write the result. Equivalent here:
     python -m srcdsp_tpu.cli ais  vhf.iq msgs.jsonl --decim 2 --sps 4
     python -m srcdsp_tpu.cli rds  fm.iq groups.jsonl --sps-half 96 --pilot 0.0833
     python -m srcdsp_tpu.cli gps  l1.iq acq.jsonl --sps 2 [--prn 7]
+    python -m srcdsp_tpu.cli pocsag pager.iq pages.jsonl --sps 8 --dev 0.05
 
 Streams in fixed blocks with carried state (bit-exact vs one-shot), writes
 output incrementally per block, checkpoints every --ckpt-every blocks, and
@@ -617,13 +618,51 @@ def _gps(args) -> None:
     print(f"acquired {found} PRNs", file=sys.stderr)
 
 
+def _pocsag(args) -> None:
+    """POCSAG driver: 2-FSK IQ capture -> FSK demod (both polarities
+    tried — network conventions differ) -> batch decode -> JSON lines,
+    one per page."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from srcdsp_tpu.chains.fsk import fsk_apply, fsk_init, make_fsk_params
+    from srcdsp_tpu.chains.pocsag import decode_numeric, decode_transmission
+    from srcdsp_tpu.io.capture import read_capture
+
+    x, _meta = read_capture(args.infile)
+    x = np.asarray(x).astype(np.complex64)
+    params = make_fsk_params(args.center, args.taps, 0.45 / args.decim,
+                             decim=args.decim, sps=args.sps,
+                             dev=args.dev)
+    n = (x.size // (args.decim * args.sps)) * args.decim * args.sps
+    st = fsk_init(params)
+    _, (bits, _soft) = jax.jit(
+        lambda s, v: fsk_apply(params, s, v))(st, jnp.asarray(x[:n]))
+    bits = np.asarray(bits).reshape(-1)
+    pages = decode_transmission(bits)
+    if not pages:
+        pages = decode_transmission(1 - bits)
+    out = open(args.outfile, "w") if args.outfile != "-" else sys.stdout
+    for g in pages:
+        out.write(json.dumps({
+            "ric": g["ric"], "func": g["func"],
+            "corrected": g["corrected"],
+            "data": [f"{w:05x}" for w in g["data"]],
+            "numeric": decode_numeric(g["data"])}) + "\n")
+    if out is not sys.stdout:
+        out.close()
+    print(f"decoded {len(pages)} POCSAG pages", file=sys.stderr)
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="srcdsp_tpu.cli", description=__doc__)
     p.add_argument("chain", choices=["fsk", "psk", "dqpsk", "qam", "fir",
                                      "fm", "am", "channelize", "mod",
                                      "scan", "mux", "resample", "gen",
                                      "fecenc", "fecdec", "scf", "adsb",
-                                     "ais", "rds", "gps"])
+                                     "ais", "rds", "gps", "pocsag"])
     p.add_argument("infile")
     p.add_argument("outfile", nargs="?", default=None,
                    help="output path (optional for `gen`, whose single "
@@ -787,6 +826,10 @@ def main(argv=None) -> None:
 
     if args.chain == "gps":
         _gps(args)
+        return
+
+    if args.chain == "pocsag":
+        _pocsag(args)
         return
 
     if args.chain == "mux":

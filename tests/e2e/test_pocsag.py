@@ -85,3 +85,31 @@ def test_full_fsk_link():
     assert pages_out[0]["ric"] == 0x3F00A
     assert pages_out[0]["func"] == 3
     assert decode_numeric(pages_out[0]["data"]) == "8675309"
+
+
+def test_cli_pocsag(tmp_path):
+    """pocsag subcommand: IQ capture -> page JSON with numeric decode."""
+    import json
+    from srcdsp_tpu.cli import main as cli_main
+    from srcdsp_tpu.io.capture import CaptureMeta, write_capture
+
+    sps, dev = 8, 0.05
+    pages = [(0x2A2A1, 0, encode_numeric("31337"))]
+    bits = encode_transmission(pages, preamble_bits=64)
+    bb = np.asarray(pocsag_baseband(bits, sps, dev))
+    rng = np.random.default_rng(4)
+    x = np.concatenate([np.zeros(500, np.complex64),
+                        bb.astype(np.complex64),
+                        np.zeros(1024, np.complex64)])
+    x = (x + 0.04 * (rng.standard_normal(x.size)
+                     + 1j * rng.standard_normal(x.size))
+         ).astype(np.complex64)
+    capf = str(tmp_path / "pager.cf32")
+    write_capture(capf, x, CaptureMeta(fmt="cf32"))
+    out = str(tmp_path / "pages.jsonl")
+    cli_main(["pocsag", capf, out, "--sps", str(sps), "--dev", str(dev),
+              "--decim", "1"])
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 1
+    assert recs[0]["ric"] == 0x2A2A1
+    assert recs[0]["numeric"] == "31337"
