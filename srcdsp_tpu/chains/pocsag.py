@@ -32,7 +32,8 @@ from srcdsp_tpu.bch import bch_decode, bch_encode, make_bch_code
 
 __all__ = ["FSC", "IDLE", "make_codeword", "address_codeword",
            "message_codeword", "encode_transmission",
-           "decode_transmission", "encode_numeric", "decode_numeric"]
+           "decode_transmission", "encode_numeric", "decode_numeric",
+           "encode_alpha", "decode_alpha"]
 
 FSC = 0x7CD215D8
 IDLE = 0x7A89C197
@@ -195,3 +196,31 @@ def pocsag_baseband(bits, sps: int, dev: float = 0.1):
     if sync fails)."""
     from srcdsp_tpu.testing.signals import fsk_baseband
     return fsk_baseband(jnp.asarray(np.asarray(bits, np.int32)), sps, dev)
+
+
+def encode_alpha(text: str) -> list[int]:
+    """Alphanumeric message -> 20-bit data words: 7-bit ASCII, each
+    character LSB-first, packed contiguously across the 20-bit fields
+    (the published alpha convention); padded with EOT (0x04)."""
+    bits: list[int] = []
+    for c in text:
+        bits.extend((ord(c) & 0x7F) >> i & 1 for i in range(7))  # LSB 1st
+    while len(bits) % 20:
+        bits.extend(0x04 >> i & 1 for i in range(7))     # pad with EOT
+    return [_bits_to_int(bits[i: i + 20]) for i in range(0, len(bits), 20)]
+
+
+def decode_alpha(words: list[int]) -> str:
+    """Inverse of encode_alpha; stops at the first EOT/NUL."""
+    bits: list[int] = []
+    for w in words:
+        bits.extend(_int_to_bits(w, 20).tolist())
+    out = []
+    for i in range(0, len(bits) - 6, 7):
+        c = 0
+        for j in range(7):
+            c |= bits[i + j] << j                        # LSB first
+        if c in (0x00, 0x04):
+            break
+        out.append(chr(c))
+    return "".join(out)

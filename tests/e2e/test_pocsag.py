@@ -113,3 +113,13 @@ def test_cli_pocsag(tmp_path):
     assert len(recs) == 1
     assert recs[0]["ric"] == 0x2A2A1
     assert recs[0]["numeric"] == "31337"
+
+
+def test_alpha_payload_roundtrip():
+    from srcdsp_tpu.chains.pocsag import decode_alpha, encode_alpha
+    for s in ["HELLO WORLD", "Pg 42: call 555-0199", "", "A" * 23]:
+        assert decode_alpha(encode_alpha(s)) == s
+    # through the full codec
+    pages = [(0x01234, 3, encode_alpha("TEST MSG"))]
+    got = decode_transmission(encode_transmission(pages))
+    assert decode_alpha(got[0]["data"]) == "TEST MSG"
