@@ -322,6 +322,23 @@ def _fec(args) -> None:
         def decode(llr):
             bits = viterbi_decode(cc, jnp.asarray(llr))
             return np.asarray(bits, np.uint8), None
+    elif code_name == "bch":
+        from srcdsp_tpu.bch import bch_decode, bch_encode, make_bch_code
+        # --fec-n picks the field (31/63/127/255...); default (31,21) t=2
+        bn = args.fec_n if args.fec_n != 504 else 31
+        m = bn.bit_length()
+        if (1 << m) - 1 != bn:
+            raise SystemExit(f"--fec-n must be 2^m - 1 for bch, got {bn}")
+        bc = make_bch_code(m, args.fec_t)
+        k, n = bc.k, bc.n
+
+        def encode(u):
+            return np.asarray(bch_encode(bc, jnp.asarray(u)), np.uint8)
+
+        def decode(llr):
+            hard = (llr < 0).astype(np.int32)
+            info, ok = bch_decode(bc, jnp.asarray(hard))
+            return np.asarray(info, np.uint8), np.asarray(ok)
     elif code_name == "rs":
         from srcdsp_tpu.rs import make_rs_code, rs_decode, rs_encode
         # the generic --fec-n/--fec-k defaults (504/128) are LDPC/polar
@@ -757,11 +774,14 @@ def main(argv=None) -> None:
     p.add_argument("--bt", type=float, default=0.3,
                    help="GMSK Gaussian BT product (mod --mod gmsk)")
     p.add_argument("--code", choices=["ldpc", "turbo", "polar", "conv",
-                                      "rs"],
+                                      "rs", "bch"],
                    default="ldpc",
                    help="fecenc/fecdec: code family (conv = K=7 Viterbi "
                         "over bits; rs = RS(255,223) over BYTES, decode "
-                        "reads received bytes directly)")
+                        "reads received bytes directly; bch = binary "
+                        "BCH(2^m-1) over bits, t from --fec-t)")
+    p.add_argument("--fec-t", type=int, default=2,
+                   help="bch: correctable bit errors per codeword")
     p.add_argument("--fec-n", type=int, default=504,
                    help="fec: codeword length (ldpc/polar)")
     p.add_argument("--fec-k", type=int, default=128,
