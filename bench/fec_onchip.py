@@ -125,13 +125,58 @@ def rs(batch=512, n=255, k=223, nerr=16):
     }), flush=True)
 
 
+def bch(batch=4096, m=5, t=2):
+    """Round-5 family addition: binary BCH decode on-chip, decisions
+    gated against CPU (the X58 correctness row)."""
+    import jax
+    import jax.numpy as jnp
+    from srcdsp_tpu.bch import bch_decode, bch_encode, make_bch_code
+
+    code = make_bch_code(m, t)
+    rng = np.random.default_rng(0)
+    msg = rng.integers(0, 2, (batch, code.k))
+    cw = np.asarray(bch_encode(code, jnp.asarray(msg)))
+    recv = cw.copy()
+    for b in range(batch):
+        pos = rng.choice(code.n, t, replace=False)
+        recv[b, pos] ^= 1
+    recvj = jnp.asarray(recv)
+
+    dec = jax.jit(lambda r: bch_decode(code, r))
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        out_cpu = dec(jax.device_put(recvj, cpu))
+        d_cpu = np.asarray(out_cpu[0])
+        ok_cpu = np.asarray(out_cpu[1])
+    tpu = jax.devices()[0]
+    rj = jax.device_put(recvj, tpu)
+    out = dec(rj)
+    d_tpu = np.asarray(out[0])
+    ok_tpu = np.asarray(out[1])
+    match = np.array_equal(d_cpu, d_tpu) and np.array_equal(ok_cpu, ok_tpu)
+    corrected = bool(np.all(d_cpu == msg))
+    sec = _slope(dec, (rj,))
+    print(json.dumps({
+        "metric": f"bch_{code.n}_{code.k}_t{t}_b{batch}_decode",
+        "matches_cpu": bool(match),
+        "all_corrected": corrected,
+        "coded_bits_per_s": batch * code.n / sec,
+        "ms_per_codeword": sec / batch * 1e3,
+        "backend": jax.default_backend(),
+    }), flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["viterbi", "rs"])
+    ap.add_argument("which", choices=["viterbi", "rs", "bch"])
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--t", type=int, default=512)
+    ap.add_argument("--bch-m", type=int, default=5)
+    ap.add_argument("--bch-t", type=int, default=2)
     args = ap.parse_args()
     if args.which == "viterbi":
         viterbi(batch=args.batch, t=args.t)
+    elif args.which == "bch":
+        bch(batch=args.batch, m=args.bch_m, t=args.bch_t)
     else:
         rs(batch=args.batch)
