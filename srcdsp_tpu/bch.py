@@ -16,12 +16,17 @@ The sequential core (Berlekamp–Massey) is the rs.py scan with the
 tables parameterized to GF(2^m); Chien search is vectorized over all n
 positions with the t+1 locator terms unrolled. Binary BCH needs no
 Forney step — error VALUES are 1, so correction is an XOR at the
-located bits, and success is certified by re-syndroming (miscorrection
-of >t-error words is flagged, not silently passed).
+located bits. Success is certified by re-syndroming: a corrected word
+that is not a codeword is flagged ok=False. (As with any bounded-
+distance decoder, a >t-error word that happens to land within distance
+t of a DIFFERENT codeword decodes to that codeword with ok=True — the
+outer protocol layer's checks, e.g. POCSAG's parity bit, guard that
+case.)
 
 Shortening: any leading-information shortening n' = n - s works by
-zero-padding (positions keep their polynomial powers); `shorten=` on
-encode/decode handles it.
+zero-padding (positions keep their polynomial powers); pass `shorten=`
+to bch_encode/bch_decode — decode additionally rejects words whose
+"corrections" land in the implicit zero prefix.
 """
 
 from __future__ import annotations
@@ -159,13 +164,21 @@ def make_bch_code(m: int, t: int) -> BchCode:
         chien_pow=jnp.asarray(chien.astype(np.int32)))
 
 
-def bch_encode(code: BchCode, msg: jax.Array) -> jax.Array:
-    """msg [B, k] {0,1} -> codewords [B, n] (systematic: message bits
-    then parity)."""
+def bch_encode(code: BchCode, msg: jax.Array,
+               shorten: int = 0) -> jax.Array:
+    """msg [B, k - shorten] {0,1} -> codewords [B, n - shorten]
+    (systematic: message bits then parity). shorten > 0 drops the
+    leading information positions (transmitted as implicit zeros)."""
+    if shorten:
+        if not 0 < shorten < code.k:
+            raise ValueError(f"shorten must be in [0, k), got {shorten}")
+        z = jnp.zeros((*msg.shape[:-1], shorten), msg.dtype)
+        msg = jnp.concatenate([z, msg], axis=-1)
     par = jnp.mod(jnp.dot(msg.astype(jnp.float32), code.enc_bits,
                           precision=jax.lax.Precision.HIGHEST), 2.0)
-    return jnp.concatenate([msg.astype(jnp.int32),
-                            par.astype(jnp.int32)], axis=-1)
+    out = jnp.concatenate([msg.astype(jnp.int32),
+                           par.astype(jnp.int32)], axis=-1)
+    return out[..., shorten:] if shorten else out
 
 
 def _syndromes(code: BchCode, recv: jax.Array) -> jax.Array:
@@ -219,13 +232,19 @@ def _berlekamp_massey(code: BchCode, s: jax.Array):
     return lam
 
 
-def bch_decode(code: BchCode, recv: jax.Array):
-    """recv [B, n] {0,1} -> (msg [B, k] int32, ok [B] bool). Corrects
-    up to t bit errors; ok=False marks words whose corrected form still
-    fails the syndrome check."""
+def bch_decode(code: BchCode, recv: jax.Array, shorten: int = 0):
+    """recv [B, n - shorten] {0,1} -> (msg [B, k - shorten] int32,
+    ok [B] bool). Corrects up to t bit errors; ok=False marks words
+    whose corrected form still fails the syndrome check, or (shortened
+    codes) whose "corrections" land in the implicit zero prefix."""
     n, k, t = code.n, code.k, code.t
     exp, log, nn = code.exp, code.log, code.n
     recv = recv.astype(jnp.int32)
+    if shorten:
+        if not 0 < shorten < code.k:
+            raise ValueError(f"shorten must be in [0, k), got {shorten}")
+        z = jnp.zeros((*recv.shape[:-1], shorten), recv.dtype)
+        recv = jnp.concatenate([z, recv], axis=-1)
     s = _syndromes(code, recv)
     clean = jnp.all(s == 0, axis=-1)
     lam = jax.vmap(functools.partial(_berlekamp_massey, code))(s)
@@ -244,4 +263,9 @@ def bch_decode(code: BchCode, recv: jax.Array):
     corrected = jnp.bitwise_xor(recv, errs)
     corrected = jnp.where(clean[:, None], recv, corrected)
     ok = jnp.all(_syndromes(code, corrected) == 0, axis=-1)
+    if shorten:
+        # a "correction" inside the implicit zero prefix is impossible
+        # for a legal transmission -> the word had > t errors
+        ok = ok & jnp.all(corrected[:, :shorten] == 0, axis=-1)
+        return corrected[:, shorten:k], ok
     return corrected[:, :k], ok

@@ -300,6 +300,51 @@ def _block_windows(y: jax.Array, block: int, sps: int, spb_cap: int,
     return jnp.concatenate(parts, axis=-1)
 
 
+def _ragged_relabel(met: jax.Array, sps: int, block: int, spb_cap: int,
+                    w: int):
+    """Shared core of the ragged demods (PSK and FSK twins): per-block
+    O&M on the timing-metric planes met [C, NB, block] -> unwrapped
+    trajectory tau_u [C, NB], per-block emission counts e_b (from the
+    block-EDGE trajectory, all known in advance — open loop), bounded
+    per-slot pick offsets (ji, frac) [C, NB, spb_cap], and the
+    in-count/in-data validity mask."""
+    c, nb, block_ = met.shape
+    k = nb * block_
+    n = np.arange(block_)
+    tc = jnp.asarray(np.cos(TWO_PI * (n % sps) / sps).astype(np.float32))
+    ts = jnp.asarray((-np.sin(TWO_PI * (n % sps) / sps)).astype(np.float32))
+    cr = jnp.sum(met * tc, axis=-1)
+    ci = jnp.sum(met * ts, axis=-1)
+    tau_b = jnp.mod(-F32(sps / TWO_PI) * jnp.arctan2(ci, cr), F32(sps))
+    tau_u = _unwrap_blocks(tau_b, float(sps))
+
+    mid = 0.5 * (tau_u[:, :-1] + tau_u[:, 1:])
+    first = (1.5 * tau_u[:, :1] - 0.5 * tau_u[:, 1:2]) if nb > 1 \
+        else tau_u[:, :1]
+    last = (1.5 * tau_u[:, -1:] - 0.5 * tau_u[:, -2:-1]) if nb > 1 \
+        else tau_u[:, -1:]
+    t_edge = jnp.concatenate([first, mid, last], axis=1)
+    bpos = jnp.asarray((np.arange(nb + 1) * block_).astype(np.float32))
+    n_edge = jnp.ceil((bpos[None, :] - t_edge) / F32(sps)).astype(jnp.int32)
+    e_b = n_edge[:, 1:] - n_edge[:, :-1]
+
+    tau_cap = _interp_capacity(tau_u, spb_cap, sps, block_)
+    db = (n_edge[:, :-1].astype(F32) * F32(sps)
+          - jnp.asarray((np.arange(nb) * block_).astype(np.float32))[None, :])
+    delta = db[:, :, None] + tau_cap
+    j = jnp.clip(jnp.floor(delta), 0.0, w - 2.0)
+    frac = jnp.clip(delta - j, 0.0, 1.0)
+    ji = j.astype(jnp.int32)
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, nb, spb_cap), 2)
+    in_count = slot < e_b[:, :, None]
+    gpos = (np.arange(nb)[:, None] * block_
+            + np.arange(spb_cap)[None, :] * sps + w)
+    in_data = jnp.asarray(gpos <= k)[None, :, :]
+    valid = jnp.logical_and(in_count, in_data)
+    return tau_u, n_edge, ji, frac, valid
+
+
 def ff_psk_demod_ragged(yr: jax.Array, yi: jax.Array, sps: int,
                         order: int, block: int = 512, offset: float = 0.0,
                         window_syms: int = 4, capacity_extra: int = 2):
@@ -324,40 +369,12 @@ def ff_psk_demod_ragged(yr: jax.Array, yi: jax.Array, sps: int,
     spb_cap = spb + capacity_extra
     w = window_syms * sps
 
-    # --- per-block O&M timing, unwrapped across the whole call
-    power = (yr * yr + yi * yi).reshape(c, nb, block)
-    n = np.arange(block)
-    tc = jnp.asarray(np.cos(TWO_PI * (n % sps) / sps).astype(np.float32))
-    ts = jnp.asarray((-np.sin(TWO_PI * (n % sps) / sps)).astype(np.float32))
-    cr = jnp.sum(power * tc, axis=-1)
-    ci = jnp.sum(power * ts, axis=-1)
-    tau_b = jnp.mod(-F32(sps / TWO_PI) * jnp.arctan2(ci, cr), F32(sps))
-    tau_u = _unwrap_blocks(tau_b, float(sps))              # [C, NB]
-
-    # --- block-EDGE tau (midpoint of adjacent centers, ends
-    # extrapolated) -> first global symbol index per block and per-block
-    # emission counts, all known in advance (open loop)
-    mid = 0.5 * (tau_u[:, :-1] + tau_u[:, 1:])             # [C, NB-1]
-    first = (1.5 * tau_u[:, :1] - 0.5 * tau_u[:, 1:2]) if nb > 1 \
-        else tau_u[:, :1]
-    last = (1.5 * tau_u[:, -1:] - 0.5 * tau_u[:, -2:-1]) if nb > 1 \
-        else tau_u[:, -1:]
-    t_edge = jnp.concatenate([first, mid, last], axis=1)   # [C, NB+1]
-    bpos = jnp.asarray((np.arange(nb + 1) * block).astype(np.float32))
-    n_edge = jnp.ceil((bpos[None, :] - t_edge) / F32(sps)).astype(jnp.int32)
-    e_b = n_edge[:, 1:] - n_edge[:, :-1]                   # [C, NB]
-
-    # --- per-slot local pick offsets: slot i of block b is global
-    # symbol u = n_b + i at sample u*sps + tau, i.e. local position
-    # i*sps + delta with delta = n_b*sps - b*block + tau in
-    # [0, sps + intra-block drift)
-    tau_cap = _interp_capacity(tau_u, spb_cap, sps, block)  # [C, NB, cap]
-    db = (n_edge[:, :-1].astype(F32) * F32(sps)
-          - jnp.asarray((np.arange(nb) * block).astype(np.float32))[None, :])
-    delta = db[:, :, None] + tau_cap
-    j = jnp.clip(jnp.floor(delta), 0.0, w - 2.0)
-    frac = jnp.clip(delta - j, 0.0, 1.0)
-    ji = j.astype(jnp.int32)
+    # shared core: per-block O&M -> relabeled bounded picks + validity
+    # (slot i of block b is global symbol u = n_b + i at sample
+    # u*sps + tau, i.e. local position i*sps + delta with
+    # delta = n_b*sps - b*block + tau in [0, sps + intra-block drift))
+    tau_u, n_edge, ji, frac, valid = _ragged_relabel(
+        (yr * yr + yi * yi).reshape(c, nb, block), sps, block, spb_cap, w)
 
     wr = _block_windows(yr, block, sps, spb_cap, w)
     wi = _block_windows(yi, block, sps, spb_cap, w)
@@ -371,15 +388,6 @@ def ff_psk_demod_ragged(yr: jax.Array, yi: jax.Array, sps: int,
         return lo * (1.0 - frac) + hi * frac
 
     sr, si = pick(wr), pick(wi)                            # [C, NB, cap]
-
-    # --- validity: capacity slots beyond this block's true count, and
-    # windows running past the stream end
-    slot = jax.lax.broadcasted_iota(jnp.int32, (1, nb, spb_cap), 2)
-    in_count = slot < e_b[:, :, None]
-    gpos = (np.arange(nb)[:, None] * block
-            + np.arange(spb_cap)[None, :] * sps + w)       # [NB, cap]
-    in_data = jnp.asarray(gpos <= k)[None, :, :]
-    valid = jnp.logical_and(in_count, in_data)
     maskf = valid.astype(F32)
 
     # --- per-block V&V carrier phase on masked normalized symbols
@@ -435,32 +443,8 @@ def ff_fsk_demod_ragged(d: jax.Array, sps: int, block: int = 512,
     spb_cap = spb + capacity_extra
     w = window_syms * sps
 
-    met = (d * d).reshape(c, nb, block)
-    n = np.arange(block)
-    tc = jnp.asarray(np.cos(TWO_PI * (n % sps) / sps).astype(np.float32))
-    ts = jnp.asarray((-np.sin(TWO_PI * (n % sps) / sps)).astype(np.float32))
-    cr = jnp.sum(met * tc, axis=-1)
-    ci = jnp.sum(met * ts, axis=-1)
-    tau_b = jnp.mod(-F32(sps / TWO_PI) * jnp.arctan2(ci, cr), F32(sps))
-    tau_u = _unwrap_blocks(tau_b, float(sps))
-
-    mid = 0.5 * (tau_u[:, :-1] + tau_u[:, 1:])
-    first = (1.5 * tau_u[:, :1] - 0.5 * tau_u[:, 1:2]) if nb > 1 \
-        else tau_u[:, :1]
-    last = (1.5 * tau_u[:, -1:] - 0.5 * tau_u[:, -2:-1]) if nb > 1 \
-        else tau_u[:, -1:]
-    t_edge = jnp.concatenate([first, mid, last], axis=1)
-    bpos = jnp.asarray((np.arange(nb + 1) * block).astype(np.float32))
-    n_edge = jnp.ceil((bpos[None, :] - t_edge) / F32(sps)).astype(jnp.int32)
-    e_b = n_edge[:, 1:] - n_edge[:, :-1]
-
-    tau_cap = _interp_capacity(tau_u, spb_cap, sps, block)
-    db = (n_edge[:, :-1].astype(F32) * F32(sps)
-          - jnp.asarray((np.arange(nb) * block).astype(np.float32))[None, :])
-    delta = db[:, :, None] + tau_cap
-    j = jnp.clip(jnp.floor(delta), 0.0, w - 2.0)
-    frac = jnp.clip(delta - j, 0.0, 1.0)
-    ji = j.astype(jnp.int32)
+    tau_u, n_edge, ji, frac, valid = _ragged_relabel(
+        (d * d).reshape(c, nb, block), sps, block, spb_cap, w)
 
     wd = _block_windows(d, block, sps, spb_cap, w)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, w), 3)
@@ -469,14 +453,6 @@ def ff_fsk_demod_ragged(d: jax.Array, sps: int, block: int = 512,
     lo = jnp.sum(wd * oh0, axis=-1)
     hi = jnp.sum(wd * oh1, axis=-1)
     soft = lo * (1.0 - frac) + hi * frac
-
-    slot = jax.lax.broadcasted_iota(jnp.int32, (1, nb, spb_cap), 2)
-    in_count = slot < e_b[:, :, None]
-    gpos = (np.arange(nb)[:, None] * block
-            + np.arange(spb_cap)[None, :] * sps + w)
-    in_data = jnp.asarray(gpos <= k)[None, :, :]
-    valid = jnp.logical_and(in_count, in_data)
-
     bits = (soft > 0).astype(jnp.int32)
     ns = nb * spb_cap
     diag = {"tau_blocks": tau_u, "count": n_edge[:, -1] - n_edge[:, 0]}

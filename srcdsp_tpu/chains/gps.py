@@ -128,8 +128,11 @@ def fine_acquire(acq: GpsAcq, res: dict) -> dict:
     interpolation of the metric row, fine Doppler from the per-ms
     correlator phase slope (products squared first, so 50-bps nav-bit
     sign flips between milliseconds cancel; the /2 halves the angle
-    back — unambiguous within +-1/(4N) cycles/sample, i.e. half the
-    coarse bin for the standard 500 Hz grid)."""
+    back). The measured phase gives the TRUE Doppler modulo 1/(2N)
+    cycles/sample; the hypothesis phase 2*pi*f_hyp*N is subtracted mod
+    pi before unwrapping, so ANY doppler grid works (on- or off- the
+    1/(2N) bin lattice) — the residual must just be within +-1/(4N)
+    of the winning hypothesis (half a 500 Hz bin at 1 ms blocks)."""
     n = acq.n
     m = res["metric"][res["d_idx"]]
     p = res["p_idx"]
@@ -141,6 +144,10 @@ def fine_acquire(acq: GpsAcq, res: dict) -> dict:
                      0.5 * (ym - yp) / denom, 0.0)
     z = res["corr"]
     prod = (z[1:] * jnp.conj(z[:-1])) ** 2
-    dfine = jnp.angle(jnp.sum(prod)) / (2 * 2 * jnp.pi * n)
+    # angle/2 = 2*pi*f_true*N mod pi; subtract the hypothesis phase and
+    # wrap the residual to (-pi/2, pi/2]
+    ph = jnp.angle(jnp.sum(prod)) / 2.0
+    hyp = 2.0 * jnp.pi * res["doppler"] * n
+    derr = jnp.mod(ph - hyp + jnp.pi / 2, jnp.pi) - jnp.pi / 2
     return {"code_phase": (res["p_idx"].astype(jnp.float32) + frac),
-            "doppler": res["doppler"] + dfine}
+            "doppler": res["doppler"] + derr / (2 * jnp.pi * n)}

@@ -130,7 +130,10 @@ def encode_transmission(pages, preamble_bits: int = 576) -> np.ndarray:
 
 def _correct_word(bits32: np.ndarray):
     """-> (info21 | None, corrected count). BCH-corrects <=2 errors in
-    the first 31 bits; the even-parity bit guards the 32nd."""
+    the first 31 bits; the even-parity bit then serves two roles: a
+    parity mismatch on an already-t-error word means >=t+1 total errors
+    (likely a miscorrection — REJECT), while a mismatch on a cleaner
+    word is the parity bit's own single error (accept, count it)."""
     msg, ok = bch_decode(_CODE, jnp.asarray(
         np.asarray(bits32[:31], np.int32)[None]))
     if not bool(np.asarray(ok)[0]):
@@ -138,6 +141,11 @@ def _correct_word(bits32: np.ndarray):
     info = np.asarray(msg)[0]
     cw31 = np.asarray(bch_encode(_CODE, jnp.asarray(info[None])))[0]
     nerr = int((cw31 != bits32[:31]).sum())
+    par_ok = int(cw31.sum() + bits32[31]) % 2 == 0
+    if not par_ok:
+        if nerr >= _CODE.t:
+            return None, 0               # >= t+1 total: distrust
+        nerr += 1                        # the parity bit itself flipped
     return info, nerr
 
 
@@ -205,8 +213,12 @@ def encode_alpha(text: str) -> list[int]:
     bits: list[int] = []
     for c in text:
         bits.extend((ord(c) & 0x7F) >> i & 1 for i in range(7))  # LSB 1st
-    while len(bits) % 20:
-        bits.extend(0x04 >> i & 1 for i in range(7))     # pad with EOT
+    # pad ONLY the final partial word with EOT chars (truncating the
+    # last pad char at the word boundary — the conventional encoding)
+    target = -(-len(bits) // 20) * 20
+    while len(bits) < target:
+        bits.extend(0x04 >> i & 1 for i in range(7))
+    bits = bits[:target]
     return [_bits_to_int(bits[i: i + 20]) for i in range(0, len(bits), 20)]
 
 

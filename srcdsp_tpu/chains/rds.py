@@ -107,7 +107,8 @@ def rds_syndromes(bits: np.ndarray) -> np.ndarray:
     [0, 1024) — one [W, 26] x [26, 10] GF(2) matmul (f32 MXU + mod 2,
     the gf2.py representation)."""
     b = np.asarray(bits, np.float32)
-    n = b.size
+    if b.size < 26:
+        return np.zeros((0,), np.int64)
     win = np.lib.stride_tricks.sliding_window_view(b, 26)
     syn = np.asarray(
         jnp.mod(jnp.dot(jnp.asarray(win), jnp.asarray(_S, jnp.float32),

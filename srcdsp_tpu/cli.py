@@ -327,8 +327,9 @@ def _fec(args) -> None:
         # --fec-n picks the field (31/63/127/255...); default (31,21) t=2
         bn = args.fec_n if args.fec_n != 504 else 31
         m = bn.bit_length()
-        if (1 << m) - 1 != bn:
-            raise SystemExit(f"--fec-n must be 2^m - 1 for bch, got {bn}")
+        if (1 << m) - 1 != bn or not 3 <= m <= 10:
+            raise SystemExit(f"--fec-n must be 2^m - 1 with 3 <= m <= 10 "
+                             f"for bch, got {bn}")
         bc = make_bch_code(m, args.fec_t)
         k, n = bc.k, bc.n
 

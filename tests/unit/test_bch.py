@@ -107,3 +107,20 @@ def test_pocsag_batch_jit():
     out, ok = dec(jnp.asarray(bad))
     assert bool(np.all(np.asarray(ok)))
     np.testing.assert_array_equal(np.asarray(out), msgs)
+
+
+def test_shortened_code():
+    """Shortened (26, 16) from (31, 21): roundtrip, correction, and a
+    'correction' into the implicit zero prefix is rejected."""
+    code = make_bch_code(5, 2)
+    s = 5
+    rng = np.random.default_rng(3)
+    msgs = rng.integers(0, 2, (16, code.k - s)).astype(np.int32)
+    cw = np.asarray(bch_encode(code, jnp.asarray(msgs), shorten=s))
+    assert cw.shape[-1] == code.n - s
+    bad = cw.copy()
+    bad[:, 2] ^= 1
+    bad[:, 19] ^= 1
+    dec, ok = bch_decode(code, jnp.asarray(bad), shorten=s)
+    assert bool(np.all(np.asarray(ok)))
+    np.testing.assert_array_equal(np.asarray(dec), msgs)
