@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["ca_code", "sample_ca", "GpsAcq", "make_gps_acq",
-           "acquire_ca", "fine_acquire"]
+           "acquire_ca", "acquire_ca_planes", "fine_acquire"]
 
 # Per-PRN G2 phase-select taps (1-based), PRN 1..32 — the published
 # C/A assignment table.
@@ -151,3 +151,42 @@ def fine_acquire(acq: GpsAcq, res: dict) -> dict:
     derr = jnp.mod(ph - hyp + jnp.pi / 2, jnp.pi) - jnp.pi / 2
     return {"code_phase": (res["p_idx"].astype(jnp.float32) + frac),
             "doppler": res["doppler"] + derr / (2 * jnp.pi * n)}
+
+
+def acquire_ca_planes(acq: GpsAcq, xr: jax.Array, xi: jax.Array,
+                      dopplers) -> dict:
+    """Plane-form 2-D search (the ON-CHIP tier): identical math to
+    acquire_ca with no complex dtype anywhere — the replica shifts
+    matrix is REAL, so each Doppler hypothesis is one derotation
+    (4 elementwise products) and the correlation is TWO real matmuls
+    [D*NB, N] @ [N, N]. Runs on the restricted TPU backend; peak cell
+    matches acquire_ca exactly (probe-gated).
+
+    xr/xi: [NB*N] f32 planes. Returns the acquire_ca dict (corr as a
+    plane pair)."""
+    n = acq.n
+    nb = xr.shape[-1] // n
+    xbr = xr[: nb * n].reshape(1, nb, n)
+    xbi = xi[: nb * n].reshape(1, nb, n)
+    dop = jnp.asarray(np.asarray(dopplers, np.float32))
+    d = dop.shape[0]
+    t = jnp.arange(n, dtype=jnp.float32)
+    ang = 2.0 * jnp.pi * dop[:, None] * t[None, :]
+    c = jnp.cos(ang)[:, None, :]               # [D, 1, N]
+    s = jnp.sin(ang)[:, None, :]
+    # (xr + j xi) * e^{-j ang}
+    dr = (xbr * c + xbi * s).reshape(d * nb, n)
+    di = (xbi * c - xbr * s).reshape(d * nb, n)
+    sh = acq.shifts_t
+    zr = jnp.dot(dr, sh, precision=jax.lax.Precision.DEFAULT)
+    zi = jnp.dot(di, sh, precision=jax.lax.Precision.DEFAULT)
+    metric = jnp.sum((zr * zr + zi * zi).reshape(d, nb, n), axis=1)
+    flat = jnp.argmax(metric)
+    d_idx = flat // n
+    p_idx = flat % n
+    ratio = metric[d_idx, p_idx] / jnp.median(metric)
+    zr3 = zr.reshape(d, nb, n)
+    zi3 = zi.reshape(d, nb, n)
+    return {"metric": metric, "d_idx": d_idx, "p_idx": p_idx,
+            "ratio": ratio, "doppler": dop[d_idx],
+            "corr_planes": (zr3[d_idx, :, p_idx], zi3[d_idx, :, p_idx])}

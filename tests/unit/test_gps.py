@@ -83,3 +83,31 @@ def test_ca_acquisition_finds_buried_signal():
     acq20 = make_gps_acq(20, sps=sps)
     res20 = jax.jit(lambda v: acquire_ca(acq20, v, dop))(x)
     assert float(res20["ratio"]) < 5.0
+
+
+def test_plane_form_matches_complex_acquisition():
+    """acquire_ca_planes (the on-chip tier: zero complex dtypes, two
+    real matmuls) finds the same peak cell and an equal metric."""
+    from srcdsp_tpu.chains.gps import acquire_ca_planes
+
+    prn, sps, nb = 13, 2, 4
+    acq = make_gps_acq(prn, sps=sps)
+    n = acq.n
+    rng = np.random.default_rng(7)
+    base = np.roll(sample_ca(ca_code(prn), sps), 505)
+    chips = np.tile(base, nb)
+    t = np.arange(nb * n)
+    truef = -2.0 / (2 * n)
+    x = chips * np.exp(2j * np.pi * truef * t)
+    x = (x + np.sqrt(20.0) * (rng.standard_normal(x.shape)
+                              + 1j * rng.standard_normal(x.shape))
+         ).astype(np.complex64)
+    dop = np.arange(-6, 7) / (2.0 * n)
+    res_c = jax.jit(lambda v: acquire_ca(acq, v, dop))(jnp.asarray(x))
+    res_p = jax.jit(lambda a, b: acquire_ca_planes(acq, a, b, dop))(
+        jnp.asarray(x.real.astype(np.float32)),
+        jnp.asarray(x.imag.astype(np.float32)))
+    assert int(res_p["p_idx"]) == int(res_c["p_idx"]) == 505
+    assert int(res_p["d_idx"]) == int(res_c["d_idx"])
+    np.testing.assert_allclose(np.asarray(res_p["metric"]),
+                               np.asarray(res_c["metric"]), rtol=2e-3)
