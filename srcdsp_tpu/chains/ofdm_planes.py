@@ -42,14 +42,18 @@ __all__ = ["make_ofdm_rx_planes"]
 
 
 def make_ofdm_rx_planes(spec: OfdmSpec,
-                        precision=jax.lax.Precision.HIGHEST):
+                        precision=jax.lax.Precision.HIGHEST,
+                        n_pilot: int = 1):
     """Build the plane-form receiver for a fixed spec.
 
     Returns fn(yr, yi, pr, pi) with yr/yi [C, K] aligned sample planes
-    (first symbol = the known pilot; K % (nfft+cp) == 0) and pr/pi
-    [n_active] the pilot's tx constellation planes ->
-    (idx [C, S, n_active] i32, (zr, zi) equalized+derotated soft
-    planes), S = K/(nfft+cp) - 1 data symbols.
+    (first n_pilot symbols = the known pilot, repeated;
+    K % (nfft+cp) == 0) and pr/pi [n_active] the pilot's tx
+    constellation planes -> (idx [C, S, n_active] i32, (zr, zi)
+    equalized+derotated soft planes), S = K/(nfft+cp) - n_pilot data
+    symbols. n_pilot > 1 averages the per-bin LS estimates — estimate
+    noise drops 10*log10(n_pilot) dB, worth ~3 dB of design SNR at
+    n_pilot=2 vs the single-shot estimate (the modem bench's finding).
     """
     nfft, cp = spec.nfft, spec.cp
     act = np.asarray(spec.active)
@@ -77,13 +81,16 @@ def make_ofdm_rx_planes(spec: OfdmSpec,
         fr = (mm(tr, wr) - mm(ti, wi)).reshape(c, s_tot, na)
         fi = (mm(tr, wi) + mm(ti, wr)).reshape(c, s_tot, na)
 
-        # one-tap EQ from the pilot symbol: h = f0/p, soft = f/h
-        f0r, f0i = fr[:, :1], fi[:, :1]
+        # one-tap EQ from the pilot symbol(s): h = mean(f0)/p,
+        # soft = f/h (pilot repeats, so averaging BEFORE the division
+        # is the exact LS estimate over n_pilot observations)
+        f0r = jnp.mean(fr[:, :n_pilot], axis=1, keepdims=True)
+        f0i = jnp.mean(fi[:, :n_pilot], axis=1, keepdims=True)
         pd = pr * pr + pi * pi + eps
         hr = (f0r * pr + f0i * pi) / pd
         hi = (f0i * pr - f0r * pi) / pd
         hd = hr * hr + hi * hi + eps
-        dr, di = fr[:, 1:], fi[:, 1:]
+        dr, di = fr[:, n_pilot:], fi[:, n_pilot:]
         sr = (dr * hr + di * hi) / hd
         si = (di * hr - dr * hi) / hd
 
