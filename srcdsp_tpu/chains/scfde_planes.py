@@ -1,0 +1,102 @@
+"""On-chip SC-FDE receive path (plane form of chains/scfde.py — the
+single-carrier-FDE waveform family's serving tier, the sibling of
+chains/ofdm_planes.py).
+
+Same mapping rules: CP strip is a reshape + static slice; the forward
+and inverse block DFTs are [.., n] x [n, n] matmul pairs (the inverse
+bakes the 1/n scale); the LS channel estimate against the flat
+Zadoff-Chu pilot and the per-bin MMSE one-taps are pure plane
+arithmetic. The only waveform difference from OFDM: the equalized
+spectrum comes BACK to the time domain before slicing (one extra DFT
+matmul pair), and decisions are per time-domain symbol.
+
+Decisions match the complex tier (`scfde_rx` + the qam slicer) on
+multipath fixtures (tested); the on-chip probe gates chip == CPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from srcdsp_tpu.chains.qam import _axis_levels, qam_scale
+from srcdsp_tpu.chains.scfde import ScfdeSpec
+from srcdsp_tpu.types import F32
+
+I32 = jnp.int32
+
+__all__ = ["make_scfde_rx_planes"]
+
+
+def make_scfde_rx_planes(spec: ScfdeSpec, order: int = 4,
+                         snr: float = 100.0,
+                         precision=jax.lax.Precision.HIGHEST):
+    """Build the plane-form SC-FDE receiver.
+
+    Returns fn(yr, yi) with yr/yi [C, K] aligned planes starting at the
+    pilot block's CP (K % (n+cp) == 0) -> (idx [C, S, n] i32 Gray
+    symbol indices, (zr, zi) equalized time-domain soft planes),
+    S = K/(n+cp) - 1 data blocks.
+    """
+    n, cp = spec.n, spec.cp
+    ll = n + cp
+    lv = _axis_levels(order)
+    sc = float(qam_scale(order))
+    bits_ax = lv.bit_length() - 1
+    k_ = np.arange(n)
+    wf = np.exp(-2j * np.pi * np.outer(k_, k_) / n).astype(np.complex64)
+    wb = (np.conj(wf) / n).astype(np.complex64)      # inverse, 1/n baked
+    wfr, wfi = jnp.asarray(wf.real.copy()), jnp.asarray(wf.imag.copy())
+    wbr, wbi = jnp.asarray(wb.real.copy()), jnp.asarray(wb.imag.copy())
+    pf = np.fft.fft(np.asarray(spec.pilot))
+    # LS-against-pilot as a baked multiply: h = f0 * conj(pf)/|pf|^2
+    pinv = (np.conj(pf) / (np.abs(pf) ** 2 + 1e-12)).astype(np.complex64)
+    # [1, 1, n] so every elementwise op stays >= 2-D (the axon backend
+    # rejects 1-D ops; verify-skill support matrix)
+    pir = jnp.asarray(pinv.real.copy())[None, None, :]
+    pii = jnp.asarray(pinv.imag.copy())[None, None, :]
+    inv_snr = F32(1.0 / snr)
+    eps = F32(1e-12)
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=F32,
+                       precision=precision)
+
+    def fn(yr, yi):
+        c, k = yr.shape
+        s_tot = k // ll
+        tr = yr[:, : s_tot * ll].reshape(c * s_tot, ll)[:, cp:]
+        ti = yi[:, : s_tot * ll].reshape(c * s_tot, ll)[:, cp:]
+        fr = (mm(tr, wfr) - mm(ti, wfi)).reshape(c, s_tot, n)
+        fi = (mm(tr, wfi) + mm(ti, wfr)).reshape(c, s_tot, n)
+
+        f0r, f0i = fr[:, :1], fi[:, :1]
+        hr = f0r * pir - f0i * pii
+        hi = f0r * pii + f0i * pir
+        hd = hr * hr + hi * hi + inv_snr
+        # MMSE one-tap: w = conj(h)/(|h|^2 + 1/snr); apply to data bins
+        dr, di = fr[:, 1:], fi[:, 1:]
+        er = (dr * hr + di * hi) / hd
+        ei = (di * hr - dr * hi) / hd
+
+        # back to time domain (inverse DFT matmul, 1/n baked)
+        cs = er.shape[1]
+        e2r = er.reshape(c * cs, n)
+        e2i = ei.reshape(c * cs, n)
+        zr = (mm(e2r, wbr) - mm(e2i, wbi)).reshape(c, cs, n)
+        zi = (mm(e2r, wbi) + mm(e2i, wbr)).reshape(c, cs, n)
+
+        def levels(v):
+            return jnp.clip(jnp.round((v / F32(sc) + F32(lv - 1))
+                                      * F32(0.5)), 0.0, F32(lv - 1))
+
+        ki = levels(zr).astype(I32)
+        kq = levels(zi).astype(I32)
+        gi_ = jnp.bitwise_xor(ki, ki >> 1)
+        gq_ = jnp.bitwise_xor(kq, kq >> 1)
+        idx = (gi_ << bits_ax) | gq_
+        return idx, (zr, zi)
+
+    return fn
