@@ -48,6 +48,7 @@ log=bench/hw_refresh_${ts}.log
   timeout 1800 python bench/gps_onchip.py
   timeout 1800 python bench/ofdm_onchip.py --bf16
   timeout 2400 python bench/ofdm_modem_onchip.py --snr-db 15 --pilots 4
+  timeout 1800 python bench/scfde_onchip.py --bf16
   echo "== round 5: config-2 pre-framed (transfer #3) =="
   timeout 2400 python bench/ab_resample_preframed.py 25 --bf16 --out-tile 2304
   timeout 2400 python bench/run.py config2_onchip_preframed
