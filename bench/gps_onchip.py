@@ -79,7 +79,7 @@ def main():
         "peak_cell_matches_cpu": bool(cell_match),
         "found_true_phase": bool(found),
         "ratio": round(float(res_t["ratio"]), 2),
-        "ms_per_search": round((sec or 0) * 1e3, 3),
+        "ms_per_search": round(sec * 1e3, 3) if sec else None,
         "searches_per_s": round(1.0 / sec, 1) if sec else None,
         "gflops_per_s": round(flops / sec / 1e9, 1) if sec else None,
         "backend": jax.default_backend(),

@@ -85,7 +85,7 @@ def main():
         "order": args.order, "bf16": args.bf16,
         "samples_per_call": n_samp,
         "decisions_match_cpu": match, "ser": ser,
-        "ms_per_call": round((sec or 0) * 1e3, 3),
+        "ms_per_call": round(sec * 1e3, 3) if sec else None,
         "agg_msamples_per_s": round(n_samp / sec / 1e6, 1) if sec else None,
         "backend": jax.default_backend(),
     }), flush=True)

@@ -142,7 +142,11 @@ def fine_acquire(acq: GpsAcq, res: dict) -> dict:
     denom = ym - 2 * y0 + yp
     frac = jnp.where(jnp.abs(denom) > 1e-20,
                      0.5 * (ym - yp) / denom, 0.0)
-    z = res["corr"]
+    if "corr" in res:
+        z = res["corr"]
+    else:                                  # plane-tier result
+        zr, zi = res["corr_planes"]
+        z = zr + 1j * zi
     prod = (z[1:] * jnp.conj(z[:-1])) ** 2
     # angle/2 = 2*pi*f_true*N mod pi; subtract the hypothesis phase and
     # wrap the residual to (-pi/2, pi/2]
@@ -162,8 +166,10 @@ def acquire_ca_planes(acq: GpsAcq, xr: jax.Array, xi: jax.Array,
     [D*NB, N] @ [N, N]. Runs on the restricted TPU backend; peak cell
     matches acquire_ca exactly (probe-gated).
 
-    xr/xi: [NB*N] f32 planes. Returns the acquire_ca dict (corr as a
-    plane pair)."""
+    xr/xi: [NB*N] f32 planes. Returns the acquire_ca dict with the
+    per-ms correlators as a plane pair under "corr_planes";
+    fine_acquire accepts either form (it assembles the complex
+    correlators host-side — fine refinement is analysis-tier)."""
     n = acq.n
     nb = xr.shape[-1] // n
     xbr = xr[: nb * n].reshape(1, nb, n)

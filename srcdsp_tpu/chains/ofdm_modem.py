@@ -46,7 +46,7 @@ def make_ofdm_coded_modem(spec: OfdmSpec, code: LdpcCode, plan: QcPlan,
     is the known pilot (pr/pi [n_active] constellation planes); each
     channel carries nw codewords of n = plan.nb*plan.z bits mapped per
     modem.map_codewords_to_symbols onto the flattened data grid. K must
-    cover (1 + ceil(nw*spc/n_active)) OFDM symbols.
+    cover (n_pilot + ceil(nw*spc/n_active)) OFDM symbols.
     """
     na = int(np.asarray(spec.active).size)
     n = plan.nb * plan.z

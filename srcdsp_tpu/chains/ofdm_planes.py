@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from srcdsp_tpu.chains.ofdm import OfdmSpec, sym_len
-from srcdsp_tpu.chains.qam import _axis_levels, qam_scale
+from srcdsp_tpu.chains.qam import qam_slice_planes
 from srcdsp_tpu.types import F32
 
 I32 = jnp.int32
@@ -59,9 +59,6 @@ def make_ofdm_rx_planes(spec: OfdmSpec,
     act = np.asarray(spec.active)
     na = act.size
     ll = sym_len(spec)
-    lv = _axis_levels(spec.order)
-    sc = float(qam_scale(spec.order))
-    bits_ax = lv.bit_length() - 1
     # DFT restricted to the active bins, pre-scaled by 1/sqrt(nfft)
     w = np.exp(-2j * np.pi * np.outer(np.arange(nfft), act) / nfft)
     w = (w / np.sqrt(nfft)).astype(np.complex64)
@@ -94,16 +91,9 @@ def make_ofdm_rx_planes(spec: OfdmSpec,
         sr = (dr * hr + di * hi) / hd
         si = (di * hr - dr * hi) / hd
 
-        # nearest point per axis (the arithmetic Gray slicer's level
+        # nearest point per axis via the shared plane slicer (the level
         # index IS the point coordinate — no table, no gather)
-        def levels(v):
-            return jnp.clip(jnp.round((v / F32(sc) + F32(lv - 1))
-                                      * F32(0.5)), 0.0, F32(lv - 1))
-
-        ki = levels(sr)
-        kq = levels(si)
-        shr = (2.0 * ki - F32(lv - 1)) * F32(sc)
-        shi = (2.0 * kq - F32(lv - 1)) * F32(sc)
+        _, (shr, shi) = qam_slice_planes(sr, si, spec.order)
 
         # per-symbol DD common phase: g = sum(soft * conj(s_hat)) / sum|s_hat|^2
         num_r = jnp.sum(sr * shr + si * shi, axis=-1, keepdims=True)
@@ -115,11 +105,7 @@ def make_ofdm_rx_planes(spec: OfdmSpec,
         zr = (sr * gr + si * gi) / ga
         zi = (si * gr - sr * gi) / ga
 
-        ki2 = levels(zr).astype(I32)
-        kq2 = levels(zi).astype(I32)
-        gi_ = jnp.bitwise_xor(ki2, ki2 >> 1)
-        gq_ = jnp.bitwise_xor(kq2, kq2 >> 1)
-        idx = (gi_ << bits_ax) | gq_
+        idx, _ = qam_slice_planes(zr, zi, spec.order)
         return idx, (zr, zi)
 
     return fn

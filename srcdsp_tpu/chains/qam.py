@@ -103,6 +103,36 @@ def qam_slice(y: jax.Array, order: int) -> jax.Array:
     return (gi << bits_ax) | gq
 
 
+def qam_slice_planes(vr: jax.Array, vi: jax.Array, order: int
+                     ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
+    """Plane-form twin of qam_slice for the restricted backend: f32
+    (re, im) planes -> (Gray indices i32, (shr, shi) nearest-point
+    coordinate planes). The level index IS the point coordinate
+    ((2k - (l-1))*scale), so s_hat needs no table lookup — the
+    on-chip OFDM/SC-FDE tiers' decision-directed stages use it
+    directly. One definition keeps the lattice/Gray convention in a
+    single place next to qam_slice."""
+    l = _axis_levels(order)
+    bits_ax = l.bit_length() - 1
+    s = float(qam_scale(order))
+
+    def levels(v):
+        return jnp.clip(jnp.round((v / jnp.float32(s)
+                                   + jnp.float32(l - 1))
+                                  * jnp.float32(0.5)),
+                        0.0, jnp.float32(l - 1))
+
+    ki = levels(vr)
+    kq = levels(vi)
+    shr = (2.0 * ki - jnp.float32(l - 1)) * jnp.float32(s)
+    shi = (2.0 * kq - jnp.float32(l - 1)) * jnp.float32(s)
+    ki = ki.astype(I32)
+    kq = kq.astype(I32)
+    gi = jnp.bitwise_xor(ki, ki >> 1)
+    gq = jnp.bitwise_xor(kq, kq >> 1)
+    return (gi << bits_ax) | gq, (shr, shi)
+
+
 def qam_modulate(key: jax.Array, nsym: int, order: int,
                  channel_shape: tuple = ()) -> tuple[jax.Array, jax.Array]:
     """Random Gray symbol indices + their constellation points."""

@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from srcdsp_tpu.chains.qam import _axis_levels, qam_scale
+from srcdsp_tpu.chains.qam import qam_slice_planes
 from srcdsp_tpu.chains.scfde import ScfdeSpec
 from srcdsp_tpu.types import F32
 
@@ -42,9 +42,6 @@ def make_scfde_rx_planes(spec: ScfdeSpec, order: int = 4,
     """
     n, cp = spec.n, spec.cp
     ll = n + cp
-    lv = _axis_levels(order)
-    sc = float(qam_scale(order))
-    bits_ax = lv.bit_length() - 1
     k_ = np.arange(n)
     wf = np.exp(-2j * np.pi * np.outer(k_, k_) / n).astype(np.complex64)
     wb = (np.conj(wf) / n).astype(np.complex64)      # inverse, 1/n baked
@@ -58,7 +55,6 @@ def make_scfde_rx_planes(spec: ScfdeSpec, order: int = 4,
     pir = jnp.asarray(pinv.real.copy())[None, None, :]
     pii = jnp.asarray(pinv.imag.copy())[None, None, :]
     inv_snr = F32(1.0 / snr)
-    eps = F32(1e-12)
 
     def mm(a, b):
         return jnp.dot(a, b, preferred_element_type=F32,
@@ -88,15 +84,7 @@ def make_scfde_rx_planes(spec: ScfdeSpec, order: int = 4,
         zr = (mm(e2r, wbr) - mm(e2i, wbi)).reshape(c, cs, n)
         zi = (mm(e2r, wbi) + mm(e2i, wbr)).reshape(c, cs, n)
 
-        def levels(v):
-            return jnp.clip(jnp.round((v / F32(sc) + F32(lv - 1))
-                                      * F32(0.5)), 0.0, F32(lv - 1))
-
-        ki = levels(zr).astype(I32)
-        kq = levels(zi).astype(I32)
-        gi_ = jnp.bitwise_xor(ki, ki >> 1)
-        gq_ = jnp.bitwise_xor(kq, kq >> 1)
-        idx = (gi_ << bits_ax) | gq_
+        idx, _ = qam_slice_planes(zr, zi, order)
         return idx, (zr, zi)
 
     return fn
