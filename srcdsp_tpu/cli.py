@@ -23,6 +23,7 @@ through a demod chain and write the result. Equivalent here:
     python -m srcdsp_tpu.cli rds  fm.iq groups.jsonl --sps-half 96 --pilot 0.0833
     python -m srcdsp_tpu.cli gps  l1.iq acq.jsonl --sps 2 [--prn 7]
     python -m srcdsp_tpu.cli pocsag pager.iq pages.jsonl --sps 8 --dev 0.05
+    python -m srcdsp_tpu.cli ax25 audio.f32 frames.jsonl --fs 13200
 
 Streams in fixed blocks with carried state (bit-exact vs one-shot), writes
 output incrementally per block, checkpoints every --ckpt-every blocks, and
@@ -674,13 +675,38 @@ def _pocsag(args) -> None:
     print(f"decoded {len(pages)} POCSAG pages", file=sys.stderr)
 
 
+def _ax25(args) -> None:
+    """AX.25/APRS driver: real f32 audio (Bell-202 AFSK) -> FSK demod ->
+    HDLC/FCS deframe -> parsed frames as JSON lines."""
+    import json
+
+    from srcdsp_tpu.chains.ax25 import decode_ax25_audio
+
+    audio = np.fromfile(args.infile, np.float32)
+    fm = 1200.0 / args.fs
+    fsp = 2200.0 / args.fs
+    sps = int(round(args.fs / 1200.0))
+    recs = decode_ax25_audio(audio, sps, fm, fsp)
+    out = open(args.outfile, "w") if args.outfile != "-" else sys.stdout
+    for r in recs:
+        out.write(json.dumps({
+            "start_bit": r["start_bit"],
+            "src": f"{r['src'][0]}-{r['src'][1]}",
+            "dest": f"{r['dest'][0]}-{r['dest'][1]}",
+            "path": [f"{c}-{s2}" for c, s2 in r["path"]],
+            "info": r["info"].decode(errors="replace")}) + "\n")
+    if out is not sys.stdout:
+        out.close()
+    print(f"decoded {len(recs)} AX.25 frames", file=sys.stderr)
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="srcdsp_tpu.cli", description=__doc__)
     p.add_argument("chain", choices=["fsk", "psk", "dqpsk", "qam", "fir",
                                      "fm", "am", "channelize", "mod",
                                      "scan", "mux", "resample", "gen",
                                      "fecenc", "fecdec", "scf", "adsb",
-                                     "ais", "rds", "gps", "pocsag"])
+                                     "ais", "rds", "gps", "pocsag", "ax25"])
     p.add_argument("infile")
     p.add_argument("outfile", nargs="?", default=None,
                    help="output path (optional for `gen`, whose single "
@@ -759,6 +785,8 @@ def main(argv=None) -> None:
                    help="rds: input is raw f32 MPX, not FM IQ "
                         "(--pilot gives the pilot freq in cycles/sample "
                         "at the capture rate, shared with fm --stereo)")
+    p.add_argument("--fs", type=float, default=13200.0,
+                   help="ax25: audio sample rate in Hz")
     p.add_argument("--prn", default="all",
                    help="gps: PRN 1..32 or 'all'")
     p.add_argument("--doppler-bins", type=int, default=10,
@@ -851,6 +879,10 @@ def main(argv=None) -> None:
 
     if args.chain == "pocsag":
         _pocsag(args)
+        return
+
+    if args.chain == "ax25":
+        _ax25(args)
         return
 
     if args.chain == "mux":
