@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["ca_code", "sample_ca", "GpsAcq", "make_gps_acq",
-           "acquire_ca", "acquire_ca_planes", "fine_acquire"]
+           "acquire_ca", "acquire_ca_planes", "fine_acquire",
+           "track_ca", "nav_preamble_detect", "NAV_PREAMBLE"]
 
 # Per-PRN G2 phase-select taps (1-based), PRN 1..32 — the published
 # C/A assignment table.
@@ -196,3 +197,83 @@ def acquire_ca_planes(acq: GpsAcq, xr: jax.Array, xi: jax.Array,
     return {"metric": metric, "d_idx": d_idx, "p_idx": p_idx,
             "ratio": ratio, "doppler": dop[d_idx],
             "corr_planes": (zr3[d_idx, :, p_idx], zi3[d_idx, :, p_idx])}
+
+
+def track_ca(acq: GpsAcq, x: jax.Array, res: dict, fine: dict,
+             nav_rate_ms: int = 20) -> dict:
+    """Feedforward post-acquisition tracking + nav-bit extraction.
+
+    Open-loop (the chains/feedforward.py philosophy): with the
+    acquisition's code phase and fine Doppler in hand, every
+    millisecond's prompt correlator is computed AT ONCE — wipe the
+    carrier with the fine-Doppler ramp, correlate each ms block against
+    the code-phase-rolled replica (one [NB, N] x [N] product sum), then
+    rotate out the residual per-block phase slope (LS fit on the
+    squared correlators, nav-immune like fine_acquire) and slice
+    50-bps nav bits by majority vote over nav_rate_ms blocks with the
+    bit boundary chosen by transition energy.
+
+    Returns {prompt [NB] complex, bits [NB//nav_rate_ms] int, bit_phase,
+    cn0_est}. Bits carry the usual BPSK polarity ambiguity (resolved
+    upstream by the TLM preamble, e.g. nav_preamble_detect)."""
+    n = acq.n
+    nb = x.shape[-1] // n
+    xb = x[: nb * n].reshape(nb, n)
+    t = jnp.arange(n, dtype=jnp.float32)
+    blk = jnp.arange(nb, dtype=jnp.float32)[:, None]
+    f = fine["doppler"]
+    # full phase ramp, continuous ACROSS blocks (unlike the coarse
+    # search, the tracker needs the inter-block phase too)
+    ph = 2.0 * jnp.pi * f * (blk * n + t[None, :])
+    rot = (jnp.cos(ph) - 1j * jnp.sin(ph)).astype(jnp.complex64)
+    # code replica at the acquired (integer) phase
+    rep = jnp.roll(jnp.asarray(
+        sample_ca(ca_code(acq.prn), acq.sps)), res["p_idx"])
+    z = jnp.sum(xb * rot * rep[None, :], axis=-1)          # [NB] prompt
+    # residual common rotation per block: squared-prompt phase slope
+    # (squaring cancels the nav bits), halved back and unwrapped as a
+    # constant rate — the leftover after fine_acquire is < 1/(4N)
+    resid = jnp.angle(jnp.sum((z[1:] * jnp.conj(z[:-1])) ** 2)) / 2.0
+    derot = jnp.exp(-1j * resid * jnp.arange(nb))
+    zc = z * derot
+    # bit sync: energy of sign transitions at each of nav_rate_ms
+    # candidate boundaries
+    s = jnp.real(zc)
+    nb2 = (nb // nav_rate_ms) * nav_rate_ms
+    best, best_e = 0, -1.0
+    diffs = jnp.abs(s[1:] - s[:-1])
+    for p in range(nav_rate_ms):
+        idxs = np.arange(p, nb - 1, nav_rate_ms)
+        e = float(jnp.sum(diffs[idxs])) if idxs.size else -1.0
+        if e > best_e:
+            best, best_e = p, e
+    # diffs[i] spans blocks (i, i+1): a transition at residue p means
+    # bits START at block (p + 1) mod nav_rate_ms
+    start = (best + 1) % nav_rate_ms
+    sb = s[start: start + ((nb - start) // nav_rate_ms) * nav_rate_ms]
+    sums = jnp.sum(sb.reshape(-1, nav_rate_ms), axis=-1)
+    bits = (sums < 0).astype(jnp.int32)
+    pwr = jnp.mean(jnp.abs(zc) ** 2)
+    nvar = jnp.var(jnp.imag(zc))
+    cn0 = 10.0 * jnp.log10(jnp.maximum(pwr / (2 * nvar + 1e-12), 1e-9)
+                           * 1000.0)
+    return {"prompt": zc, "bits": bits, "bit_phase": start,
+            "cn0_db_hz": cn0}
+
+
+NAV_PREAMBLE = np.asarray([1, 0, 0, 0, 1, 0, 1, 1], np.int32)
+
+
+def nav_preamble_detect(bits: np.ndarray) -> list[tuple[int, int]]:
+    """Find the TLM preamble (10001011) in a nav bit stream, either
+    polarity: [(index, polarity)] with polarity +1 (as-is) or -1
+    (inverted stream)."""
+    b = np.asarray(bits, np.int32)
+    if b.size < 8:
+        return []
+    win = np.lib.stride_tricks.sliding_window_view(b, 8)
+    hits = []
+    for pol, pat in ((1, NAV_PREAMBLE), (-1, 1 - NAV_PREAMBLE)):
+        for i in np.flatnonzero((win == pat).all(axis=1)):
+            hits.append((int(i), pol))
+    return sorted(hits)

@@ -111,3 +111,46 @@ def test_plane_form_matches_complex_acquisition():
     assert int(res_p["d_idx"]) == int(res_c["d_idx"])
     np.testing.assert_allclose(np.asarray(res_p["metric"]),
                                np.asarray(res_c["metric"]), rtol=2e-3)
+
+
+def test_track_and_nav_bits():
+    """Full coarse -> fine -> track chain on a nav-modulated buried
+    signal: nav bits recovered exactly (mod polarity), TLM preamble
+    found at the right place."""
+    from srcdsp_tpu.chains.gps import (NAV_PREAMBLE, nav_preamble_detect,
+                                       track_ca)
+
+    prn, sps = 3, 2
+    acq = make_gps_acq(prn, sps=sps)
+    n = acq.n
+    rng = np.random.default_rng(11)
+    # 3 nav bits of padding, then preamble + random payload (50 bps =
+    # 20 ms/bit); 16 bits total = 320 ms
+    nav = np.concatenate([[0, 1, 0], NAV_PREAMBLE,
+                          rng.integers(0, 2, 5)]).astype(np.int32)
+    nb = nav.size * 20
+    true_p, true_f = 1234, 2.7 / (2 * n)
+    base = np.roll(sample_ca(ca_code(prn), sps), true_p)
+    sgn = np.repeat(1.0 - 2.0 * nav, 20)               # per-ms signs
+    chips = np.concatenate([s * base for s in sgn])
+    t = np.arange(nb * n)
+    x = chips * np.exp(2j * np.pi * true_f * t)
+    x = (x + np.sqrt(20.0) * (rng.standard_normal(x.shape)
+                              + 1j * rng.standard_normal(x.shape))
+         ).astype(np.complex64)
+    xj = jnp.asarray(x)
+
+    dop = np.arange(-8, 9) / (2.0 * n)
+    res = acquire_ca(acq, xj, dop)
+    assert int(res["p_idx"]) == true_p
+    fine = fine_acquire(acq, res)
+    trk = track_ca(acq, xj, res, fine)
+    assert int(trk["bit_phase"]) == 0
+    bits = np.asarray(trk["bits"])
+    assert bits.size == nav.size
+    same = int((bits == nav).sum())
+    assert same in (0, nav.size), same          # exact mod polarity
+    stream = bits if same == nav.size else 1 - bits
+    hits = nav_preamble_detect(stream)
+    assert (3, 1) in hits or (3, -1) in nav_preamble_detect(bits)
+    assert float(trk["cn0_db_hz"]) > 35.0
