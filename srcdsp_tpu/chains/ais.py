@@ -54,17 +54,25 @@ def nrzi_decode(levels) -> np.ndarray:
     return (1 - (d[1:] ^ d[:-1])).astype(np.int32)
 
 
-def build_ais_frame(payload: bytes, level0: int = 0) -> np.ndarray:
-    """Payload bytes -> NRZI line LEVELS ready for gmsk_baseband:
-    training | flag | stuffed(payload + FCS) | flag, NRZI-encoded."""
+def build_hdlc_air_bits(payload: bytes) -> np.ndarray:
+    """Payload bytes -> PRE-NRZI air bits: flag | stuffed(payload +
+    X-25 FCS) | flag. Shared by AIS (which prepends its 0101 training)
+    and AX.25 (which prepends idle flags) — one place owns the
+    flag/stuff/FCS construction."""
     pb = bytes_to_bits(payload, lsb_first=True)
     fcs = ais_fcs(pb)
     fcs_bits = ((fcs >> np.arange(16)) & 1).astype(np.int32)
     body = np.concatenate([pb, fcs_bits])
     ob, vb, _ = stuff_bits(jnp.asarray(body))
     stuffed = compact_bits(ob, vb)
-    air = np.concatenate([TRAINING, FLAG, stuffed, FLAG]).astype(np.int32)
-    return nrzi_encode(air, level0)
+    return np.concatenate([FLAG, stuffed, FLAG]).astype(np.int32)
+
+
+def build_ais_frame(payload: bytes, level0: int = 0) -> np.ndarray:
+    """Payload bytes -> NRZI line LEVELS ready for gmsk_baseband:
+    training | flag | stuffed(payload + FCS) | flag, NRZI-encoded."""
+    air = np.concatenate([TRAINING, build_hdlc_air_bits(payload)])
+    return nrzi_encode(air.astype(np.int32), level0)
 
 
 def decode_ais_frame(levels, max_ends_per_start: int | None = None):

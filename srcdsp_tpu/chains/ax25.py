@@ -32,9 +32,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from srcdsp_tpu.chains.ais import (build_ais_frame, decode_all_ais_frames,
-                                   nrzi_encode)
-from srcdsp_tpu.gf2 import bytes_to_bits
+from srcdsp_tpu.chains.ais import (build_hdlc_air_bits,
+                                   decode_all_ais_frames, nrzi_encode)
 from srcdsp_tpu.hdlc import FLAG
 
 __all__ = ["encode_address", "decode_address", "build_ax25_frame",
@@ -74,24 +73,16 @@ def build_ax25_frame(dest: str, src: str, info: bytes,
     (flags, stuffing, FCS) comes from the shared AIS machinery; AX.25
     idles on repeated flags, so the preamble is n_preamble_flags copies
     of 01111110 prepended to the framed bits."""
-    addrs = [encode_address(dest, dest_ssid),
+    # dest carries C=1, src C=0 — the AX.25 2.x command-frame marking
+    # every modern APRS stack emits
+    addrs = [encode_address(dest, dest_ssid, command=True),
              encode_address(src, src_ssid, last=not path)]
     for i, (c, s) in enumerate(path):
         addrs.append(encode_address(c, s, last=(i == len(path) - 1)))
     payload = b"".join(addrs) + bytes([_CTRL_UI, _PID_NONE]) + bytes(info)
-    lv = build_ais_frame(payload)
-    # swap the AIS 0101 training for AX.25's flag idle (re-derive the
-    # level stream: flags*n | frame | flag, NRZI from level 0)
-    air_frame = np.asarray(decode_levels_to_air(lv), np.int32)
+    air = build_hdlc_air_bits(payload)
     pre = np.tile(FLAG, n_preamble_flags).astype(np.int32)
-    return nrzi_encode(np.concatenate([pre, air_frame]))
-
-
-def decode_levels_to_air(levels: np.ndarray) -> np.ndarray:
-    """Undo build_ais_frame's NRZI and strip its 0101 training (the
-    first 24 air bits)."""
-    from srcdsp_tpu.chains.ais import nrzi_decode
-    return nrzi_decode(levels)[24:]
+    return nrzi_encode(np.concatenate([pre, air]))
 
 
 def parse_ax25(payload: bytes) -> dict | None:
@@ -105,7 +96,7 @@ def parse_ax25(payload: bytes) -> dict | None:
     off = 14
     last = src[2]
     while not last:
-        if off + 7 > len(payload) or len(path) > 8:
+        if off + 7 > len(payload) or len(path) >= 8:
             return None
         a = decode_address(payload[off: off + 7])
         path.append((a[0], a[1]))

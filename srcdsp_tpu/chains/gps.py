@@ -200,7 +200,7 @@ def acquire_ca_planes(acq: GpsAcq, xr: jax.Array, xi: jax.Array,
 
 
 def track_ca(acq: GpsAcq, x: jax.Array, res: dict, fine: dict,
-             nav_rate_ms: int = 20) -> dict:
+             nav_rate_ms: int = 20, code_doppler: float = 0.0) -> dict:
     """Feedforward post-acquisition tracking + nav-bit extraction.
 
     Open-loop (the chains/feedforward.py philosophy): with the
@@ -212,6 +212,12 @@ def track_ca(acq: GpsAcq, x: jax.Array, res: dict, fine: dict,
     squared correlators, nav-immune like fine_acquire) and slice
     50-bps nav bits by majority vote over nav_rate_ms blocks with the
     bit boundary chosen by transition energy.
+
+    code_doppler: code-phase drift in SAMPLES PER BLOCK (the carrier
+    Doppler coupled through the chip clock: f_d/f_L1 * N per block —
+    ~0.003 samples/block per kHz of L1 Doppler at sps=2, so the default
+    0 is fine below ~100 ms captures; longer captures pass the coupled
+    value and the replica is re-rolled per block at build time).
 
     Returns {prompt [NB] complex, bits [NB//nav_rate_ms] int, bit_phase,
     cn0_est}. Bits carry the usual BPSK polarity ambiguity (resolved
@@ -226,27 +232,38 @@ def track_ca(acq: GpsAcq, x: jax.Array, res: dict, fine: dict,
     # search, the tracker needs the inter-block phase too)
     ph = 2.0 * jnp.pi * f * (blk * n + t[None, :])
     rot = (jnp.cos(ph) - 1j * jnp.sin(ph)).astype(jnp.complex64)
-    # code replica at the acquired (integer) phase
-    rep = jnp.roll(jnp.asarray(
-        sample_ca(ca_code(acq.prn), acq.sps)), res["p_idx"])
-    z = jnp.sum(xb * rot * rep[None, :], axis=-1)          # [NB] prompt
+    # code replica at the acquired (integer) phase; with code_doppler
+    # the per-block integer slip is applied by rolling at BUILD time
+    # (numpy — zero runtime cost, the shifts are static per call)
+    cs = sample_ca(ca_code(acq.prn), acq.sps)
+    p0 = int(res["p_idx"])
+    if code_doppler:
+        shifts = np.round(np.arange(nb) * code_doppler).astype(int)
+        rep = jnp.asarray(np.stack(
+            [np.roll(cs, p0 + int(sh)) for sh in shifts]))
+    else:
+        rep = jnp.asarray(np.roll(cs, p0))[None, :]
+    z = jnp.sum(xb * rot * rep, axis=-1)                   # [NB] prompt
     # residual common rotation per block: squared-prompt phase slope
     # (squaring cancels the nav bits), halved back and unwrapped as a
     # constant rate — the leftover after fine_acquire is < 1/(4N)
     resid = jnp.angle(jnp.sum((z[1:] * jnp.conj(z[:-1])) ** 2)) / 2.0
     derot = jnp.exp(-1j * resid * jnp.arange(nb))
     zc = z * derot
-    # bit sync: energy of sign transitions at each of nav_rate_ms
-    # candidate boundaries
+    # constant-phase alignment: the slope derotation leaves an
+    # arbitrary common rotation phi0; half the angle of sum(zc^2)
+    # estimates it nav-immune (the pi ambiguity is the declared BPSK
+    # polarity ambiguity)
+    phi0 = jnp.angle(jnp.sum(zc * zc)) / 2.0
+    zc = zc * jnp.exp(-1j * phi0)
+    # bit sync: transition energy at each candidate boundary residue —
+    # ONE padded reshape + sum per residue class, single host argmax
     s = jnp.real(zc)
-    nb2 = (nb // nav_rate_ms) * nav_rate_ms
-    best, best_e = 0, -1.0
     diffs = jnp.abs(s[1:] - s[:-1])
-    for p in range(nav_rate_ms):
-        idxs = np.arange(p, nb - 1, nav_rate_ms)
-        e = float(jnp.sum(diffs[idxs])) if idxs.size else -1.0
-        if e > best_e:
-            best, best_e = p, e
+    pad = (-diffs.shape[0]) % nav_rate_ms
+    dpad = jnp.concatenate([diffs, jnp.zeros((pad,), diffs.dtype)])
+    energy = jnp.sum(dpad.reshape(-1, nav_rate_ms), axis=0)
+    best = int(jnp.argmax(energy))
     # diffs[i] spans blocks (i, i+1): a transition at residue p means
     # bits START at block (p + 1) mod nav_rate_ms
     start = (best + 1) % nav_rate_ms

@@ -682,6 +682,11 @@ def _ax25(args) -> None:
 
     from srcdsp_tpu.chains.ax25 import decode_ax25_audio
 
+    if abs(args.fs / 1200.0 - round(args.fs / 1200.0)) > 1e-9:
+        raise SystemExit(
+            f"--fs {args.fs} is not an integer multiple of 1200 Hz; "
+            f"decode_ax25_audio needs integer samples/bit — resample "
+            f"the audio first (13200, 24000, 48000 all work)")
     audio = np.fromfile(args.infile, np.float32)
     fm = 1200.0 / args.fs
     fsp = 2200.0 / args.fs

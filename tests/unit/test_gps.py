@@ -134,7 +134,10 @@ def test_track_and_nav_bits():
     sgn = np.repeat(1.0 - 2.0 * nav, 20)               # per-ms signs
     chips = np.concatenate([s * base for s in sgn])
     t = np.arange(nb * n)
-    x = chips * np.exp(2j * np.pi * true_f * t)
+    # arbitrary constant carrier phase: exercises the tracker's
+    # nav-immune phi0 alignment (review finding — real captures never
+    # start at phase 0)
+    x = chips * np.exp(1j * (2 * np.pi * true_f * t + 1.2))
     x = (x + np.sqrt(20.0) * (rng.standard_normal(x.shape)
                               + 1j * rng.standard_normal(x.shape))
          ).astype(np.complex64)
@@ -154,3 +157,37 @@ def test_track_and_nav_bits():
     hits = nav_preamble_detect(stream)
     assert (3, 1) in hits or (3, -1) in nav_preamble_detect(bits)
     assert float(trk["cn0_db_hz"]) > 35.0
+
+
+def test_track_with_code_doppler():
+    """A drifting code clock (the carrier-coupled chip-rate offset):
+    without compensation the prompt decorrelates; with the
+    code_doppler argument the bits come back exact."""
+    from srcdsp_tpu.chains.gps import track_ca
+
+    prn, sps = 9, 2
+    acq = make_gps_acq(prn, sps=sps)
+    n = acq.n
+    rng = np.random.default_rng(21)
+    nav = rng.integers(0, 2, 12).astype(np.int32)
+    nb = nav.size * 20
+    true_p = 77
+    drift = 0.02                          # samples/block (exaggerated)
+    cs = sample_ca(ca_code(prn), sps)
+    sgn = np.repeat(1.0 - 2.0 * nav, 20)
+    blocks = []
+    for b in range(nb):
+        sh = true_p + int(round(b * drift))
+        blocks.append(sgn[b] * np.roll(cs, sh))
+    x = np.concatenate(blocks)
+    x = (x + np.sqrt(10.0) * (rng.standard_normal(x.shape)
+                              + 1j * rng.standard_normal(x.shape))
+         ).astype(np.complex64)
+    xj = jnp.asarray(x)
+    res = {"p_idx": jnp.asarray(true_p), "metric": jnp.zeros((1, n)),
+           "d_idx": jnp.asarray(0), "doppler": jnp.asarray(0.0)}
+    fine = {"doppler": jnp.asarray(0.0)}
+    trk = track_ca(acq, xj, res, fine, code_doppler=drift)
+    bits = np.asarray(trk["bits"])
+    same = int((bits == nav).sum())
+    assert same in (0, nav.size), same
