@@ -18,6 +18,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -104,6 +106,81 @@ long ing_frame_f32(const float* xr, const float* xi, long n_total,
         std::memset(out_r + j * span + m, 0, (span - m) * sizeof(float));
         std::memset(out_i + j * span + m, 0, (span - m) * sizeof(float));
     }
+    return nt;
+}
+
+// threaded variants: rows split across `threads` workers (each row is
+// independent, so the parallel form is trivially bit-identical).
+long ing_frame_ci16_f32_mt(const int16_t* iq, long n_total, long hist,
+                           long stride, long span, float scale,
+                           float* out_r, float* out_i, int threads) {
+    if (span - stride != hist || hist <= 0 || stride % hist != 0)
+        return -1;
+    const long n_in = n_total - hist;
+    if (n_in <= 0 || n_in % stride != 0) return -1;
+    const long nt = n_in / stride;
+    if (threads < 2) {
+        return ing_frame_ci16_f32(iq, n_total, hist, stride, span,
+                                  scale, out_r, out_i);
+    }
+    std::vector<std::thread> ws;
+    const long chunk = (nt + threads - 1) / threads;
+    for (int w = 0; w < threads; ++w) {
+        const long j0 = w * chunk;
+        const long j1 = (j0 + chunk < nt) ? j0 + chunk : nt;
+        if (j0 >= j1) break;
+        ws.emplace_back([=]() {
+            for (long j = j0; j < j1; ++j) {
+                const long base = j * stride;
+                const int16_t* src = iq + 2 * base;
+                float* dr = out_r + j * span;
+                float* di = out_i + j * span;
+                for (long k = 0; k < span; ++k) {
+                    dr[k] = static_cast<float>(src[2 * k]) / scale;
+                    di[k] = static_cast<float>(src[2 * k + 1]) / scale;
+                }
+            }
+        });
+    }
+    for (auto& t : ws) t.join();
+    return nt;
+}
+
+long ing_frame_ci16_bf16_mt(const int16_t* iq, long n_total, long hist,
+                            long stride, long span, float scale,
+                            uint16_t* out_r, uint16_t* out_i,
+                            int threads) {
+    if (span - stride != hist || hist <= 0 || stride % hist != 0)
+        return -1;
+    const long n_in = n_total - hist;
+    if (n_in <= 0 || n_in % stride != 0) return -1;
+    const long nt = n_in / stride;
+    if (threads < 2) {
+        return ing_frame_ci16_bf16(iq, n_total, hist, stride, span,
+                                   scale, out_r, out_i);
+    }
+    std::vector<std::thread> ws;
+    const long chunk = (nt + threads - 1) / threads;
+    for (int w = 0; w < threads; ++w) {
+        const long j0 = w * chunk;
+        const long j1 = (j0 + chunk < nt) ? j0 + chunk : nt;
+        if (j0 >= j1) break;
+        ws.emplace_back([=]() {
+            for (long j = j0; j < j1; ++j) {
+                const long base = j * stride;
+                const int16_t* src = iq + 2 * base;
+                uint16_t* dr = out_r + j * span;
+                uint16_t* di = out_i + j * span;
+                for (long k = 0; k < span; ++k) {
+                    dr[k] = f32_to_bf16(
+                        static_cast<float>(src[2 * k]) / scale);
+                    di[k] = f32_to_bf16(
+                        static_cast<float>(src[2 * k + 1]) / scale);
+                }
+            }
+        });
+    }
+    for (auto& t : ws) t.join();
     return nt;
 }
 

@@ -49,7 +49,8 @@ def _check(nt: int, what: str):
 
 
 def frame_ci16(iq: np.ndarray, hist: int, stride: int, span: int,
-               scale: float = 32767.0, bf16: bool = False):
+               scale: float = 32767.0, bf16: bool = False,
+               threads: int = 1):
     """Interleaved int16 IQ [2*(hist+N)] (or [hist+N, 2]) -> framed
     plane pair [NT, span] (f32, or uint16 bf16 storage when bf16=True;
     view as jnp.bfloat16 at device_put)."""
@@ -61,20 +62,22 @@ def frame_ci16(iq: np.ndarray, hist: int, stride: int, span: int,
         out_r = np.empty((nt_max, span), np.uint16)
         out_i = np.empty((nt_max, span), np.uint16)
         u16p = ctypes.POINTER(ctypes.c_uint16)
-        nt = _lib().ing_frame_ci16_bf16(
+        nt = _lib().ing_frame_ci16_bf16_mt(
             iq.ctypes.data_as(i16p), ctypes.c_long(n_total),
             ctypes.c_long(hist), ctypes.c_long(stride),
             ctypes.c_long(span), ctypes.c_float(scale),
-            out_r.ctypes.data_as(u16p), out_i.ctypes.data_as(u16p))
+            out_r.ctypes.data_as(u16p), out_i.ctypes.data_as(u16p),
+            ctypes.c_int(threads))
     else:
         out_r = np.empty((nt_max, span), np.float32)
         out_i = np.empty((nt_max, span), np.float32)
         f32p = ctypes.POINTER(ctypes.c_float)
-        nt = _lib().ing_frame_ci16_f32(
+        nt = _lib().ing_frame_ci16_f32_mt(
             iq.ctypes.data_as(i16p), ctypes.c_long(n_total),
             ctypes.c_long(hist), ctypes.c_long(stride),
             ctypes.c_long(span), ctypes.c_float(scale),
-            out_r.ctypes.data_as(f32p), out_i.ctypes.data_as(f32p))
+            out_r.ctypes.data_as(f32p), out_i.ctypes.data_as(f32p),
+            ctypes.c_int(threads))
     _check(nt, "frame_ci16")
     return out_r, out_i
 

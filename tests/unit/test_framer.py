@@ -52,3 +52,15 @@ def test_bad_geometry_rejected():
         frame_ci16(iq, hist, stride + 8, span)     # span-stride != hist
     with pytest.raises(ValueError):
         frame_ci16(iq[:-2], hist, stride, span)    # N % stride != 0
+
+
+def test_threaded_framing_bit_identical():
+    iq, hist, stride, span = _fixture(nt=16, seed=3)
+    r1, i1 = frame_ci16(iq, hist, stride, span, threads=1)
+    r4, i4 = frame_ci16(iq, hist, stride, span, threads=4)
+    np.testing.assert_array_equal(r1, r4)
+    np.testing.assert_array_equal(i1, i4)
+    b1, c1 = frame_ci16(iq, hist, stride, span, bf16=True, threads=1)
+    b4, c4 = frame_ci16(iq, hist, stride, span, bf16=True, threads=4)
+    np.testing.assert_array_equal(b1, b4)
+    np.testing.assert_array_equal(c1, c4)
