@@ -1,0 +1,53 @@
+"""CSS (LoRa-class) end-to-end link: full burst tx -> impaired channel
+(delay, CFO, phase, AWGN) -> sync -> demod -> frame decode."""
+
+import numpy as np
+import pytest
+
+from srcdsp_tpu.chains import css
+
+
+@pytest.mark.parametrize("sf,cr", [(7, 4), (8, 4), (9, 3)])
+def test_css_link_over_impaired_channel(rng, sf, cr):
+    p = css.make_css_params(sf=sf, cr=cr)
+    payload = b"CSS link payload %d" % sf
+    tx = css.css_transmit(p, payload)
+
+    t0 = 173
+    cfo = 2.7                     # bins (integer + fractional parts)
+    n_total = t0 + tx.size + 2 * p.n
+    x = np.zeros(n_total, np.complex64)
+    x[t0: t0 + tx.size] = tx
+    ph = 2 * np.pi * (cfo / p.n) * np.arange(n_total) + 0.7
+    x = x * np.exp(1j * ph).astype(np.complex64)
+    # -6 dB chip SNR: well below 0 dB, inside the spreading gain
+    sigma = np.sqrt(10 ** (6 / 10) / 2)
+    x += (sigma * (rng.standard_normal(n_total)
+                   + 1j * rng.standard_normal(n_total))
+          ).astype(np.complex64)
+
+    out, ok, sync = css.css_receive(p, x, len(payload))
+    assert sync.ok
+    assert abs(sync.cfo_bins - cfo) < 0.2
+    assert ok and out == payload
+
+
+def test_css_link_clean_all_crs(rng):
+    # every coding rate round-trips on a clean channel
+    for cr in (1, 2, 3, 4):
+        p = css.make_css_params(sf=7, cr=cr)
+        payload = bytes(rng.integers(0, 256, 11, dtype=np.uint8))
+        tx = css.css_transmit(p, payload)
+        out, ok, sync = css.css_receive(p, tx, len(payload))
+        assert sync.ok and ok and out == payload
+
+
+def test_css_frame_nsym_consistency():
+    # the receiver's symbol-count contract matches the encoder for a
+    # sweep of payload lengths and parameters
+    for sf in (7, 10):
+        for cr in (1, 4):
+            p = css.make_css_params(sf=sf, cr=cr)
+            for plen in (1, 5, 16, 63):
+                shifts = css.css_encode_frame(p, bytes(plen))
+                assert shifts.size == css.css_frame_nsym(p, plen)
