@@ -82,8 +82,10 @@ class CssParams(NamedTuple):
     n_up: int               # preamble upchirps
     sync1: int              # sync-word shifts (two known non-zero
     sync2: int              # symbols marking the preamble end)
-    upchirp: jax.Array      # [N] c64 base upchirp u
-    downchirp: jax.Array    # [N] c64 conj(u)
+    upchirp: np.ndarray     # [N] c64 base upchirp u (HOST-side numpy:
+    downchirp: np.ndarray   # a jnp complex64 here would land on the
+                            # default device at construction and poison
+                            # on-chip builders — verify-skill round-5)
 
 
 def make_css_params(sf: int = 8, cr: int = 4, n_up: int = 8,
@@ -103,7 +105,7 @@ def make_css_params(sf: int = 8, cr: int = 4, n_up: int = 8,
         sf=sf, n=n, cr=cr, n_up=n_up,
         sync1=n // 8 if sync1 is None else int(sync1),
         sync2=3 * n // 8 if sync2 is None else int(sync2),
-        upchirp=jnp.asarray(u), downchirp=jnp.asarray(np.conj(u)))
+        upchirp=u, downchirp=np.conj(u))
 
 
 # ---------------------------------------------------------------------------
@@ -503,6 +505,29 @@ def css_receive(params: CssParams, x: jax.Array, payload_len: int):
     return payload, ok, sync
 
 
+def css_receive_stream(params: CssParams, x, payload_len: int,
+                       max_bursts: int = 64):
+    """Multi-burst receiver: scan a stream for preambles, decode each
+    frame, continue past it. Returns a list of (payload bytes, crc_ok,
+    start chip index) — one entry per detected burst (payload is None
+    when the CRC fails). The same host-control/device-compute split as
+    the AIS/ADS-B multi-frame receivers."""
+    x = np.asarray(x)
+    nsym = css_frame_nsym(params, payload_len)
+    out = []
+    off = 0
+    while len(out) < max_bursts and x.size - off >= preamble_len(params):
+        payload, ok, sync = css_receive(params, x[off:], payload_len)
+        if not sync.ok:
+            break
+        out.append((payload, ok, off + sync.start))
+        # advance past this burst (or at least past its preamble, so a
+        # CRC-failed frame cannot stall the scan)
+        adv = sync.start + (nsym * params.n if ok else 0)
+        off += max(adv, params.n)
+    return out
+
+
 __all__ = [
     "CssParams", "make_css_params", "base_upchirp", "chirp_symbol",
     "css_modulate", "css_frames", "css_demod", "css_demod_frames",
@@ -513,5 +538,5 @@ __all__ = [
     "diag_interleave", "diag_deinterleave", "whitening_seq",
     "crc16_ccitt",
     "css_encode_frame", "css_decode_frame", "css_frame_nsym",
-    "css_transmit", "css_receive",
+    "css_transmit", "css_receive", "css_receive_stream",
 ]

@@ -675,6 +675,32 @@ def _pocsag(args) -> None:
     print(f"decoded {len(pages)} POCSAG pages", file=sys.stderr)
 
 
+def _css(args) -> None:
+    """CSS (LoRa-class) driver: IQ capture at 1 sample/chip -> burst
+    scan (up/down-chirp sync) -> dechirp-FFT demod -> frame decode ->
+    JSON lines, one per detected burst (implicit-header mode: payload
+    length from --css-len)."""
+    import json
+
+    from srcdsp_tpu.chains.css import css_receive_stream, make_css_params
+    from srcdsp_tpu.io.capture import read_capture
+
+    x, _meta = read_capture(args.infile)
+    params = make_css_params(sf=args.css_sf, cr=args.css_cr)
+    bursts = css_receive_stream(params, np.asarray(x), args.css_len)
+    out = open(args.outfile, "w") if args.outfile != "-" else sys.stdout
+    n_ok = 0
+    for payload, ok, start in bursts:
+        n_ok += bool(ok)
+        out.write(json.dumps({
+            "start_chip": int(start), "crc_ok": bool(ok),
+            "hex": payload.hex() if payload is not None else None}) + "\n")
+    if out is not sys.stdout:
+        out.close()
+    print(f"decoded {n_ok}/{len(bursts)} CSS bursts CRC-clean",
+          file=sys.stderr)
+
+
 def _ax25(args) -> None:
     """AX.25/APRS driver: real f32 audio (Bell-202 AFSK) -> FSK demod ->
     HDLC/FCS deframe -> parsed frames as JSON lines."""
@@ -711,7 +737,8 @@ def main(argv=None) -> None:
                                      "fm", "am", "channelize", "mod",
                                      "scan", "mux", "resample", "gen",
                                      "fecenc", "fecdec", "scf", "adsb",
-                                     "ais", "rds", "gps", "pocsag", "ax25"])
+                                     "ais", "rds", "gps", "pocsag", "ax25",
+                                     "css"])
     p.add_argument("infile")
     p.add_argument("outfile", nargs="?", default=None,
                    help="output path (optional for `gen`, whose single "
@@ -825,6 +852,12 @@ def main(argv=None) -> None:
     p.add_argument("--hard", action="store_true",
                    help="fecdec: input is u8 hard bits (mapped to +-4 "
                         "LLRs) instead of f32 LLRs")
+    p.add_argument("--css-sf", type=int, default=8,
+                   help="css: spreading factor (2^sf chips/symbol)")
+    p.add_argument("--css-cr", type=int, default=4,
+                   help="css: parity bits per nibble codeword (1-4)")
+    p.add_argument("--css-len", type=int, default=16,
+                   help="css: payload length in bytes (implicit header)")
     p.add_argument("--platform", choices=["auto", "cpu", "tpu"],
                    default="auto",
                    help="JAX backend. The CLI chains use the portable "
@@ -888,6 +921,12 @@ def main(argv=None) -> None:
 
     if args.chain == "ax25":
         _ax25(args)
+        return
+
+    if args.chain == "css":
+        if not 1 <= args.css_len <= 255:
+            p.error(f"--css-len must be in [1, 255], got {args.css_len}")
+        _css(args)
         return
 
     if args.chain == "mux":

@@ -42,6 +42,44 @@ def test_css_link_clean_all_crs(rng):
         assert sync.ok and ok and out == payload
 
 
+def test_css_stream_multi_burst(rng):
+    # two bursts separated by noise decode independently
+    p = css.make_css_params(sf=7, cr=4)
+    pay = [b"first burst", b"secondburst"]
+    gap = (0.05 * (rng.standard_normal(777)
+                   + 1j * rng.standard_normal(777))).astype(np.complex64)
+    x = np.concatenate([gap, css.css_transmit(p, pay[0]), gap,
+                        css.css_transmit(p, pay[1]), gap])
+    got = css.css_receive_stream(p, x, len(pay[0]))
+    assert len(got) == 2
+    for (out, ok, start), want in zip(got, pay):
+        assert ok and out == want
+    assert got[0][2] == 777 + css.preamble_len(p)
+
+
+def test_cli_css_decodes_capture(rng, tmp_path):
+    import json
+
+    from srcdsp_tpu.cli import main as cli_main
+    from srcdsp_tpu.io.capture import CaptureMeta, write_capture
+
+    p = css.make_css_params(sf=7, cr=4)
+    payload = b"cli css burst 1!"
+    tx = css.css_transmit(p, payload)
+    x = np.concatenate([np.zeros(300, np.complex64), tx,
+                        np.zeros(300, np.complex64)])
+    x += (0.05 * (rng.standard_normal(x.size)
+                  + 1j * rng.standard_normal(x.size))).astype(np.complex64)
+    capf = str(tmp_path / "css.cf32")
+    write_capture(capf, x, CaptureMeta(fmt="cf32"))
+    out = str(tmp_path / "bursts.jsonl")
+    cli_main(["css", capf, out, "--css-sf", "7", "--css-cr", "4",
+              "--css-len", str(len(payload))])
+    recs = [json.loads(line) for line in open(out)]
+    assert len(recs) == 1 and recs[0]["crc_ok"]
+    assert bytes.fromhex(recs[0]["hex"]) == payload
+
+
 def test_css_frame_nsym_consistency():
     # the receiver's symbol-count contract matches the encoder for a
     # sweep of payload lengths and parameters
