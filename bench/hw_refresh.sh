@@ -52,4 +52,7 @@ log=bench/hw_refresh_${ts}.log
   echo "== round 5: config-2 pre-framed (transfer #3) =="
   timeout 2400 python bench/ab_resample_preframed.py 25 --bf16 --out-tile 2304
   timeout 2400 python bench/run.py config2_onchip_preframed
+  echo "== round 5 late: CSS serving tier + ingest e2e =="
+  timeout 1800 python bench/css_onchip.py --syms 65536
+  timeout 1800 python bench/ingest_e2e.py
 } 2>&1 | tee "$log"
