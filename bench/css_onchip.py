@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--sf", type=int, default=8)
     ap.add_argument("--syms", type=int, default=16384)
     ap.add_argument("--snr-db", type=float, default=-5.0)
+    ap.add_argument("--bf16", action="store_true",
+                    help="DEFAULT (1-pass bf16) matmul precision: a "
+                         "serving TIER like config-2 bf16 — gated on "
+                         "truth SER, not CPU bit-identity")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +51,9 @@ def main():
     xr = np.ascontiguousarray(fr.real).astype(np.float32)
     xi = np.ascontiguousarray(fr.imag).astype(np.float32)
 
-    fn = jax.jit(make_css_demod_planes(p))
+    prec = (jax.lax.Precision.DEFAULT if args.bf16
+            else jax.lax.Precision.HIGHEST)
+    fn = jax.jit(make_css_demod_planes(p, precision=prec))
     cpu = jax.local_devices(backend="cpu")[0]
     k_c, _ = fn(jax.device_put(jnp.asarray(xr), cpu),
                 jax.device_put(jnp.asarray(xi), cpu))
@@ -59,6 +65,7 @@ def main():
     k_t = np.asarray(out_t[0])
     match = bool(np.array_equal(k_t, k_c))
     ser = float(np.mean(k_c != ks))
+    ser_t = float(np.mean(k_t != ks))      # the bf16 tier's real gate
 
     def region(k):
         t0 = time.perf_counter()
@@ -79,7 +86,9 @@ def main():
     print(json.dumps({
         "probe": "css_demod_onchip", "sf": args.sf, "syms": s,
         "chips_per_call": chips, "snr_db": args.snr_db,
+        "bf16": args.bf16,
         "decisions_match_cpu": match, "cpu_ser_vs_truth": ser,
+        "chip_ser_vs_truth": ser_t,
         "ms_per_call": round(sec * 1e3, 3) if sec else None,
         "msps": round(chips / sec / 1e6, 1) if sec else None,
         "gflops_per_s": round(flops / sec / 1e9, 1) if sec else None,

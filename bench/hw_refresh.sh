@@ -54,5 +54,6 @@ log=bench/hw_refresh_${ts}.log
   timeout 2400 python bench/run.py config2_onchip_preframed
   echo "== round 5 late: CSS serving tier + ingest e2e =="
   timeout 1800 python bench/css_onchip.py --syms 65536
+  timeout 1800 python bench/css_onchip.py --syms 65536 --bf16
   timeout 1800 python bench/ingest_e2e.py
 } 2>&1 | tee "$log"
