@@ -701,6 +701,37 @@ def _css(args) -> None:
           file=sys.stderr)
 
 
+def _apt(args) -> None:
+    """NOAA APT driver: FM IQ capture (or raw f32 MPX with --mpx) ->
+    discriminator -> 2400 Hz AM envelope -> sync -> full-line image
+    written as a binary PGM (P5, 8-bit, 2080 px wide — both video
+    channels plus sync/telemetry bands, the standard APT raster)."""
+    import jax
+    import jax.numpy as jnp
+
+    from srcdsp_tpu.chains.apt import apt_decode_mpx, make_apt_params
+    from srcdsp_tpu.io.capture import read_capture
+
+    p = make_apt_params(fs=args.fs)
+    if args.mpx:
+        mpx = np.fromfile(args.infile, np.float32)
+    else:
+        from srcdsp_tpu.chains.fsk import discriminate
+        x, _meta = read_capture(args.infile)
+        last = jnp.zeros((1,), jnp.complex64)
+        _, d = jax.jit(discriminate)(last, jnp.asarray(
+            np.asarray(x).astype(np.complex64)))
+        mpx = np.asarray(d) / args.dev
+    out = apt_decode_mpx(p, mpx.astype(np.float32))
+    img = np.clip(out["lines"], 0.0, 1.0)
+    pix = (img * 255.0 + 0.5).astype(np.uint8)
+    with open(args.outfile, "wb") as f:
+        f.write(b"P5\n%d %d\n255\n" % (pix.shape[1], pix.shape[0]))
+        f.write(pix.tobytes())
+    print(f"wrote {pix.shape[0]} APT lines (sync offset "
+          f"{out['offset']}, score {out['score']:.1f})", file=sys.stderr)
+
+
 def _ax25(args) -> None:
     """AX.25/APRS driver: real f32 audio (Bell-202 AFSK) -> FSK demod ->
     HDLC/FCS deframe -> parsed frames as JSON lines."""
@@ -708,6 +739,8 @@ def _ax25(args) -> None:
 
     from srcdsp_tpu.chains.ax25 import decode_ax25_audio
 
+    if args.fs is None:
+        args.fs = 13200.0
     if abs(args.fs / 1200.0 - round(args.fs / 1200.0)) > 1e-9:
         raise SystemExit(
             f"--fs {args.fs} is not an integer multiple of 1200 Hz; "
@@ -738,7 +771,7 @@ def main(argv=None) -> None:
                                      "scan", "mux", "resample", "gen",
                                      "fecenc", "fecdec", "scf", "adsb",
                                      "ais", "rds", "gps", "pocsag", "ax25",
-                                     "css"])
+                                     "css", "apt"])
     p.add_argument("infile")
     p.add_argument("outfile", nargs="?", default=None,
                    help="output path (optional for `gen`, whose single "
@@ -817,8 +850,10 @@ def main(argv=None) -> None:
                    help="rds: input is raw f32 MPX, not FM IQ "
                         "(--pilot gives the pilot freq in cycles/sample "
                         "at the capture rate, shared with fm --stereo)")
-    p.add_argument("--fs", type=float, default=13200.0,
-                   help="ax25: audio sample rate in Hz")
+    p.add_argument("--fs", type=float, default=None,
+                   help="sample rate in Hz (ax25 audio, default 13200; "
+                        "apt MPX/IQ, default 20800 — must be a "
+                        "multiple of 4160)")
     p.add_argument("--prn", default="all",
                    help="gps: PRN 1..32 or 'all'")
     p.add_argument("--doppler-bins", type=int, default=10,
@@ -927,6 +962,15 @@ def main(argv=None) -> None:
         if not 1 <= args.css_len <= 255:
             p.error(f"--css-len must be in [1, 255], got {args.css_len}")
         _css(args)
+        return
+
+    if args.chain == "apt":
+        if args.fs is None:
+            args.fs = 20800.0
+        if args.fs % 4160:
+            p.error(f"--fs must be a multiple of the 4160 word rate, "
+                    f"got {args.fs}")
+        _apt(args)
         return
 
     if args.chain == "mux":
