@@ -732,6 +732,37 @@ def _apt(args) -> None:
           f"{out['offset']}, score {out['score']:.1f})", file=sys.stderr)
 
 
+def _acars(args) -> None:
+    """ACARS driver: AM IQ capture (envelope = |x| - DC) or raw f32
+    audio with --mpx -> MSK demod -> block decode -> JSON lines."""
+    import json
+
+    from srcdsp_tpu.chains.acars import decode_acars_audio
+    from srcdsp_tpu.io.capture import read_capture
+
+    fs = args.fs if args.fs is not None else 48000.0
+    if fs % 2400:
+        raise SystemExit(f"--fs {fs} must be a multiple of 2400 for "
+                         f"integer samples/bit")
+    if args.mpx:
+        audio = np.fromfile(args.infile, np.float32)
+    else:
+        x, _meta = read_capture(args.infile)
+        env = np.abs(np.asarray(x)).astype(np.float32)
+        audio = env - env.mean()
+    recs = decode_acars_audio(audio, int(fs // 2400), fs)
+    out = open(args.outfile, "w") if args.outfile != "-" else sys.stdout
+    for r in recs:
+        out.write(json.dumps({
+            "start_bit": r["start_bit"], "bcs_ok": r["bcs_ok"],
+            "mode": r["mode"], "address": r["address"],
+            "label": r["label"], "bid": r["bid"],
+            "text": r["text"]}) + "\n")
+    if out is not sys.stdout:
+        out.close()
+    print(f"decoded {len(recs)} ACARS blocks", file=sys.stderr)
+
+
 def _ax25(args) -> None:
     """AX.25/APRS driver: real f32 audio (Bell-202 AFSK) -> FSK demod ->
     HDLC/FCS deframe -> parsed frames as JSON lines."""
@@ -771,7 +802,7 @@ def main(argv=None) -> None:
                                      "scan", "mux", "resample", "gen",
                                      "fecenc", "fecdec", "scf", "adsb",
                                      "ais", "rds", "gps", "pocsag", "ax25",
-                                     "css", "apt"])
+                                     "css", "apt", "acars"])
     p.add_argument("infile")
     p.add_argument("outfile", nargs="?", default=None,
                    help="output path (optional for `gen`, whose single "
@@ -962,6 +993,10 @@ def main(argv=None) -> None:
         if not 1 <= args.css_len <= 255:
             p.error(f"--css-len must be in [1, 255], got {args.css_len}")
         _css(args)
+        return
+
+    if args.chain == "acars":
+        _acars(args)
         return
 
     if args.chain == "apt":
