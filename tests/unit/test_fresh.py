@@ -167,3 +167,47 @@ def test_blind_fresh_from_cyclic_moment_lines(rng):
     s_wiener = sinr((FreshBranch(0.0, False),))
     assert s_blind > s_genie - 2.0, (s_blind, s_genie)
     assert s_blind > s_wiener + 8.0, (s_blind, s_wiener)
+
+
+def test_fresh_planes_matches_complex_tier(rng):
+    """Plane-form apply == the frames-matmul tier: equal output SINR
+    (within 0.1 dB) and samplewise agreement on the co-channel fixture
+    (u32-word vs float64 rotator phases differ at the 1e-5 level)."""
+    import jax
+    from srcdsp_tpu.ops.fresh_planes import make_fresh_planes
+
+    sps_a, sps_b = 8, 5
+    fc_a, fc_b = 0.02, 0.035
+    n = 16384
+    a = _bpsk(rng, n // sps_a + 8, sps_a, fc_a)[:n]
+    b = _bpsk(rng, n // sps_b + 8, sps_b, fc_b)[:n]
+    x = (a + b + 0.03 * (rng.standard_normal(n)
+                         + 1j * rng.standard_normal(n))
+         ).astype(np.complex64)
+    half = n // 2
+    taps = 24
+    br = merge_branches(bpsk_branches(fc_a, 1.0 / sps_a),
+                        bpsk_branches(fc_b, 1.0 / sps_b))
+    f = fresh_design(jnp.asarray(x[:half]), jnp.asarray(a[:half]),
+                     br, taps=taps, n0=0)
+    y_ref = np.asarray(fresh_apply(f, jnp.asarray(x[half:]), n0=half))
+    stride = 512
+    fn = jax.jit(make_fresh_planes(f, stride=stride), static_argnums=2)
+    hist = 32                       # padded taps 33 at stride 512
+    nn = ((half - hist) // stride) * stride
+    seg = x[half: half + nn + hist]
+    yr, yi = fn(jnp.asarray(seg.real[None, :]),
+                jnp.asarray(seg.imag[None, :]), half)
+    y_pl = (np.asarray(yr) + 1j * np.asarray(yi))[0]
+    y_ref = y_ref[: y_pl.size]
+    scale = np.sqrt(np.mean(np.abs(y_ref) ** 2))
+    np.testing.assert_allclose(y_pl, y_ref, atol=2e-3 * scale)
+
+    dref = a[half:][taps - 1 - f.delay: taps - 1 - f.delay + y_pl.size]
+
+    def sdb(y):
+        return 10 * np.log10(np.mean(np.abs(dref) ** 2)
+                             / np.mean(np.abs(y - dref) ** 2))
+
+    assert abs(sdb(y_pl) - sdb(y_ref)) < 0.1
+    assert sdb(y_pl) > 9.0
