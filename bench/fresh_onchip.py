@@ -24,6 +24,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log2", type=int, default=21)
     ap.add_argument("--taps", type=int, default=24)
+    ap.add_argument("--bf16", action="store_true",
+                    help="DEFAULT (1-pass bf16) matmul tier — gated on "
+                         "SINR within 0.2 dB of the f32 complex tier")
     args = ap.parse_args()
 
     import jax
@@ -64,7 +67,10 @@ def main():
         f = f._replace(weights=jnp.asarray(np.asarray(f.weights)))
     taps = args.taps
     stride = 128
-    fn = jax.jit(make_fresh_planes(f, stride=stride), static_argnums=2)
+    prec = (jax.lax.Precision.DEFAULT if args.bf16
+            else jax.lax.Precision.HIGHEST)
+    fn = jax.jit(make_fresh_planes(f, stride=stride, precision=prec),
+                 static_argnums=2)
 
     hist = 32                            # padded taps 33
     nn = ((x.size - ntr - hist) // stride) * stride
@@ -103,6 +109,7 @@ def main():
     flops = 8 * (ns // stride) * span * stride * len(br)   # dense-band matmuls
     print(json.dumps({
         "probe": "fresh_onchip", "n": ns, "taps": taps,
+        "bf16": args.bf16,
         "branches": len(br),
         "chip_matches_cpu": close,
         "sinr_chip_db": round(sdb(y_t), 2),

@@ -57,4 +57,5 @@ log=bench/hw_refresh_${ts}.log
   timeout 1800 python bench/css_onchip.py --syms 65536 --bf16
   timeout 1800 python bench/ingest_e2e.py
   timeout 1800 python bench/fresh_onchip.py --log2 22
+  timeout 1800 python bench/fresh_onchip.py --log2 22 --bf16
 } 2>&1 | tee "$log"
