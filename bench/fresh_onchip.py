@@ -69,10 +69,10 @@ def main():
     stride = 128
     prec = (jax.lax.Precision.DEFAULT if args.bf16
             else jax.lax.Precision.HIGHEST)
-    fn = jax.jit(make_fresh_planes(f, stride=stride, precision=prec),
-                 static_argnums=2)
+    raw = make_fresh_planes(f, stride=stride, precision=prec)
+    fn = jax.jit(raw, static_argnums=2)
 
-    hist = 32                            # padded taps 33
+    hist = raw.hist
     nn = ((x.size - ntr - hist) // stride) * stride
     seg = x[ntr: ntr + nn + hist]
     xr = np.ascontiguousarray(seg.real[None, :]).astype(np.float32)

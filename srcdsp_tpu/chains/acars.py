@@ -33,6 +33,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from srcdsp_tpu.gf2 import crc_init, crc_update, crc_value, make_crc
+
 __all__ = ["char_bits", "bits_chars", "acars_bcs",
            "build_acars_frame", "parse_acars_chars",
            "acars_modulate", "demod_acars_bits", "decode_acars_audio",
@@ -62,15 +64,17 @@ def bits_chars(bits: np.ndarray) -> np.ndarray:
     return (b @ (1 << np.arange(8))).astype(np.int64)
 
 
+_BCS = make_crc(0x1021, 16, init=0, xorout=0, reflect=True)
+
+
 def acars_bcs(chars) -> int:
     """Block check sequence: reflected CRC-16 (poly 0x1021, LSB-first
-    bit order, zero init) over the on-air bytes."""
-    crc = 0
-    for c in chars:
-        crc ^= int(c) & 0xFF
-        for _ in range(8):
-            crc = (crc >> 1) ^ 0x8408 if crc & 1 else crc >> 1
-    return crc
+    bit order, zero init — CRC-16/KERMIT) over the on-air bytes, via
+    the house gf2 engine (the AIS X-25 FCS is the same reflected family
+    with init/xorout 0xFFFF)."""
+    s = crc_update(_BCS, crc_init(_BCS),
+                   jnp.asarray(char_bits(chars), jnp.int32))
+    return int(np.asarray(crc_value(_BCS, s)))
 
 
 def build_acars_frame(text: bytes, mode: str = "2",
@@ -111,6 +115,10 @@ def parse_acars_chars(chars: np.ndarray) -> dict | None:
             term = i
             break
     if term is None or term + 3 > ch.size or term < 13:
+        return None
+    if int(ch[12]) & 0x7F != STX:
+        # not a text block (or a bit error moved the terminator): the
+        # fixed-offset header parse below would slice garbage fields
         return None
     body = ch[: term + 1]
     par_bad = int(sum(1 for c in body if bin(int(c)).count("1") % 2 == 0))

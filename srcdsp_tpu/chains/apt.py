@@ -154,9 +154,14 @@ def apt_envelope(params: AptParams, mpx: jax.Array) -> jax.Array:
     lowpass + 2*|z| (phase-blind; a frequency-offset subcarrier only
     rotates z, the magnitude is untouched)."""
     x = jnp.asarray(mpx, F32)
-    n = x.shape[-1]
-    ph = (2 * np.pi * SUBCARRIER_HZ / params.fs) \
-        * jnp.arange(n, dtype=F32)
+    n = int(x.shape[-1])
+    # exact f64 frac phase, host-built (n is static under jit): an
+    # unwrapped f32 ramp hits ~0.5 rad ULP jitter by sample 16M — a
+    # full 13-min APT pass — washing out the late image lines (review
+    # finding; every streaming chain uses u32 words for this reason)
+    fr = np.mod((SUBCARRIER_HZ / params.fs)
+                * np.arange(n, dtype=np.float64), 1.0)
+    ph = jnp.asarray((2 * np.pi * fr).astype(np.float32))
     z = x * jax.lax.complex(jnp.cos(ph), -jnp.sin(ph))
     h = jnp.asarray(params.lp_taps)
     zr = jnp.convolve(jnp.real(z), h, mode="same")

@@ -48,6 +48,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from srcdsp_tpu.gf2 import crc_init, crc_update, crc_value, make_crc
 from srcdsp_tpu.types import CF32, F32
 
 
@@ -135,10 +136,7 @@ def css_frames(params: CssParams, x: jax.Array) -> jax.Array:
 def css_demod(params: CssParams, x: jax.Array):
     """Demodulate an ALIGNED chip stream [S*N] -> (shifts [S] i32,
     peak [S] c64 — the complex DFT peak, for phase/SNR diagnostics)."""
-    spec = jnp.fft.fft(css_frames(params, x), axis=-1)
-    k = jnp.argmax(jnp.abs(spec), axis=-1)
-    return k.astype(jnp.int32), jnp.take_along_axis(
-        spec, k[:, None], axis=-1)[:, 0]
+    return css_demod_frames(params, css_frames(params, x))
 
 
 def css_demod_frames(params: CssParams, frames: jax.Array):
@@ -202,9 +200,13 @@ def css_sync(params: CssParams, x: jax.Array) -> CssSync:
     up_pk = np.asarray(jnp.take_along_axis(
         up_spec, jnp.asarray(up_bin)[:, None], axis=-1)[:, 0])
 
-    # find the longest run of (nearly) equal bins = the upchirp body;
-    # +-1 slack absorbs a fractional CFO sitting between two bins
-    best_i, best_len = 0, 0
+    # collect runs of (nearly) equal bins in stream order; +-1 slack
+    # absorbs a fractional CFO sitting between two bins. Each run >= 3
+    # is a preamble CANDIDATE, validated in order by the sync-word
+    # check — taking the first validated run (not the globally longest)
+    # keeps an early burst from being shadowed by a later one whose
+    # straddle frames happen to extend its run (review finding).
+    runs = []
     i = 0
     while i < nsym:
         j = i
@@ -212,10 +214,26 @@ def css_sync(params: CssParams, x: jax.Array) -> CssSync:
                and abs(int(_wrap_half(int(up_bin[j + 1]) - int(up_bin[i]),
                                       n))) <= 1):
             j += 1
-        if j - i + 1 > best_len:
-            best_i, best_len = i, j - i + 1
+        if j - i + 1 >= 3:
+            runs.append((i, j - i + 1))
         i = j + 1
-    if best_len < 3:
+
+    best_i = best_len = None
+    sync_end = None
+    for ri, rl in runs:
+        b_up_c = int(up_bin[ri + rl // 2])
+        for f in range(ri + rl - 1, min(ri + rl + 3, nsym - 1)):
+            d1 = int(_wrap_half(int(up_bin[f]) - b_up_c - params.sync1,
+                                n))
+            d2 = int(_wrap_half(int(up_bin[f + 1]) - b_up_c
+                                - params.sync2, n))
+            if abs(d1) <= 1 and abs(d2) <= 1:
+                sync_end = f + 2      # first downchirp frame index
+                break
+        if sync_end is not None:
+            best_i, best_len = ri, rl
+            break
+    if sync_end is None:
         return CssSync(0, 0.0, 0, False)
     b_up = int(up_bin[best_i + best_len // 2])
 
@@ -227,18 +245,6 @@ def css_sync(params: CssParams, x: jax.Array) -> CssSync:
         eps_frac = float(np.angle(rot.sum()) / (2 * np.pi))
     else:
         eps_frac = 0.0
-
-    # sync word: scan frames after the run for the sync1/sync2 offsets
-    sync_end = None
-    for f in range(best_i + best_len - 1,
-                   min(best_i + best_len + 3, nsym - 1)):
-        d1 = int(_wrap_half(int(up_bin[f]) - b_up - params.sync1, n))
-        d2 = int(_wrap_half(int(up_bin[f + 1]) - b_up - params.sync2, n))
-        if abs(d1) <= 1 and abs(d2) <= 1:
-            sync_end = f + 2          # first downchirp frame index
-            break
-    if sync_end is None:
-        return CssSync(0, 0.0, 0, False)
 
     # downchirps: dechirp with u over the two grid frames covering them.
     # Whatever the sign of tau, ONE of the two frames lies fully inside
@@ -389,7 +395,13 @@ def diag_deinterleave(sym_bits: np.ndarray, sf: int) -> np.ndarray:
 
 def whitening_seq(nbits: int, seed: int = 0x1FF) -> np.ndarray:
     """Whitening PN bits from a 9-bit Fibonacci LFSR x^9 + x^5 + 1
-    (a maximal m-sequence; repo convention, seeded all-ones)."""
+    (a maximal m-sequence; repo convention, seeded all-ones).
+
+    Deliberately NOT routed through gf2.make_scrambler: this function's
+    contract is the exact output-bit/seed convention documented here
+    (LSB-out, right-shift register, arbitrary integer seeds — tested),
+    which does not map 1:1 onto the shared scrambler's feedback-out
+    state convention; frames are short, so the per-bit loop is fine."""
     state = seed & 0x1FF
     out = np.empty(nbits, np.int64)
     for i in range(nbits):
@@ -399,13 +411,15 @@ def whitening_seq(nbits: int, seed: int = 0x1FF) -> np.ndarray:
     return out
 
 
-def crc16_ccitt(bits: np.ndarray, init: int = 0xFFFF) -> int:
-    """CRC-16/CCITT-FALSE over a bit vector (MSB-first), poly 0x1021."""
-    crc = init
-    for b in np.asarray(bits, np.int64):
-        fb = ((crc >> 15) & 1) ^ int(b)
-        crc = ((crc << 1) & 0xFFFF) ^ (0x1021 if fb else 0)
-    return crc
+_CRC16 = make_crc(0x1021, 16, init=0xFFFF)    # CRC-16/CCITT-FALSE
+
+
+def crc16_ccitt(bits: np.ndarray) -> int:
+    """CRC-16/CCITT-FALSE over a bit vector (MSB-first), poly 0x1021 —
+    the house gf2 engine (same machinery as the AIS FCS / BLE CRC-24)."""
+    s = crc_update(_CRC16, crc_init(_CRC16),
+                   jnp.asarray(np.asarray(bits, np.int32)))
+    return int(np.asarray(crc_value(_CRC16, s)))
 
 
 # ---------------------------------------------------------------------------

@@ -96,14 +96,20 @@ def refine_cycle(x: jax.Array, alpha0: float, conj: bool,
     (baud) cycles. Fine grid scan over +-span (step ~1/4 of the 2/N
     mainlobe at the default sizes), then a 3-point parabolic peak fit
     — accuracy ~1e-5 cycles/sample, inside the coherence budget."""
-    xv = jnp.asarray(x)
-    v = xv * xv if conj else (xv * jnp.conj(xv)).real.astype(CF32)
+    xv = np.asarray(x)
+    v = xv * xv if conj else (xv * np.conj(xv)).real.astype(np.complex64)
     n = v.shape[-1]
     grid = np.linspace(alpha0 - span, alpha0 + span, points)
-    # [points, N] rotator via exact frac to keep f32 phases small
-    fr = np.mod(np.outer(grid, np.arange(n, dtype=np.float64)), 1.0)
-    rot = np.exp(-2j * np.pi * fr).astype(np.complex64)
-    c = np.abs(np.asarray(jnp.asarray(rot) @ v))
+    # rotators built per grid-CHUNK (a [points, N] outer product would
+    # allocate ~2 GB at N=1e6 — review finding); exact f64 frac keeps
+    # the phases small before the c64 cast
+    idx = np.arange(n, dtype=np.float64)
+    c = np.empty(points)
+    for lo in range(0, points, 8):
+        g = grid[lo: lo + 8]
+        fr = np.mod(g[:, None] * idx[None, :], 1.0)
+        rot = np.exp(-2j * np.pi * fr).astype(np.complex64)
+        c[lo: lo + 8] = np.abs(rot @ v)
     k = int(np.argmax(c))
     if 0 < k < points - 1:
         y0, y1, y2 = c[k - 1], c[k], c[k + 1]

@@ -60,6 +60,9 @@ def make_fresh_planes(f: FreshFilter, stride: int = 128,
     (taps are zero-padded up to that geometry). n0 (static int) is the
     global index of x[0]. Output n estimates d[n0 + n + taps - 1 -
     delay], exactly like `fresh_apply`."""
+    if f.taps > stride + 1:
+        raise ValueError(f"taps {f.taps} cannot pad to a divisor of "
+                         f"stride {stride}; raise stride")
     tp = f.taps
     while (tp - 1) <= 0 or stride % (tp - 1):
         tp += 1
@@ -118,4 +121,7 @@ def make_fresh_planes(f: FreshFilter, stride: int = 128,
             acci = acci + jnp.sum(mr * s + mi * c, axis=1)
         return accr.reshape(1, n), acci.reshape(1, n)
 
+    fn.hist = hist          # callers size input as [1, N + fn.hist]
+    fn.stride = stride
+    fn.taps_padded = tp
     return fn

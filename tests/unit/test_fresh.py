@@ -192,8 +192,9 @@ def test_fresh_planes_matches_complex_tier(rng):
                      br, taps=taps, n0=0)
     y_ref = np.asarray(fresh_apply(f, jnp.asarray(x[half:]), n0=half))
     stride = 512
-    fn = jax.jit(make_fresh_planes(f, stride=stride), static_argnums=2)
-    hist = 32                       # padded taps 33 at stride 512
+    raw = make_fresh_planes(f, stride=stride)
+    fn = jax.jit(raw, static_argnums=2)
+    hist = raw.hist                 # factory-exposed padded history
     nn = ((half - hist) // stride) * stride
     seg = x[half: half + nn + hist]
     yr, yi = fn(jnp.asarray(seg.real[None, :]),
@@ -211,3 +212,16 @@ def test_fresh_planes_matches_complex_tier(rng):
 
     assert abs(sdb(y_pl) - sdb(y_ref)) < 0.1
     assert sdb(y_pl) > 9.0
+
+
+def test_fresh_planes_rejects_unpaddable_taps(rng):
+    import pytest
+    from srcdsp_tpu.ops.fresh_planes import make_fresh_planes
+
+    n = 4096
+    d = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    f = fresh_design(jnp.asarray(d), jnp.asarray(d),
+                     (FreshBranch(0.0, False),), taps=160)
+    with pytest.raises(ValueError):
+        make_fresh_planes(f, stride=128)   # 159 can never divide 128
