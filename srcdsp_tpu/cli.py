@@ -763,6 +763,38 @@ def _acars(args) -> None:
     print(f"decoded {len(recs)} ACARS blocks", file=sys.stderr)
 
 
+def _sstv(args) -> None:
+    """SSTV driver: NBFM IQ capture (or raw f32 audio with --mpx) ->
+    instantaneous-frequency decode (Martin M1) -> binary PPM (P6,
+    8-bit RGB)."""
+    import jax
+    import jax.numpy as jnp
+
+    from srcdsp_tpu.chains.sstv import make_sstv_params, sstv_decode
+    from srcdsp_tpu.io.capture import read_capture
+
+    fs = args.fs if args.fs is not None else 11025.0
+    p = make_sstv_params(fs=fs, height=args.lines)
+    if args.mpx:
+        audio = np.fromfile(args.infile, np.float32)
+    else:
+        from srcdsp_tpu.chains.fsk import discriminate
+        x, _meta = read_capture(args.infile)
+        last = jnp.zeros((1,), jnp.complex64)
+        _, d = jax.jit(discriminate)(last, jnp.asarray(
+            np.asarray(x).astype(np.complex64)))
+        audio = np.asarray(d) / args.dev
+    out = sstv_decode(p, audio.astype(np.float32))
+    if not out["ok"]:
+        raise SystemExit("no SSTV VIS header found")
+    pix = (np.clip(out["image"], 0, 1) * 255.0 + 0.5).astype(np.uint8)
+    with open(args.outfile, "wb") as fo:
+        fo.write(b"P6\n%d %d\n255\n" % (pix.shape[1], pix.shape[0]))
+        fo.write(pix.tobytes())
+    print(f"decoded SSTV VIS {out['vis']}: {pix.shape[1]}x{pix.shape[0]}",
+          file=sys.stderr)
+
+
 def _ax25(args) -> None:
     """AX.25/APRS driver: real f32 audio (Bell-202 AFSK) -> FSK demod ->
     HDLC/FCS deframe -> parsed frames as JSON lines."""
@@ -802,7 +834,7 @@ def main(argv=None) -> None:
                                      "scan", "mux", "resample", "gen",
                                      "fecenc", "fecdec", "scf", "adsb",
                                      "ais", "rds", "gps", "pocsag", "ax25",
-                                     "css", "apt", "acars"])
+                                     "css", "apt", "acars", "sstv"])
     p.add_argument("infile")
     p.add_argument("outfile", nargs="?", default=None,
                    help="output path (optional for `gen`, whose single "
@@ -918,6 +950,8 @@ def main(argv=None) -> None:
     p.add_argument("--hard", action="store_true",
                    help="fecdec: input is u8 hard bits (mapped to +-4 "
                         "LLRs) instead of f32 LLRs")
+    p.add_argument("--lines", type=int, default=256,
+                   help="sstv: image height (Martin M1 standard 256)")
     p.add_argument("--css-sf", type=int, default=8,
                    help="css: spreading factor (2^sf chips/symbol)")
     p.add_argument("--css-cr", type=int, default=4,
@@ -997,6 +1031,10 @@ def main(argv=None) -> None:
 
     if args.chain == "acars":
         _acars(args)
+        return
+
+    if args.chain == "sstv":
+        _sstv(args)
         return
 
     if args.chain == "apt":
