@@ -185,3 +185,70 @@ long ing_frame_ci16_bf16_mt(const int16_t* iq, long n_total, long hist,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// byte wire formats (rtl-sdr cu8, HackRF ci8) — io/capture.py's exact
+// conversion formulas, framed in the same one pass.
+
+namespace {
+
+template <typename T, typename Conv>
+long frame_bytes(const T* iq, long n_total, long hist, long stride,
+                 long span, Conv cv, float* out_r, float* out_i,
+                 int threads) {
+    if (span - stride != hist || hist <= 0 || stride % hist != 0)
+        return -1;
+    const long n_in = n_total - hist;
+    if (n_in <= 0 || n_in % stride != 0) return -1;
+    const long nt = n_in / stride;
+    auto rows = [=](long j0, long j1) {
+        for (long j = j0; j < j1; ++j) {
+            const T* src = iq + 2 * j * stride;
+            float* dr = out_r + j * span;
+            float* di = out_i + j * span;
+            for (long k = 0; k < span; ++k) {
+                dr[k] = cv(src[2 * k]);
+                di[k] = cv(src[2 * k + 1]);
+            }
+        }
+    };
+    if (threads < 2) {
+        rows(0, nt);
+        return nt;
+    }
+    std::vector<std::thread> ws;
+    const long chunk = (nt + threads - 1) / threads;
+    for (int w = 0; w < threads; ++w) {
+        const long j0 = w * chunk;
+        const long j1 = (j0 + chunk < nt) ? j0 + chunk : nt;
+        if (j0 >= j1) break;
+        ws.emplace_back([=]() { rows(j0, j1); });
+    }
+    for (auto& t : ws) t.join();
+    return nt;
+}
+
+}  // namespace
+
+extern "C" {
+
+long ing_frame_cu8_f32_mt(const uint8_t* iq, long n_total, long hist,
+                          long stride, long span,
+                          float* out_r, float* out_i, int threads) {
+    return frame_bytes(iq, n_total, hist, stride, span,
+                       [](uint8_t v) {
+                           return (static_cast<float>(v) - 127.5f)
+                                  / 127.5f;
+                       }, out_r, out_i, threads);
+}
+
+long ing_frame_ci8_f32_mt(const int8_t* iq, long n_total, long hist,
+                          long stride, long span,
+                          float* out_r, float* out_i, int threads) {
+    return frame_bytes(iq, n_total, hist, stride, span,
+                       [](int8_t v) {
+                           return static_cast<float>(v) / 127.0f;
+                       }, out_r, out_i, threads);
+}
+
+}  // extern "C"

@@ -97,3 +97,36 @@ def frame_f32(planes: np.ndarray, hist: int, stride: int, span: int):
         out_r.ctypes.data_as(f32p), out_i.ctypes.data_as(f32p))
     _check(nt, "frame_f32")
     return out_r, out_i
+
+
+def frame_cu8(iq: np.ndarray, hist: int, stride: int, span: int,
+              threads: int = 1):
+    """rtl-sdr cu8 interleaved bytes [2*(hist+N)] -> framed f32 plane
+    pair [NT, span] ((b - 127.5)/127.5, io/capture.py's formula)."""
+    iq = np.ascontiguousarray(iq, np.uint8).reshape(-1)
+    return _frame_bytes(iq, hist, stride, span, threads,
+                        "ing_frame_cu8_f32_mt", ctypes.c_uint8)
+
+
+def frame_ci8(iq: np.ndarray, hist: int, stride: int, span: int,
+              threads: int = 1):
+    """HackRF ci8 interleaved bytes -> framed f32 plane pair (b/127)."""
+    iq = np.ascontiguousarray(iq, np.int8).reshape(-1)
+    return _frame_bytes(iq, hist, stride, span, threads,
+                        "ing_frame_ci8_f32_mt", ctypes.c_int8)
+
+
+def _frame_bytes(iq, hist, stride, span, threads, sym, ctype):
+    n_total = iq.size // 2
+    nt_max = (n_total - hist) // stride
+    out_r = np.empty((nt_max, span), np.float32)
+    out_i = np.empty((nt_max, span), np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    nt = getattr(_lib(), sym)(
+        iq.ctypes.data_as(ctypes.POINTER(ctype)),
+        ctypes.c_long(n_total), ctypes.c_long(hist),
+        ctypes.c_long(stride), ctypes.c_long(span),
+        out_r.ctypes.data_as(f32p), out_i.ctypes.data_as(f32p),
+        ctypes.c_int(threads))
+    _check(nt, sym)
+    return out_r, out_i

@@ -64,3 +64,29 @@ def test_threaded_framing_bit_identical():
     b4, c4 = frame_ci16(iq, hist, stride, span, bf16=True, threads=4)
     np.testing.assert_array_equal(b1, b4)
     np.testing.assert_array_equal(c1, c4)
+
+
+def test_cu8_ci8_match_capture_conversion():
+    from srcdsp_tpu.io.framer import frame_ci8, frame_cu8
+
+    rng = np.random.default_rng(4)
+    hist, stride = 128, 1024
+    span = stride + hist
+    n_total = hist + 5 * stride
+    for fmt, fn in (("cu8", frame_cu8), ("ci8", frame_ci8)):
+        if fmt == "cu8":
+            iq = rng.integers(0, 256, (n_total, 2)).astype(np.uint8)
+            f = (iq.astype(np.float32) - np.float32(127.5)) \
+                / np.float32(127.5)
+        else:
+            iq = rng.integers(-128, 128, (n_total, 2)).astype(np.int8)
+            f = iq.astype(np.float32) / np.float32(127.0)
+        fr_r, fr_i = fn(iq, hist, stride, span)
+        ref = np.asarray(frame_planes(jnp.asarray(f.T.copy()),
+                                      stride, span))
+        np.testing.assert_array_equal(fr_r, ref[0])
+        np.testing.assert_array_equal(fr_i, ref[1])
+        # threaded bit-identical
+        r4, i4 = fn(iq, hist, stride, span, threads=4)
+        np.testing.assert_array_equal(fr_r, r4)
+        np.testing.assert_array_equal(fr_i, i4)
