@@ -763,6 +763,29 @@ def _acars(args) -> None:
     print(f"decoded {len(recs)} ACARS blocks", file=sys.stderr)
 
 
+def _navtex(args) -> None:
+    """NAVTEX driver: complex-baseband FSK capture (100 Bd, +-dev) ->
+    SITOR-B diversity decode -> parsed message JSON."""
+    import json
+
+    from srcdsp_tpu.chains.navtex import (decode_navtex_audio,
+                                          navtex_parse)
+    from srcdsp_tpu.io.capture import read_capture
+
+    x, _meta = read_capture(args.infile)
+    text, erasures = decode_navtex_audio(np.asarray(x), args.sps,
+                                         args.dev)
+    rec = navtex_parse(text)
+    out = open(args.outfile, "w") if args.outfile != "-" else sys.stdout
+    out.write(json.dumps({
+        "ok": rec is not None, "erasures": int(erasures),
+        "text": text, **(rec or {})}) + "\n")
+    if out is not sys.stdout:
+        out.close()
+    print(f"NAVTEX decode: {'ok' if rec else 'no frame'}, "
+          f"{erasures} erasures", file=sys.stderr)
+
+
 def _sstv(args) -> None:
     """SSTV driver: NBFM IQ capture (or raw f32 audio with --mpx) ->
     instantaneous-frequency decode (Martin M1) -> binary PPM (P6,
@@ -834,7 +857,8 @@ def main(argv=None) -> None:
                                      "scan", "mux", "resample", "gen",
                                      "fecenc", "fecdec", "scf", "adsb",
                                      "ais", "rds", "gps", "pocsag", "ax25",
-                                     "css", "apt", "acars", "sstv"])
+                                     "css", "apt", "acars", "sstv",
+                                     "navtex"])
     p.add_argument("infile")
     p.add_argument("outfile", nargs="?", default=None,
                    help="output path (optional for `gen`, whose single "
@@ -1035,6 +1059,10 @@ def main(argv=None) -> None:
 
     if args.chain == "sstv":
         _sstv(args)
+        return
+
+    if args.chain == "navtex":
+        _navtex(args)
         return
 
     if args.chain == "apt":
