@@ -171,3 +171,52 @@ def classify_mpsk(x, orders=(1, 2, 4, 8), min_coherence: float = 0.7,
         if frac > min_fraction and coh > min_coherence:
             return m, report
     return 0, report
+
+
+def detect_css(x, sf_range=range(6, 13), min_score: float = 2.0):
+    """Blind CSS (LoRa-class) detection + spreading-factor estimate.
+
+    Physics: dechirping a CSS signal with the conjugate base chirp of
+    the RIGHT length concentrates every N-chip window into one or two
+    DFT tones (any window of a symbol stream is a cyclic shift; a
+    symbol-straddling window splits into two tones) — regardless of
+    timing, CFO, or payload. For noise, or any non-chirp signal, the
+    dechirped spectrum stays spread. The statistic per SF is the mean
+    top-2-bin energy fraction across frames, normalized by its
+    noise-only expectation (~(ln N + 1)/N from exponential order
+    statistics), maximized over up- and down-chirp hypotheses.
+
+    Returns {'detected', 'sf', 'score', 'direction', 'scores'} — score
+    is the normalized concentration at the winning SF (measured:
+    noise 0.95, narrowband PSK 0.89 — its 1/sps bandwidth spreads the
+    top-2 fraction — CSS at -5 dB chip SNR 3.0; threshold 2.0); wrong-SF hypotheses score low because a
+    half/double-length window of a chirp still sweeps (the SF estimate
+    is implicit in the argmax).
+    """
+    from srcdsp_tpu.chains.css import base_upchirp
+
+    xx = np.asarray(x).astype(np.complex64)
+    scores = {}
+    best = (0.0, None, None)
+    for sf in sf_range:
+        n = 1 << sf
+        s = xx.size // n
+        if s < 4:
+            continue
+        fr = xx[: s * n].reshape(s, n)
+        u = base_upchirp(n)
+        noise_exp = (np.log(n) + 1.0) / n
+        for direction, dc in (("up", np.conj(u)), ("down", u)):
+            spec = np.abs(np.fft.fft(fr * dc, axis=-1)) ** 2
+            top2 = np.sort(spec, axis=-1)[:, -2:].sum(axis=-1)
+            frac = float(np.mean(top2 / np.maximum(
+                spec.sum(axis=-1), 1e-30)))
+            sc = frac / (2.0 * noise_exp)
+            scores[(sf, direction)] = round(sc, 2)
+            if sc > best[0]:
+                best = (sc, sf, direction)
+    detected = best[0] >= min_score
+    return {"detected": bool(detected),
+            "sf": best[1] if detected else None,
+            "direction": best[2] if detected else None,
+            "score": round(best[0], 2), "scores": scores}

@@ -68,3 +68,44 @@ def test_classify_mpsk_orders():
     cw = np.asarray(tone(4096, 0.11))
     got, _ = classify_mpsk(cw)
     assert got == 1
+
+
+def test_detect_css_finds_sf_blind(rng):
+    from srcdsp_tpu.chains import css
+    from srcdsp_tpu.chains.blindscan import detect_css
+
+    p = css.make_css_params(sf=8)
+    ks = rng.integers(0, p.n, 60)
+    x = css.css_modulate(p, ks)
+    # arbitrary timing offset + CFO + -5 dB chip SNR
+    x = np.concatenate([np.zeros(173, np.complex64), x])
+    x = x * np.exp(2j * np.pi * 0.013 * np.arange(x.size))
+    sigma = np.sqrt(10 ** (5 / 10) / 2)
+    x = (x + sigma * (rng.standard_normal(x.size)
+                      + 1j * rng.standard_normal(x.size))
+         ).astype(np.complex64)
+    res = detect_css(x)
+    assert res["detected"] and res["sf"] == 8
+    assert res["direction"] == "up"
+
+
+def test_detect_css_rejects_noise_and_psk(rng):
+    from srcdsp_tpu.chains.blindscan import detect_css
+
+    n = 1 << 14
+    noise = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+             ).astype(np.complex64)
+    assert not detect_css(noise)["detected"]
+    # a narrowband PSK signal concentrates WITHOUT dechirping but must
+    # not fool the chirp detector more than... it does concentrate!
+    # (any narrowband tone-like signal has concentrated windows). The
+    # discriminator: for real chirps the UP hypothesis beats the raw
+    # spectrum; for narrowband signals dechirping SPREADS them, so the
+    # chirp score at the winning SF must exceed the dechirped-noise
+    # bound while PSK's dechirped spectrum is sweep-spread
+    sym = 1.0 - 2.0 * rng.integers(0, 2, 2048).astype(np.float64)
+    up = np.repeat(sym, 8)
+    psk = (up * np.exp(2j * np.pi * 0.01 * np.arange(up.size))
+           ).astype(np.complex64)
+    res = detect_css(psk)
+    assert not res["detected"], res
