@@ -468,6 +468,28 @@ def _scan(args) -> None:
             order, _ = classify_mpsk(bb[: 1 << 16])
             if order:
                 rec["psk_order"] = order
+            from srcdsp_tpu.chains.blindscan import detect_css
+            # the chirp statistic expects ~1 sample/chip, but (sf,
+            # chip rate) are individually ambiguous — an SF7 chirp at
+            # 2x oversampling IS an SF9 chirp. Sweep power-of-two
+            # decimations (exact hypotheses), keep the best score, and
+            # report the INVARIANT chirp rate 1/(2^sf * decim^2) in
+            # capture units alongside the winning (sf, decim) pair.
+            best_c = None
+            for decim_c in (1, 2, 4, 8, 16, 32):
+                if decim_c > 2.5 / max(d.bandwidth, 1e-3):
+                    break
+                r = detect_css(bb[::decim_c])
+                if r["detected"] and (best_c is None
+                                      or r["score"] > best_c[0]):
+                    best_c = (r["score"], r, decim_c)
+            if best_c is not None:
+                _, chirp, decim_c = best_c
+                rec["css_sf"] = chirp["sf"]
+                rec["css_decim"] = decim_c
+                rec["css_chirp_rate"] = 1.0 / ((1 << chirp["sf"])
+                                               * decim_c * decim_c)
+                rec["css_direction"] = chirp["direction"]
         out.write(json.dumps(rec) + "\n")
     if out is not sys.stdout:
         out.close()

@@ -617,3 +617,42 @@ def test_cli_gps_acquires_prn(tmp_path):
     out2 = str(tmp_path / "acq2.jsonl")
     cli_main(["gps", capf, out2, "--sps", str(sps), "--prn", "20"])
     assert [l for l in open(out2)] == []
+
+
+def test_cli_scan_flags_css_band(tmp_path):
+    """A CSS burst inside a band: scan --analyze reports css_sf."""
+    import json
+
+    import numpy as np
+
+    from srcdsp_tpu.chains import css
+    from srcdsp_tpu.testing.signals import np_tone
+
+    rng = np.random.default_rng(3)
+    p = css.make_css_params(sf=7)
+    sig = css.css_modulate(p, rng.integers(0, p.n, 200))
+    # oversample 8x (chip rate = bandwidth = 1/8): repeat + lowpass,
+    # then mix up to the band center — a realistic capture geometry
+    import jax.numpy as jnp
+
+    from srcdsp_tpu.ops.fir import fir_full
+    from srcdsp_tpu.ops.window import lowpass as lp
+    up = np.repeat(sig, 8)
+    up = np.asarray(fir_full(jnp.asarray(lp(97, 0.08)),
+                             jnp.asarray(up)))
+    x = (up * np_tone(up.size, 0.18)).astype(np.complex64)
+    x = x + (0.05 * (rng.standard_normal(x.size)
+                     + 1j * rng.standard_normal(x.size))
+             ).astype(np.complex64)
+    cap = str(tmp_path / "css_band.cf32")
+    write_capture(cap, x, CaptureMeta(fmt="cf32"))
+    out = str(tmp_path / "scan.jsonl")
+    cli_main(["scan", cap, out, "--analyze"])
+    recs = [json.loads(line) for line in open(out)]
+    hit = [r for r in recs if "css_chirp_rate" in r]
+    assert hit, recs
+    # the chirp-rate INVARIANT identifies the signal regardless of the
+    # (sf, decim) factorization the sweep happened to win with:
+    # true rate = (1/8) / (2^7 * 8) = 2^-13
+    assert abs(hit[0]["css_chirp_rate"] - 2.0 ** -13) < 2.0 ** -15
+    assert abs(hit[0]["center"] - 0.18) < 0.02
