@@ -89,7 +89,15 @@ def iq_imbalance_estimate(state_or_y) -> tuple[jax.Array, jax.Array]:
       I = I',   Q = g (cos(phi) Q' + sin(phi) I')
     with I', Q' the ideal circular rails (E[I'^2] = E[Q'^2], E[I'Q'] = 0).
     Then exactly:  g sin(phi) = E[I Q]/E[I^2],  g^2 = E[Q^2]/E[I^2]
-    (the Moseley-Slump blind estimator)."""
+    (the Moseley-Slump blind estimator).
+
+    Properness caveat (measured): the estimator assumes a CIRCULAR
+    input (E[I'Q'] = 0, equal rail powers). A single rect-pulse PSK
+    emitter violates this — its symbol-squared sequence is a full-
+    power conjugate line that swamps the moments — so calibrate on a
+    wideband/noise block and apply the correction to the traffic;
+    aggregate multi-carrier traffic is circular and estimates fully
+    blind. Precision is ~1/sqrt(N) of the calibration block."""
     st = state_or_y
     if not isinstance(st, MomentState):
         st = moments_update(moments_init(np.shape(state_or_y)[:-1]),
