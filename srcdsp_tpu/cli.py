@@ -341,6 +341,22 @@ def _fec(args) -> None:
             hard = (llr < 0).astype(np.int32)
             info, ok = bch_decode(bc, jnp.asarray(hard))
             return np.asarray(info, np.uint8), np.asarray(ok)
+    elif code_name == "golay":
+        from srcdsp_tpu.golay import golay_decode, golay_encode, \
+            make_golay
+        gc = make_golay()
+        k, n = 12, 24
+
+        def encode(u):
+            return np.asarray(
+                golay_encode(gc, jnp.asarray(u.reshape(-1, 12))),
+                np.uint8).reshape(-1)
+
+        def decode(llr):
+            hard = (llr < 0).astype(np.int32).reshape(-1, 24)
+            info, _, ok = golay_decode(gc, jnp.asarray(hard))
+            return (np.asarray(info, np.uint8).reshape(-1),
+                    np.asarray(ok))
     elif code_name == "rs":
         from srcdsp_tpu.rs import make_rs_code, rs_decode, rs_encode
         # the generic --fec-n/--fec-k defaults (504/128) are LDPC/polar
@@ -979,7 +995,7 @@ def main(argv=None) -> None:
     p.add_argument("--bt", type=float, default=0.3,
                    help="GMSK Gaussian BT product (mod --mod gmsk)")
     p.add_argument("--code", choices=["ldpc", "turbo", "polar", "conv",
-                                      "rs", "bch"],
+                                      "rs", "bch", "golay"],
                    default="ldpc",
                    help="fecenc/fecdec: code family (conv = K=7 Viterbi "
                         "over bits; rs = RS(255,223) over BYTES, decode "
