@@ -801,6 +801,21 @@ def _acars(args) -> None:
     print(f"decoded {len(recs)} ACARS blocks", file=sys.stderr)
 
 
+def _rtty(args) -> None:
+    """RTTY driver: complex-baseband FSK capture -> async deframe ->
+    ITA2 text."""
+    from srcdsp_tpu.chains.rtty import decode_rtty
+    from srcdsp_tpu.io.capture import read_capture
+
+    x, _meta = read_capture(args.infile)
+    text = decode_rtty(np.asarray(x), args.sps, args.dev)
+    out = open(args.outfile, "w") if args.outfile != "-" else sys.stdout
+    out.write(text + "\n")
+    if out is not sys.stdout:
+        out.close()
+    print(f"decoded {len(text)} RTTY characters", file=sys.stderr)
+
+
 def _navtex(args) -> None:
     """NAVTEX driver: complex-baseband FSK capture (100 Bd, +-dev) ->
     SITOR-B diversity decode -> parsed message JSON."""
@@ -896,7 +911,7 @@ def main(argv=None) -> None:
                                      "fecenc", "fecdec", "scf", "adsb",
                                      "ais", "rds", "gps", "pocsag", "ax25",
                                      "css", "apt", "acars", "sstv",
-                                     "navtex"])
+                                     "navtex", "rtty"])
     p.add_argument("infile")
     p.add_argument("outfile", nargs="?", default=None,
                    help="output path (optional for `gen`, whose single "
@@ -1101,6 +1116,10 @@ def main(argv=None) -> None:
 
     if args.chain == "navtex":
         _navtex(args)
+        return
+
+    if args.chain == "rtty":
+        _rtty(args)
         return
 
     if args.chain == "apt":
