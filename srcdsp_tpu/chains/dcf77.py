@@ -123,15 +123,21 @@ def dcf77_envelope_bits(env: np.ndarray, fs: float = 1000.0):
     # falling edges = second starts (full -> reduced)
     edges = np.flatnonzero(low[1:] & ~low[:-1]) + 1
     vals, starts = [], []
+    w = int(0.30 * fs)
+    last = -10 ** 9
     for e in edges:
-        # measure the run length of the reduced-amplitude interval
-        run = 0
-        while e + run < env.size and low[e + run]:
-            run += 1
-        if run < 0.05 * fs or run > 0.3 * fs:
+        if e - last < 0.8 * fs:
+            continue                      # spike inside this second's
+        # classify by TOTAL low time in the 300 ms window (not the
+        # first contiguous run): a single above-threshold noise sample
+        # inside a 200 ms drop would split the run and turn one '1'
+        # into two '0's, losing the whole minute (review finding)
+        tot = int(low[e: e + w].sum())
+        if tot < 0.05 * fs or tot > 0.28 * fs:
             continue                      # glitch, not a second mark
-        vals.append(1 if run >= 0.15 * fs else 0)
+        vals.append(1 if tot >= 0.15 * fs else 0)
         starts.append(e)
+        last = e
     vals = np.asarray(vals, np.int64)
     starts = np.asarray(starts, np.int64)
     marks = [i for i in range(1, starts.size)

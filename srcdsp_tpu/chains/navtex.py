@@ -38,7 +38,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["CW_TABLE", "char_to_code", "code_to_char", "ALPHA", "REP",
+__all__ = ["CW_TABLE", "code_to_char", "ALPHA", "REP",
            "LTRS", "FIGS", "sitor_b_encode", "sitor_b_decode",
            "navtex_build", "navtex_parse", "navtex_modulate",
            "decode_navtex_audio"]
@@ -66,15 +66,6 @@ LTRS, FIGS = CW_TABLE["<ltrs>"], CW_TABLE["<figs>"]
 # figures ride the letter codewords under the FIGS shift state)
 _FIGS_MAP = dict(zip("QWERTYUIOP", "1234567890"))
 _FIGS_INV = {v: k for k, v in _FIGS_MAP.items()}
-
-
-def char_to_code(ch: str, figs: bool) -> tuple[int, bool]:
-    """Character -> (codeword, new shift state)."""
-    if ch in CW_TABLE:
-        return CW_TABLE[ch], figs
-    if ch in _FIGS_INV:                       # digit: needs FIGS state
-        return CW_TABLE[_FIGS_INV[ch]], figs
-    raise ValueError(f"unmapped character {ch!r}")
 
 
 def code_to_char(code: int, figs: bool) -> str:
@@ -143,8 +134,9 @@ def sitor_b_decode(stream) -> tuple[str, int]:
     out = []
     erase = 0
     figs = False
-    n = dx.size
-    for k in range(n):
+    started = False           # suppress erasures in the phasing/fill
+    n = dx.size               # head — a corrupted fill slot carries no
+    for k in range(n):        # message information (review finding)
         c_dx = int(dx[k])
         c_rx = int(rx[k + lag]) if k + lag < rx.size else -1
         if bin(c_dx).count("1") == 4:
@@ -152,8 +144,9 @@ def sitor_b_decode(stream) -> tuple[str, int]:
         elif c_rx >= 0 and bin(c_rx).count("1") == 4:
             c = c_rx
         else:
-            out.append("*")
-            erase += 1
+            if started:
+                out.append("*")
+                erase += 1
             continue
         if c == LTRS:
             figs = False
@@ -163,6 +156,7 @@ def sitor_b_decode(stream) -> tuple[str, int]:
             continue
         if c in (ALPHA, REP):
             continue
+        started = True
         out.append(code_to_char(c, figs))
     return "".join(out), erase
 
@@ -178,7 +172,7 @@ def navtex_build(station: str, msg_type: str, serial: str,
 def navtex_parse(text: str) -> dict | None:
     """Decoded text -> {'station','type','serial','body'} or None."""
     i = text.find("ZCZC ")
-    j = text.find("NNNN")
+    j = text.find("NNNN", i + 5) if i >= 0 else -1
     if i < 0 or j < 0 or j <= i + 9:
         return None
     head = text[i + 5: i + 9]
@@ -191,13 +185,14 @@ def navtex_modulate(codes: np.ndarray, sps: int,
                     dev: float) -> np.ndarray:
     """Codeword stream -> complex baseband FSK: 7 bits per char LSB
     first, mark (1) = +dev, space (0) = -dev cycles/sample,
-    continuous phase, sps samples/bit (100 Bd => sps = fs/100)."""
+    continuous phase, sps samples/bit (100 Bd => sps = fs/100).
+    Synthesis = the shared testing.signals.fsk_baseband (mod-1-safe
+    phase; the hand-rolled cumsum copies were deduplicated on review)."""
+    from srcdsp_tpu.testing.signals import fsk_baseband
     codes = np.asarray(codes, np.int64)
     bits = ((codes[:, None] >> np.arange(7)) & 1).reshape(-1)
-    freqs = np.where(bits == 1, dev, -dev)
-    inst = np.repeat(freqs, sps)
-    phase = 2 * np.pi * np.cumsum(inst)
-    return np.exp(1j * phase).astype(np.complex64)
+    return np.asarray(fsk_baseband(jnp.asarray(bits.astype(np.float32)),
+                                   sps, dev)).astype(np.complex64)
 
 
 def decode_navtex_audio(x, sps: int, dev: float,

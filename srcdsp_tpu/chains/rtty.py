@@ -156,12 +156,12 @@ def ita2_decode(codes) -> str:
 def rtty_modulate(levels, sps_half: int, dev: float) -> np.ndarray:
     """Half-bit levels -> complex baseband FSK (mark = +dev,
     space = -dev cycles/sample), continuous phase; sps_half samples
-    per HALF bit (baud rate = fs / (2 * sps_half))."""
-    lv = np.asarray(levels, np.int32)
-    freqs = np.where(lv == 1, dev, -dev)
-    inst = np.repeat(freqs, sps_half)
-    phase = 2 * np.pi * np.cumsum(inst)
-    return np.exp(1j * phase).astype(np.complex64)
+    per HALF bit (baud rate = fs / (2 * sps_half)). Synthesis = the
+    shared testing.signals.fsk_baseband (dedup, review finding)."""
+    from srcdsp_tpu.testing.signals import fsk_baseband
+    lv = np.asarray(levels, np.float32)
+    return np.asarray(fsk_baseband(jnp.asarray(lv), sps_half, dev)
+                      ).astype(np.complex64)
 
 
 def decode_rtty(x, sps_half: int, dev: float,

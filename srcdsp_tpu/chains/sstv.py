@@ -65,8 +65,13 @@ class SstvParams(NamedTuple):
 def make_sstv_params(fs: float = 11025.0, width: int = _WIDTH,
                      height: int = _HEIGHT, taps: int = 127
                      ) -> SstvParams:
-    """fs: audio rate (any; the schedule is in seconds). The channel
-    lowpass passes +-700 Hz around the 1900 Hz center (1100..2600)."""
+    """fs: audio rate, > 5400 Hz so the +-800 Hz channel select around
+    the 1900 Hz center (1100..2700 — covers VIS tones and the video
+    deviation with transition margin) stays below Nyquist; raises
+    otherwise (review finding: the old docstring promised 'any' fs and
+    quoted +-700)."""
+    if fs <= 5400.0:
+        raise ValueError(f"fs {fs} too low for the 1100..2700 Hz band")
     return SstvParams(fs=float(fs), width=int(width), height=int(height),
                       lp_taps=np.asarray(lowpass(taps, 800.0 / fs),
                                          np.float32))
@@ -230,8 +235,15 @@ def sstv_decode(params: SstvParams, audio, vis_required: bool = True):
         for ci, ch in enumerate((1, 2, 0)):       # G, B, R scans
             t_scan = (t_line + _LINE_SYNC_S + _PORCH_S
                       + ci * (_SCAN_S + _PORCH_S))
-            for u in range(params.width):
-                fv = _seg_mean(f, t_scan + u * px, px, fs)
-                img[row, u, ch] = (fv - _F_BLACK) / (_F_WHITE - _F_BLACK)
+            # vectorized integrate-and-dump: one reduceat over the
+            # pixel boundary grid replaces 320 Python slice-means per
+            # scan (~100x on the 256-line CLI path; review finding)
+            edges = np.round((t_scan + np.arange(params.width + 1)
+                              * px) * fs).astype(np.int64)
+            edges = np.clip(edges, 0, f.size - 1)
+            sums = np.add.reduceat(f, edges[:-1])
+            cnt = np.maximum(np.diff(edges), 1)
+            img[row, :, ch] = ((sums / cnt - _F_BLACK)
+                               / (_F_WHITE - _F_BLACK))
         t = t_line + line_s
     return {"image": np.clip(img, 0.0, 1.0), "vis": vis, "ok": True}

@@ -53,10 +53,11 @@ def accel_search(x, rates: np.ndarray | None = None,
 
     rates: explicit drift grid, or computed from max_drift via
     accel_grid. Returns the full [R, N] metric plus the refined
-    (freq, drift) peak — freq is the tone's value at the BLOCK CENTER
-    (the n^2 dechirp convention makes the instantaneous frequency at
-    n equal freq + r*(n - 0); callers wanting mid-block frequency add
-    r*N/2)."""
+    (freq, drift) peak. freq is the tone's instantaneous value at
+    BLOCK START (n = 0): the dechirp convention makes the frequency at
+    sample n equal freq + r*n, so the mid-block value is
+    freq + drift*N/2 (docstring corrected on review; the tests pin the
+    n = 0 convention)."""
     xx = jnp.asarray(np.asarray(x).astype(np.complex64))
     n = int(xx.shape[-1])
     if rates is None:
@@ -76,8 +77,9 @@ def accel_search(x, rates: np.ndarray | None = None,
         d = y0 - 2 * y1 + y2
         return 0.5 * (y0 - y2) / d if abs(d) > 1e-12 else 0.0
 
-    foff = _para(mag[ri, fi - 1], mag[ri, fi],
-                 mag[ri, (fi + 1) % n]) if 0 < fi else 0.0
+    # both neighbors wrap circularly (numpy's -1 handles fi == 0), so
+    # the refinement holds at every bin including DC (review finding)
+    foff = _para(mag[ri, fi - 1], mag[ri, fi], mag[ri, (fi + 1) % n])
     roff = _para(mag[ri - 1, fi], mag[ri, fi],
                  mag[ri + 1, fi]) if 0 < ri < mag.shape[0] - 1 else 0.0
     rstep = rates[1] - rates[0] if rates.size > 1 else 0.0

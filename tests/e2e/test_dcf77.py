@@ -47,3 +47,20 @@ def test_envelope_round_trip_noise_and_offset(rng):
 def test_noise_rejected(rng):
     x = np.abs(rng.standard_normal(120000)).astype(np.float32)
     assert dcf77.dcf77_decode(x, 1000.0) == []
+
+
+def test_spike_inside_drop_does_not_split_bit(rng):
+    """Regression (review finding): a single above-threshold sample
+    inside a 200 ms drop must not split one '1' into two '0's."""
+    fs = 1000.0
+    t = dcf77.Dcf77Time(47, 13, 21, 5, 8, 26, True)
+    env = dcf77.dcf77_modulate([dcf77.dcf77_encode_minute(t)], fs)
+    # place a full-amplitude spike mid-drop of second 21 (a '1' bit in
+    # the minute field for minute=47)
+    bits = dcf77.dcf77_encode_minute(t)
+    assert bits[21] == 1
+    env = env.copy()
+    env[int(21 * fs + 0.1 * fs)] = 1.0
+    got = dcf77.dcf77_decode(
+        np.concatenate([np.full(2200, 1.0, np.float32), env]), fs)
+    assert t in got
