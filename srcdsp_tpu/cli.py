@@ -801,6 +801,31 @@ def _acars(args) -> None:
     print(f"decoded {len(recs)} ACARS blocks", file=sys.stderr)
 
 
+def _same(args) -> None:
+    """SAME/EAS driver: real f32 audio (--mpx) or AM IQ capture ->
+    520.83 Bd AFSK decode -> header JSON lines (one per burst)."""
+    import json
+
+    from srcdsp_tpu.chains.same import decode_same_audio, same_parse
+    from srcdsp_tpu.io.capture import read_capture
+
+    fs = args.fs if args.fs is not None else 12500.0
+    if args.mpx:
+        audio = np.fromfile(args.infile, np.float32)
+    else:
+        x, _meta = read_capture(args.infile)
+        env = np.abs(np.asarray(x)).astype(np.float32)
+        audio = env - env.mean()
+    out = open(args.outfile, "w") if args.outfile != "-" else sys.stdout
+    bursts = decode_same_audio(audio, fs)
+    for b in bursts:
+        rec = same_parse(b)
+        out.write(json.dumps({"raw": b, **(rec or {})}) + "\n")
+    if out is not sys.stdout:
+        out.close()
+    print(f"decoded {len(bursts)} SAME bursts", file=sys.stderr)
+
+
 def _rtty(args) -> None:
     """RTTY driver: complex-baseband FSK capture -> async deframe ->
     ITA2 text."""
@@ -911,7 +936,7 @@ def main(argv=None) -> None:
                                      "fecenc", "fecdec", "scf", "adsb",
                                      "ais", "rds", "gps", "pocsag", "ax25",
                                      "css", "apt", "acars", "sstv",
-                                     "navtex", "rtty"])
+                                     "navtex", "rtty", "same"])
     p.add_argument("infile")
     p.add_argument("outfile", nargs="?", default=None,
                    help="output path (optional for `gen`, whose single "
@@ -1120,6 +1145,10 @@ def main(argv=None) -> None:
 
     if args.chain == "rtty":
         _rtty(args)
+        return
+
+    if args.chain == "same":
+        _same(args)
         return
 
     if args.chain == "apt":
