@@ -801,6 +801,32 @@ def _acars(args) -> None:
     print(f"decoded {len(recs)} ACARS blocks", file=sys.stderr)
 
 
+def _cw(args) -> None:
+    """CW/Morse driver: audio f32 (--mpx) or IQ capture -> blind
+    decode (tone and speed estimated from the capture) -> text."""
+    import json
+
+    from srcdsp_tpu.chains.cw import decode_cw
+    from srcdsp_tpu.io.capture import read_capture
+
+    fs = args.fs if args.fs is not None else 8000.0
+    if args.mpx:
+        audio = np.fromfile(args.infile, np.float32)
+    else:
+        x, _meta = read_capture(args.infile)
+        audio = np.asarray(x)
+    out_rec = decode_cw(audio, fs)
+    out = open(args.outfile, "w") if args.outfile != "-" else sys.stdout
+    out.write(json.dumps({"text": out_rec["text"],
+                          "wpm": round(out_rec["wpm"], 1),
+                          "tone_hz": round(out_rec["tone_hz"], 1)})
+              + "\n")
+    if out is not sys.stdout:
+        out.close()
+    print(f"decoded {len(out_rec['text'])} chars at "
+          f"{out_rec['wpm']:.0f} WPM", file=sys.stderr)
+
+
 def _same(args) -> None:
     """SAME/EAS driver: real f32 audio (--mpx) or AM IQ capture ->
     520.83 Bd AFSK decode -> header JSON lines (one per burst)."""
@@ -936,7 +962,7 @@ def main(argv=None) -> None:
                                      "fecenc", "fecdec", "scf", "adsb",
                                      "ais", "rds", "gps", "pocsag", "ax25",
                                      "css", "apt", "acars", "sstv",
-                                     "navtex", "rtty", "same"])
+                                     "navtex", "rtty", "same", "cw"])
     p.add_argument("infile")
     p.add_argument("outfile", nargs="?", default=None,
                    help="output path (optional for `gen`, whose single "
@@ -1149,6 +1175,10 @@ def main(argv=None) -> None:
 
     if args.chain == "same":
         _same(args)
+        return
+
+    if args.chain == "cw":
+        _cw(args)
         return
 
     if args.chain == "apt":
