@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--sf", type=int, default=8)
     ap.add_argument("--syms", type=int, default=16384)
     ap.add_argument("--snr-db", type=float, default=-5.0)
+    ap.add_argument("--form", choices=["auto", "direct", "fourstep"],
+                    default="auto")
     ap.add_argument("--bf16", action="store_true",
                     help="DEFAULT (1-pass bf16) matmul precision: a "
                          "serving TIER like config-2 bf16 — gated on "
@@ -53,7 +55,9 @@ def main():
 
     prec = (jax.lax.Precision.DEFAULT if args.bf16
             else jax.lax.Precision.HIGHEST)
-    fn = jax.jit(make_css_demod_planes(p, precision=prec))
+    direct = None if args.form == "auto" else (args.form == "direct")
+    fn = jax.jit(make_css_demod_planes(p, precision=prec,
+                                       direct=direct))
     cpu = jax.local_devices(backend="cpu")[0]
     k_c, _ = fn(jax.device_put(jnp.asarray(xr), cpu),
                 jax.device_put(jnp.asarray(xi), cpu))
@@ -78,10 +82,11 @@ def main():
     from slope import calibrated_slope
     sec, _k = calibrated_slope(region, trials=5)
     chips = s * n
-    # direct folded form (N <= 1024): 4 real [S,N]@[N,N] matmuls;
-    # four-step fallback: fft_planes count + the dechirp multiply
-    direct = n <= 1024
-    flops = (4 * 2 * s * n * n if direct
+    # direct folded form: 4 real [S,N]@[N,N] matmuls; four-step
+    # fallback: fft_planes count + the dechirp multiply
+    used_direct = (direct if direct is not None
+                   else n <= 1024 or (n <= 2048 and args.bf16))
+    flops = (4 * 2 * s * n * n if used_direct
              else fft_planes_flops(s, n) + 6 * chips)
     print(json.dumps({
         "probe": "css_demod_onchip", "sf": args.sf, "syms": s,

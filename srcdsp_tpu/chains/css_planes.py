@@ -46,12 +46,18 @@ def make_css_demod_planes(params: CssParams,
     """Build the batched plane demodulator: (xr, xi) [S, N] raw symbol
     frames -> (shifts [S] i32, peak_mag2 [S] f32).
 
-    direct: fold dechirp+DFT into one [N, N] matmul (default for
-    N <= 1024; None = auto). The matrices are baked constants, so the
-    returned function is safe to wrap in an outer jit/vmap/shard_map."""
+    direct: fold dechirp+DFT into one [N, N] matmul. None = auto,
+    which is PRECISION-AWARE after the measured SF11 A/B: the dense
+    fold carries a 16x flop overhead over the band at N = 2048, so it
+    only pays when the matmul is cheap — direct for N <= 1024 always,
+    and for N = 2048 only at DEFAULT (bf16) precision (measured:
+    four-step f32 2.11 Gchips/s, direct f32 1.83, direct bf16 9.17).
+    The matrices are baked constants, so the returned function is safe
+    to wrap in an outer jit/vmap/shard_map."""
     n = params.n
     if direct is None:
-        direct = n <= 1024
+        direct = n <= 1024 or (n <= 2048
+                               and precision == jax.lax.Precision.DEFAULT)
     dc = np.asarray(params.downchirp)                   # conj(u), [N]
 
     if direct:
