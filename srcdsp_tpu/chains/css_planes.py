@@ -93,3 +93,43 @@ def make_css_demod_planes(params: CssParams,
         return kk.astype(jnp.int32), jnp.max(mag2, axis=-1).astype(F32)
 
     return demod
+
+
+
+def make_css_llr_planes(params: CssParams,
+                        precision=jax.lax.Precision.HIGHEST):
+    """On-chip SOFT output tier: (xr, xi) [S, N] raw symbol frames ->
+    per-Gray-bit LLRs [S, sf] (positive = bit 0), the plane twin of
+    `css.css_soft_llrs` — folded dechirp-DFT matmul, |S| magnitudes,
+    then one masked max pair per bit (where + reduce, axon-safe).
+
+    Bit b's bin partition is baked as a [1, N] mask from gray(k); the
+    max-log LLR is max_{bit=0}|S_k| - max_{bit=1}|S_k|. Matches the
+    complex tier up to matmul rounding (gated at equal decoded frames
+    in tests and the bench)."""
+    from srcdsp_tpu.chains.css import gray_decode_shift
+
+    n, sf = params.n, params.sf
+    dc = np.asarray(params.downchirp)
+    k = np.arange(n)
+    w = np.exp(-2j * np.pi * np.outer(k, k) / n)
+    g = dc[:, None] * w
+    gr = jnp.asarray(g.real.astype(np.float32))
+    gi = jnp.asarray(g.imag.astype(np.float32))
+    words = gray_decode_shift(np.arange(n))
+    masks0 = np.stack([((words >> (sf - 1 - b)) & 1) == 0
+                       for b in range(sf)])           # [sf, N] bit==0
+    m0 = jnp.asarray(masks0[:, None, :])              # [sf, 1, N]
+
+    def llrs(xr: jax.Array, xi: jax.Array):
+        sr = (jnp.dot(xr, gr, precision=precision)
+              - jnp.dot(xi, gi, precision=precision))
+        si = (jnp.dot(xr, gi, precision=precision)
+              + jnp.dot(xi, gr, precision=precision))
+        mag = jnp.sqrt(sr * sr + si * si)[None, :, :]  # [1, S, N]
+        neg = F32(-1e30)
+        hi0 = jnp.max(jnp.where(m0, mag, neg), axis=-1)   # [sf, S]
+        hi1 = jnp.max(jnp.where(m0, neg, mag), axis=-1)
+        return (hi0 - hi1).T                           # [S, sf]
+
+    return llrs

@@ -188,3 +188,25 @@ def test_frame_codec_roundtrip_and_error_correction(rng):
     bad[2] ^= 0x55
     out, ok = css.css_decode_frame(p, bad, len(payload))
     assert not ok
+
+
+def test_batch_soft_decode_matches_per_frame(rng):
+    from srcdsp_tpu.chains.css import css_decode_frames_soft_batch
+
+    p = css.make_css_params(sf=8, cr=4)
+    plen = 12
+    nsym = css.css_frame_nsym(p, plen)
+    pls = [bytes(rng.integers(0, 256, plen, dtype=np.uint8))
+           for _ in range(8)]
+    tx = css.css_modulate(p, np.concatenate(
+        [css.css_encode_frame(p, pl) for pl in pls]))
+    sigma = np.sqrt(10 ** (12 / 10) / 2)
+    x = (tx + sigma * (rng.standard_normal(tx.size)
+                       + 1j * rng.standard_normal(tx.size))
+         ).astype(np.complex64)
+    llrs = css.css_soft_llrs(p, x).reshape(8, nsym, p.sf)
+    outs, oks = css_decode_frames_soft_batch(p, llrs, plen)
+    for i, pl in enumerate(pls):
+        ref_out, ref_ok = css.css_decode_frame_soft(p, llrs[i], plen)
+        assert bool(oks[i]) == ref_ok and outs[i] == ref_out
+    assert oks.all() and outs == pls

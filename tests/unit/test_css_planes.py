@@ -39,3 +39,25 @@ def test_planes_exact_clean_all_shifts():
     np.testing.assert_array_equal(np.asarray(got), ks)
     # clean full-scale tone: |peak|^2 == N^2
     np.testing.assert_allclose(np.asarray(mag), float(p.n) ** 2, rtol=1e-3)
+
+
+def test_llr_planes_match_complex_tier(rng):
+    p = css.make_css_params(sf=8, cr=4)
+    payload = bytes(rng.integers(0, 256, 24, dtype=np.uint8))
+    tx = css.css_modulate(p, css.css_encode_frame(p, payload))
+    sigma = np.sqrt(10 ** (12 / 10) / 2)       # near the waterline
+    x = (tx + sigma * (rng.standard_normal(tx.size)
+                       + 1j * rng.standard_normal(tx.size))
+         ).astype(np.complex64)
+    ref = css.css_soft_llrs(p, x)
+    from srcdsp_tpu.chains.css_planes import make_css_llr_planes
+    fn = jax.jit(make_css_llr_planes(p))
+    fr = x.reshape(-1, p.n)
+    got = np.asarray(fn(jnp.asarray(fr.real.astype(np.float32)),
+                        jnp.asarray(fr.imag.astype(np.float32))))
+    # values match to float tolerance AND the decoded frame agrees
+    np.testing.assert_allclose(got, ref, rtol=2e-4,
+                               atol=2e-3 * np.abs(ref).max())
+    out_r, ok_r = css.css_decode_frame_soft(p, ref, len(payload))
+    out_g, ok_g = css.css_decode_frame_soft(p, got, len(payload))
+    assert ok_r == ok_g and out_r == out_g
