@@ -55,6 +55,8 @@ log=bench/hw_refresh_${ts}.log
   echo "== round 5 late: CSS serving tier + ingest e2e =="
   timeout 1800 python bench/css_onchip.py --syms 65536
   timeout 1800 python bench/css_onchip.py --syms 65536 --bf16
+  timeout 1800 python bench/css_onchip.py --sf 11 --syms 8192 --bf16
+  timeout 1800 python bench/css_modem_onchip.py --bf16
   timeout 1800 python bench/ingest_e2e.py
   timeout 1800 python bench/fresh_onchip.py --log2 22
   timeout 1800 python bench/fresh_onchip.py --log2 22 --bf16
