@@ -126,3 +126,37 @@ def test_soft_matches_hard_on_clean_frames(rng):
     llrs = css.css_soft_llrs(p, x)
     out, ok = css.css_decode_frame_soft(p, llrs, len(payload))
     assert ok and out == payload
+
+
+def test_css_sf12_link(rng):
+    # the largest SF (the serving tier's four-step fallback regime)
+    p = css.make_css_params(sf=12, cr=4, n_up=6)
+    payload = b"sf12"
+    tx = css.css_transmit(p, payload)
+    x = tx + (0.5 * (rng.standard_normal(tx.size)
+                     + 1j * rng.standard_normal(tx.size))
+              ).astype(np.complex64)
+    out, ok, sync = css.css_receive(p, x, len(payload))
+    assert sync.ok and ok and out == payload
+
+
+def test_stream_continues_past_corrupt_burst(rng):
+    # burst 2's payload is trashed (CRC fails) — bursts 1 and 3 must
+    # still decode and the scan must not stall
+    p = css.make_css_params(sf=7, cr=4)
+    pays = [b"first", b"xxxxx", b"third"]
+    parts = []
+    gap = np.zeros(400, np.complex64)
+    for i, pl in enumerate(pays):
+        b = css.css_transmit(p, pl)
+        if i == 1:
+            b[css.preamble_len(p):] = 0     # destroy the payload
+        parts += [gap, b]
+    x = np.concatenate(parts + [gap])
+    x += (0.03 * (rng.standard_normal(x.size)
+                  + 1j * rng.standard_normal(x.size))
+          ).astype(np.complex64)
+    got = css.css_receive_stream(p, x, 5)
+    oks = [(out, ok) for out, ok, _ in got]
+    assert (b"first", True) in oks and (b"third", True) in oks
+    assert not any(out == b"xxxxx" for out, _ in oks)
