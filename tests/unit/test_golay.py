@@ -73,3 +73,24 @@ def test_cli_fec_golay_roundtrip(rng, tmp_path):
     cli_main(["fecdec", enc, dec, "--code", "golay", "--hard"])
     out = np.fromfile(dec, np.uint8)
     np.testing.assert_array_equal(out, bits)
+
+
+def test_golay_bpsk_link_gain(rng):
+    """Channel-level: at an SNR where raw BPSK runs ~1% BER, Golay
+    hard-decision decoding delivers error-free blocks (expected ~2-3
+    errors per 24-bit word, inside the 3-error power)."""
+    code = make_golay()
+    nw = 256
+    data = rng.integers(0, 2, (nw, 12))
+    cw = np.asarray(golay_encode(code, data)).astype(np.float64)
+    ebno_lin = 10 ** (4.3 / 10)              # ~1% raw BER for BPSK
+    sigma = np.sqrt(1.0 / (2 * ebno_lin))
+    y = (1.0 - 2.0 * cw) + sigma * rng.standard_normal(cw.shape)
+    hard = (y < 0).astype(np.int64)
+    raw_ber = float((hard != cw).mean())
+    assert 0.002 < raw_ber < 0.03, raw_ber
+    out, ncorr, ok = golay_decode(code, hard)
+    block_err = float((np.asarray(out) != data).any(axis=1).mean())
+    # coded block error far below the uncoded word-error rate
+    uncoded_wer = 1.0 - (1.0 - raw_ber) ** 12
+    assert block_err < uncoded_wer / 5.0, (block_err, uncoded_wer)
